@@ -1,0 +1,75 @@
+"""Single source of truth for the driver-checkable query surface.
+
+Every operator the engine claims is registered here as a
+:class:`QuerySpec`: a Spark plan builder plus (where SQL-expressible)
+the equivalent DuckDB oracle SQL. ``__spark_entry__.queries()`` and
+``oracle_sql()`` are thin views over this registry.
+
+Determinism rules for oracle-matched queries:
+- alias every computed column identically in Spark and SQL;
+- round floating aggregates on BOTH sides (sum of cent-granular
+  doubles -> round 2; ratios -> round 6) so summation order can't
+  flip the value hash;
+- top-N queries order by the ROUNDED value with a unique tiebreaker
+  column so both engines select the same row set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over the pre-registered table views
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+def register(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import registers as a side effect; keep imports here to avoid cycles.
+    from mvrs_dspa_spark.plans import tpch  # noqa: F401
+    from mvrs_dspa_spark.operators import (  # noqa: F401
+        ann,
+        clustering,
+        dedup,
+        sessionize,
+        similarity,
+        text_analysis,
+        window_stats,
+    )
+
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

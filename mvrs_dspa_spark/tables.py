@@ -1,0 +1,55 @@
+"""Loaders for the test star schema.
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under an sf directory.
+Loading stays lazy (DataFrame readers), so Catalyst can prune columns
+and push filters into the parquet scan per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros exactly
+        # like DuckDB does so oracle comparisons see identical instants.
+        field = dict(df.dtypes).get("ts")
+        if field == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer div: nanos ~1.7e18 exceed double's 53-bit mantissa
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
