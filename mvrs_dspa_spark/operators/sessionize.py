@@ -1,1 +1,88 @@
-"""placeholder — filled in this round."""
+"""Gap-based sessionization (SURVEY §2b #13).
+
+Batch analog of event-time session windows (the streaming variant
+uses ``F.session_window`` — see `streaming/windowed.py`). Classic
+two-pass window-function formulation: lag to detect gaps, running
+sum of gap flags to number sessions, then one aggregation. Shuffles
+once on the key; both passes share the (user_id, ts) sort, so
+Catalyst plans a single exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+GAP_MINUTES = 30
+GAP_US = GAP_MINUTES * 60_000_000
+
+
+def sessionize(df: DataFrame, key: str = "user_id", gap_us: int = GAP_US) -> DataFrame:
+    order = Window.partitionBy(key).orderBy("ts_us", "event_id")
+    base = df.select(F.col(key), F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+    flagged = base.withColumn(
+        "new_session",
+        (
+            F.col("ts_us") - F.lag("ts_us").over(order) > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce("new_session", F.lit(1))).over(
+            Window.partitionBy(key)
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(key, "session_seq")
+        .agg(
+            F.timestamp_micros(F.min("ts_us")).alias("session_start"),
+            F.timestamp_micros(F.max("ts_us")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(key, "session_seq")
+    )
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id,
+                   epoch_us(ts) AS ts_us,
+                   event_id,
+                   value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_US}
+                        THEN 1
+                        WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        numbered AS (
+            SELECT *,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               session_seq,
+               make_timestamp(MIN(ts_us)) AS session_start,
+               make_timestamp(MAX(ts_us)) AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    doc=f"Gap-based sessions per user ({GAP_MINUTES} min inactivity gap).",
+    tags=("windows",),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(table(spark, sf_dir, "events"))

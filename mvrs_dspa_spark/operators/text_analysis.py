@@ -1,1 +1,262 @@
-"""placeholder — filled in this round."""
+"""Text-analysis operators over the `documents` table (SURVEY §2d #21,
+§2f #37-40).
+
+`text_features` reproduces the reference's clustering feature vector
+exactly (`jobs/clustering/UnusualActivityDetectionJob.scala:421-438`):
+10 × distinct-token ratio, ALL-CAPS-token ratio, four-letter-token
+ratio. The rest are the LLM-pipeline text ops: language-ID by
+stopword voting, quality scoring, token counting, fingerprinting.
+
+All are single-pass narrow plans: scan → project (whole-stage
+codegen, no shuffle except final sort) — at 100 TB these are
+embarrassingly parallel and bounded by parquet scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.functions import text as T
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+_FP_A, _FP_B = H.hash_params(1, seed=7)[0]
+
+
+def _toks(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", "text", T.tokens_col(F.col("text")).alias("toks"))
+
+
+@register(
+    "text_features",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE ROUND(10.0 * len(list_distinct(list_transform(toks, x -> lower(x)))) / len(toks), 6)
+               END AS f_distinct_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE ROUND(1.0 * len(list_filter(toks, x -> regexp_matches(x, '^[A-Z]+$'))) / len(toks), 6)
+               END AS f_upper_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE ROUND(1.0 * len(list_filter(toks, x -> length(x) = 4)) / len(toks), 6)
+               END AS f_fourletter_ratio
+        FROM t
+        ORDER BY doc_id
+    """,
+    doc="Reference clustering text features "
+    "(UnusualActivityDetectionJob.scala:421): distinct/upper/4-letter ratios.",
+    tags=("text",),
+)
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(table(spark, sf_dir, "documents"))
+    n = F.size("toks").cast("double")
+
+    def ratio(num: Column) -> Column:
+        return F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+            F.round(num.cast("double") / n, 6)
+        )
+
+    return t.select(
+        "doc_id",
+        ratio(
+            10 * F.size(F.array_distinct(F.transform(F.col("toks"), F.lower)))
+        ).alias("f_distinct_ratio"),
+        ratio(F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[A-Z]+$")))).alias(
+            "f_upper_ratio"
+        ),
+        ratio(F.size(F.filter(F.col("toks"), lambda x: F.length(x) == 4))).alias(
+            "f_fourletter_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+def _lang_pred_sql() -> str:
+    conds = []
+    for lang in T.LANG_ORDER:
+        others = [o for o in T.LANG_ORDER if o != lang]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {T.tokens_sql('text')} AS toks FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   {', '.join(f"{T.stopword_hits_sql('toks', lg)} AS s_{lg}" for lg in T.LANG_ORDER)}
+            FROM t
+        )
+        SELECT doc_id, lang,
+               {_lang_pred_sql()} AS pred_lang,
+               {' + '.join(f's_{lg}' for lg in T.LANG_ORDER)} AS n_stopword_hits
+        FROM scored
+        ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: per-language stopword vote, "
+    "deterministic argmax (priority " + ">".join(T.LANG_ORDER) + ").",
+    tags=("text",),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokens_col(F.col("text")).alias("toks")
+    )
+    scored = t.select(
+        "doc_id",
+        "lang",
+        *[
+            T.stopword_hits_col(F.col("toks"), lg).alias(f"s_{lg}")
+            for lg in T.LANG_ORDER
+        ],
+    )
+    pred: Column = F.lit("und")
+    # build the CASE chain back-to-front so priority order matches SQL
+    for lang in reversed(T.LANG_ORDER):
+        cond = None
+        for other in T.LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    total = None
+    for lg in T.LANG_ORDER:
+        total = F.col(f"s_{lg}") if total is None else total + F.col(f"s_{lg}")
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), total.alias("n_stopword_hits")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE 1.0 * list_sum(list_transform(toks, x -> length(x))) / len(toks) END AS avg_token_len,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE 1.0 * {T.stopword_hits_sql('toks', 'en')} / len(toks) END AS stopword_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE 1.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) END AS alpha_ratio
+            FROM t
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               ROUND(avg_token_len, 6) AS avg_token_len,
+               ROUND(stopword_ratio, 6) AS stopword_ratio,
+               ROUND(alpha_ratio, 6) AS alpha_ratio,
+               ROUND(0.5 * stopword_ratio + 0.3 * alpha_ratio
+                     + 0.2 * (CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END) / 100.0, 6) AS quality_score
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc="Quality scoring: length/stopword/alpha ratios + rational "
+    "composite score (no transcendentals: cross-engine exact).",
+    tags=("text",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(table(spark, sf_dir, "documents"))
+    n_tokens = F.size("toks")
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        tok_len_sum.cast("double") / n_tokens
+    )
+    stopword_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        T.stopword_hits_col(F.col("toks"), "en").cast("double") / n_tokens
+    )
+    n_chars = F.length("text")
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    return (
+        t.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            avg_token_len.alias("_atl"),
+            stopword_ratio.alias("_sr"),
+            alpha_ratio.alias("_ar"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.round("_atl", 6).alias("avg_token_len"),
+            F.round("_sr", 6).alias("stopword_ratio"),
+            F.round("_ar", 6).alias("alpha_ratio"),
+            F.round(
+                0.5 * F.col("_sr")
+                + 0.3 * F.col("_ar")
+                + 0.2 * F.least(F.col("n_tokens"), F.lit(100)) / 100.0,
+                6,
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({T.tokens_sql('text')}) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS n_bpe_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens.",
+    tags=("text",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(T.tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(T.BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN 0
+                    ELSE {T.fingerprint_sql('toks', _FP_A, _FP_B)} END AS fingerprint
+        FROM t
+        ORDER BY doc_id
+    """,
+    doc="Order/multiplicity-insensitive document fingerprint "
+    "(sum of affine token hashes mod P).",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(table(spark, sf_dir, "documents"))
+    return t.select(
+        "doc_id",
+        F.when(F.size("toks") == 0, F.lit(0).cast("long"))
+        .otherwise(T.fingerprint_col(F.col("toks"), _FP_A, _FP_B))
+        .alias("fingerprint"),
+    ).orderBy("doc_id")
