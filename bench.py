@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully executed (count() forces every exchange and
+aggregation; nothing is cached between queries) after a one-query
+JVM warmup that is not timed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mvrs_dspa_spark.plans.registry import queries  # noqa: E402
+from mvrs_dspa_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "sliding_activity_stats",
+    "user_sessions",
+    "similar_users_jaccard",
+    "similar_users_minhash_lsh",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "kmeans_embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="mvrs-dspa-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = queries()
+
+    # untimed warmup: JVM/codegen spin-up on a small query
+    q["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        q[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

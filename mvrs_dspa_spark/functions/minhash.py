@@ -1,0 +1,117 @@
+"""MinHash + LSH building blocks with exact Spark/DuckDB mirrors.
+
+Re-expression of the reference's algebird-based MinHasher pipeline
+(`jobs/recommendations/RecommendationUtils.scala`,
+`RecommendationsJob.scala:95-110`: signature → LSH buckets →
+candidates → similarity → top-N) with an engine-portable hash family
+(`functions/hashing.py`).
+
+Scale shape: signatures are one partial-aggregated shuffle on the set
+id (n min-columns); banding is a projection; the candidate join
+shuffles only (band, band_hash) keys. Estimated similarity is the
+matching-component fraction of two fixed-width signatures — a
+map-side zip, no extra shuffle. At 100 TB the only heavy exchange is
+the item explode feeding the signature aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+
+
+def signature_df(
+    items: DataFrame, id_col: str, code_col: str, params: list[tuple[int, int]]
+) -> DataFrame:
+    """Wide minhash signature: one m{i} column per hash."""
+    aggs = [
+        F.min(H.affine_col(F.col(code_col), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return items.groupBy(id_col).agg(*aggs)
+
+
+def signature_sql(
+    items_sql: str, id_col: str, code_col: str, params: list[tuple[int, int]]
+) -> str:
+    mins = ",\n               ".join(
+        f"MIN({H.affine_sql(code_col, a, b)}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"SELECT {id_col}, {mins}\n        FROM ({items_sql})\n        GROUP BY {id_col}"
+
+
+def _band_hash_col(band: int, rows: int) -> Column:
+    acc: Column = F.lit(0).cast("long")
+    for i in range(band * rows, (band + 1) * rows):
+        acc = (acc * F.lit(31) + F.col(f"m{i}")) % F.lit(H.P)
+    return acc
+
+
+def _band_hash_sql(band: int, rows: int) -> str:
+    acc = "0::BIGINT"
+    for i in range(band * rows, (band + 1) * rows):
+        acc = f"(({acc}) * 31 + m{i}) % {H.P}"
+    return acc
+
+
+def candidate_pairs_df(sig: DataFrame, id_col: str, n: int, bands: int) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket."""
+    rows = n // bands
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), _band_hash_col(j, rows).alias("bh")
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bh") == F.col(f"b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def candidate_pairs_sql(sig_sql: str, id_col: str, n: int, bands: int) -> str:
+    rows = n // bands
+    branches = "\n            UNION ALL ".join(
+        f"SELECT {id_col}, {j} AS band, {_band_hash_sql(j, rows)} AS bh FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+        WITH sig AS ({sig_sql}),
+        buckets AS ({branches})
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
+    """
+
+
+def est_similarity_expr(n: int) -> Column:
+    """Matching-component fraction between sa.m{i} and sb.m{i}."""
+    total: Column = F.lit(0)
+    for i in range(n):
+        total = total + (F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("int")
+    return F.round(total.cast("double") / F.lit(n), 6)
+
+
+def est_similarity_sql(n: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"ROUND(({terms})::DOUBLE / {n}, 6)"

@@ -1,1 +1,197 @@
-"""placeholder — filled in this round."""
+"""Similarity search over the `embeddings` table (SURVEY §2f #34-36).
+
+- `embedding_near_dup`: all pairs with cosine >= 0.4 — brute-force
+  self-join baseline, oracle-checked.
+- `ann_cosine_topk`: top-10 neighbors for a fixed query subset
+  (vec_id % 50 == 0) — the query side is broadcast, so the scan side
+  never shuffles; rank happens after a map-side cosine.
+- `ann_lsh`: random-hyperplane LSH bucketing — the 100 TB path:
+  candidates only within matching signature bands, cosine evaluated
+  on candidates alone. Deterministic hyperplanes from the shared LCG.
+
+Dot products are sequential folds over the vector (zip_with +
+aggregate in Spark, index transform + list_reduce in DuckDB): both
+engines do the identical IEEE operation sequence, so rounded cosines
+hash-match. Norms are computed once per vector in a prior projection.
+
+The pandas/Arrow fast path for dense batch scoring lives in
+`operators/multimodal.py` (vectorized numpy over mapInPandas); the
+expression form here is the oracle-checkable reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+NEAR_DUP_COS = 0.4
+TOP_K = 10
+QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50 of vectors are queries
+LSH_BITS = 12
+LSH_DIM = 64
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _with_norm_df(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", "embedding", F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+
+
+_WITH_NORM_SQL = f"""
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+"""
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+        WITH v AS ({_WITH_NORM_SQL})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEAR_DUP_COS}
+        ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs (>= 0.4), brute-force "
+    "baseline for the LSH path.",
+    tags=("ann",),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _with_norm_df(table(spark, sf_dir, "embeddings"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_cos"),
+        )
+        .where(F.col("_cos") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH v AS ({_WITH_NORM_SQL}),
+        q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROUND({_dot_sql('q.embedding', 'v.embedding')} / (q.nrm * v.nrm), 6) AS cos_sim
+            FROM q JOIN v ON q.vec_id <> v.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+        ORDER BY query_id, cos_sim DESC, neighbor_id
+    """,
+    doc="Brute-force cosine top-10 for query subset (broadcast queries, "
+    "map-side scoring, per-query rank).",
+    tags=("ann", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _with_norm_df(table(spark, sf_dir, "embeddings"))
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0)
+    qa, vb = q.alias("q"), v.alias("v")
+    cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
+        F.col("q.nrm") * F.col("v.nrm")
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+    )
+
+
+def _hyperplanes(bits: int, dim: int, seed: int = 97) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from the shared LCG
+    (sum of 4 scaled uniforms; no engine RNG involved)."""
+    params = H.hash_params(bits * dim * 4, seed=seed)
+    planes = []
+    idx = 0
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            u = sum(params[idx + j][0] / H.P for j in range(4)) - 2.0
+            idx += 4
+            row.append(u)
+        planes.append(row)
+    return planes
+
+
+@register(
+    "ann_lsh",
+    oracle=None,  # bucketed recall is approximate by design; rows-only gate
+    doc="Random-hyperplane LSH ANN: 12-bit signatures, candidates share "
+    "the full signature bucket, cosine on candidates only (scale path).",
+    tags=("ann", "scale"),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm_df(table(spark, sf_dir, "embeddings"))
+    planes = _hyperplanes(LSH_BITS, LSH_DIM)
+    sig: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot_col(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
+        sig = sig + (proj > 0).cast("long") * F.lit(1 << i)
+    v = emb.select("vec_id", "embedding", "nrm", sig.alias("sig"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+    )

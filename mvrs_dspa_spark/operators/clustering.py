@@ -1,1 +1,152 @@
-"""placeholder — filled in this round."""
+"""K-means clustering + outlier classification (SURVEY §2d #22-23).
+
+Batch re-expression of DSPA task 3 (`jobs/clustering/
+UnusualActivityDetectionJob.scala`, `KMeansClustering.scala`,
+`KMeansClusterFunction.scala`): featurize activity, cluster with
+K-means, classify points by distance to their centroid.
+
+Spark-first shape: centroids are a tiny k x dim model that lives on
+the driver (exactly like the reference's broadcast cluster model);
+each iteration is one distributed assignment pass (map-side argmin
+against literal centroid arrays — no shuffle) plus one per-dimension
+mean aggregation (posexplode + partial agg, one shuffle). Iteration
+count is fixed and init is deterministic (lowest-id points), so
+results are reproducible run-to-run; the reference instead uses
+random init + ensureK splitting (KMeansClustering.scala:95-120),
+which we trade for determinism.
+
+The streaming variant with decaying weights lives in
+`streaming/kmeans.py` (round 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+K = 8
+ITERS = 8
+UA_K = 4
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Map-side nearest-centroid assignment (ties -> lowest cluster id)."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    return df.withColumn("_dists", dists).withColumn(
+        "cluster", (F.array_position("_dists", F.array_min("_dists")) - 1).cast("int")
+    ).withColumn("sq_dist", F.array_min("_dists")).drop("_dists")
+
+
+def kmeans_fit(
+    df: DataFrame, vec_col: str, k: int = K, iters: int = ITERS, id_col: str | None = None
+) -> list[list[float]]:
+    """Lloyd iterations; returns final centroids (k x dim, driver-side).
+
+    Init: the k lowest-id rows (deterministic; stands in for the
+    reference's seeded random init). Empty clusters keep their
+    previous centroid (the reference re-splits the largest cluster —
+    KMeansClustering.scala:98-110 — a policy only needed under its
+    dynamic-k control stream).
+    """
+    order_col = id_col or vec_col
+    init_rows = df.orderBy(order_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in means:
+            new[r.cluster][r.pos] = float(r.m)
+        centroids = new
+    return centroids
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,  # iterative; checked rows-only + pytest invariants
+    doc="Batch K-means (k=8, 8 Lloyd iterations, deterministic init) "
+    "over embeddings; per-vector cluster + distance.",
+    tags=("clustering", "bench"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = kmeans_fit(emb, "embedding", k=K, iters=ITERS, id_col="vec_id")
+    return (
+        assign_clusters(emb, "embedding", centroids)
+        .select("vec_id", "cluster", F.round(F.sqrt("sq_dist"), 6).alias("dist"))
+        .orderBy("vec_id")
+    )
+
+
+def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector (frequency + value stats) —
+    the analog of the reference's aggregated text+frequency features
+    (AggregateFeaturesFunction.scala)."""
+    ev = table(spark, sf_dir, "events")
+    kind_fracs = [
+        (F.count_if(F.col("event_type") == t) / F.count(F.lit(1))).alias(f"f_{t}")
+        for t in EVENT_TYPES
+    ]
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *kind_fracs,
+        (F.avg("value") / 50.0).alias("f_value"),
+        (
+            F.countDistinct(F.get_json_object("props", "$.k")) / 100.0
+        ).alias("f_keys"),
+    )
+    total = agg.select(F.max("n").alias("max_n"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        F.array(
+            (F.col("n") / F.col("max_n")),
+            *[F.col(f"f_{t}") for t in EVENT_TYPES],
+            "f_value",
+            "f_keys",
+        ).alias("features"),
+    )
+
+
+@register(
+    "unusual_activity",
+    oracle=None,  # depends on iterative kmeans; rows-only + pytest
+    doc="Unusual-activity detection: per-user activity features -> "
+    "K-means(4) -> distance to centroid, unusual if > 2x mean distance "
+    "(ref UnusualActivityDetectionJob.scala, ClassifyEventsFunction).",
+    tags=("clustering",),
+)
+def unusual_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = user_activity_features(spark, sf_dir)
+    centroids = kmeans_fit(feats, "features", k=UA_K, iters=ITERS, id_col="user_id")
+    assigned = assign_clusters(feats, "features", centroids).select(
+        "user_id", "cluster", F.sqrt("sq_dist").alias("dist")
+    )
+    stats = assigned.select(F.avg("dist").alias("mean_dist"))
+    return (
+        assigned.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "cluster",
+            F.round("dist", 6).alias("dist"),
+            (F.col("dist") > 2 * F.col("mean_dist")).alias("is_unusual"),
+        )
+        .orderBy("user_id")
+    )

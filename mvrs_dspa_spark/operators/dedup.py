@@ -1,1 +1,313 @@
-"""placeholder — filled in this round."""
+"""Deduplication family over `documents` (SURVEY §2f #30-33).
+
+Four escalating strategies, all engine-portable:
+
+- exact: normalize text, group on it, emit canonical mapping.
+- minhash_lsh: bigram-shingle MinHash signatures + band-bucket join
+  (`functions/minhash.py`) — the linear-shuffle scale path.
+- simhash: 32-bit simhash over shingle hashes, 4x8-bit band candidate
+  generation, Hamming<=3 verification (pigeonhole: banding is lossless
+  for that radius). At cluster scale widen to 64-bit/16-bit bands.
+- ngram_jaccard: exact bigram-set Jaccard via explode + equi-join —
+  the verification baseline the approximate methods are judged against.
+
+Shingle codes compose token char-hashes arithmetically
+((tc_i*31 + tc_{i+1}) mod P), so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.functions import minhash as MH
+from mvrs_dspa_spark.functions import text as T
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+N_HASHES = 32
+BANDS = 16
+SEED = 2719
+NEAR_DUP_SIM = 0.5
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3  # 4 bands over 32 bits: any pair with ham<=3 shares a band
+
+_PARAMS = H.hash_params(N_HASHES, seed=SEED)
+_SH_A, _SH_B = H.hash_params(1, seed=31337)[0]
+
+
+# --- shared shingle machinery ---------------------------------------------
+
+def shingles_from_codes(tc: Column) -> Column:
+    """Distinct bigram shingle codes from a (materialized) token-code
+    array column — keep token hashing in a separate projection so the
+    char fold runs once per token, not once per shingle index."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 1),
+            lambda i: (F.element_at(tc, i) * 31 + F.element_at(tc, i + 1)) % F.lit(H.P),
+        )
+    )
+
+
+# staged: tokens -> token codes -> shingles, each a separate projection
+_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(tc) - 1),
+               i -> (tc[i] * 31 + tc[i + 1]) % {H.P})) AS sh
+    FROM (
+        SELECT doc_id, list_transform(toks, t -> {H.str_code_sql('t')}) AS tc
+        FROM (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents)
+    )
+"""
+
+_DOC_SHINGLE_ITEMS_SQL = f"""
+    SELECT doc_id, unnest(sh) AS code
+    FROM ({_SHINGLES_SQL})
+    WHERE len(sh) > 0
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", F.transform("toks", H.str_code_col).alias("tc"))
+        .select("doc_id", shingles_from_codes(F.col("tc")).alias("sh"))
+    )
+
+
+def _doc_shingle_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _doc_shingles(spark, sf_dir)
+        .where(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("code"))
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
+            FROM documents
+        )
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY norm_text) AS canonical_doc_id,
+               COUNT(*) OVER (PARTITION BY norm_text) AS group_size
+        FROM norm
+        ORDER BY doc_id
+    """,
+    doc="Exact dedup: whitespace/case-normalized text, canonical id per group.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ").alias("norm_text"),
+    )
+    w = Window.partitionBy("norm_text")
+    return norm.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).orderBy("doc_id")
+
+
+# --- minhash LSH near-dup ---------------------------------------------------
+
+_SIG_SQL = MH.signature_sql(_DOC_SHINGLE_ITEMS_SQL, "doc_id", "code", _PARAMS)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH cand AS ({MH.candidate_pairs_sql(_SIG_SQL, "doc_id", N_HASHES, BANDS)}),
+        sig AS ({_SIG_SQL})
+        SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+               {MH.est_similarity_sql(N_HASHES)} AS est_sim
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE {MH.est_similarity_sql(N_HASHES)} >= {NEAR_DUP_SIM}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash(32)+LSH(16x2) near-duplicate doc pairs over bigram "
+    "shingles, est Jaccard >= 0.5.",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _doc_shingle_items(spark, sf_dir)
+    sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
+    cand = MH.candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    return (
+        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            MH.est_similarity_expr(N_HASHES).alias("est_sim"),
+        )
+        .where(F.col("est_sim") >= NEAR_DUP_SIM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash_agg(items: DataFrame, id_col: str, code_col: str) -> DataFrame:
+    """32-bit simhash per id from exploded (id, code) rows.
+
+    Aggregation form (count_if per bit + majority vote) rather than
+    array lambdas: Catalyst's projection collapse would otherwise
+    inline the full upstream pipeline into each of the 32 bit
+    expressions. One partial-aggregated shuffle on id — the shape
+    that holds at 100 TB."""
+    h = H.affine_col(F.col(code_col), _SH_A, _SH_B)
+    ones = [
+        F.count_if(h.bitwiseAND(F.lit(1 << i)) != 0).alias(f"c{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *ones)
+    sim: Column = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        bit = (F.col(f"c{i}") * 2 > F.col("n")).cast("long")
+        sim = sim + bit * F.lit(1 << i)
+    return agg.select(F.col(id_col), sim.alias("sim"))
+
+
+def _simhash_sql(codes: str) -> str:
+    hs = f"list_transform({codes}, c -> {H.affine_sql('c', _SH_A, _SH_B)})"
+    terms = []
+    for i in range(SIMHASH_BITS):
+        ones = f"len(list_filter(h, x -> (x & {1 << i}) <> 0))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len(h) THEN {1 << i}::BIGINT ELSE 0 END)")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {hs} AS h))"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_simhash_sql('sh')} AS sim
+            FROM ({_SHINGLES_SQL})
+            WHERE len(sh) > 0
+        ),
+        buckets AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, sim, {b} AS band, (sim >> {8 * b}) & 255 AS bv FROM sh"
+                for b in range(SIMHASH_BANDS)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sim AS sim_a, b.sim AS sim_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bv = b.bv
+                          AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash(32-bit over bigram shingles) near-dups, 4x8-bit band "
+    "candidates, Hamming <= 3 (banding lossless at that radius).",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_agg(_doc_shingle_items(spark, sf_dir), "doc_id", "code")
+    buckets = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sim", 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sim", "bk.band", "bk.bv")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH items AS ({_DOC_SHINGLE_ITEMS_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS k
+            FROM items a JOIN items b ON a.code = b.code AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(1.0 * k / (sa.n + sb.n - k), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 1.0 * k / (sa.n + sb.n - k) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Exact bigram-set Jaccard pairs >= 0.3 (explode + equi-join; "
+    "the ground truth for the approximate dedup paths).",
+    tags=("dedup",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _doc_shingle_items(spark, sf_dir)
+    sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("k").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("k"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,269 @@
-"""placeholder — filled in this round."""
+"""User-user similarity / recommendations (SURVEY §2c #16-20).
+
+Re-expression of DSPA task 2 (`jobs/recommendations/
+RecommendationsJob.scala`): collect each user's interaction item set,
+estimate pairwise Jaccard similarity, exclude already-known and
+inactive counterparts, emit the top-N most similar users above a
+minimum similarity (reference defaults: top 5, min sim 0.1 —
+`application.conf jobs.recommendation`).
+
+Items here are (event_type, props.k) pairs from the `events` table —
+the stand-in for the reference's tag/forum feature sets. Two variants:
+
+- `similar_users_jaccard`: exact set similarity via explode +
+  equi-join on item. The join shuffles on item; at 100 TB hot items
+  need the LSH variant, which is the point of having both.
+- `similar_users_minhash_lsh`: fixed-width signatures + band-bucket
+  candidate join (`functions/minhash.py`) — linear shuffle volume,
+  no quadratic pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.functions import minhash as MH
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+TOP_N = 5          # ref: max-recommendation-count = 5
+MIN_SIM = 0.1      # ref: min-recommendation-similarity = 0.1
+ACTIVE_DAYS = 7    # ref: active-users-timeout = 14 days (scaled to 30-day data)
+N_HASHES = 32
+BANDS = 16
+SEED = 1913
+
+_ETYPE_IDX_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN {i}" for i, t in enumerate(EVENT_TYPES))
+    + " END"
+)
+
+
+def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user_id, item_code): item = event_type x props.k."""
+    ev = table(spark, sf_dir, "events")
+    etype_idx = F.lit(None)
+    for i, t in enumerate(EVENT_TYPES):
+        etype_idx = F.when(F.col("event_type") == t, F.lit(i)).otherwise(etype_idx)
+    code = etype_idx.cast("long") * 1000 + F.get_json_object(
+        "props", "$.k"
+    ).cast("long")
+    return ev.select("user_id", code.alias("item")).distinct()
+
+
+_ITEMS_SQL = f"""
+    SELECT DISTINCT user_id,
+           ({_ETYPE_IDX_SQL})::BIGINT * 1000
+             + json_extract_string(props, '$.k')::BIGINT AS item
+    FROM events
+"""
+
+
+def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Already known' analog: co-present on same props.k in same hour
+    (stands in for the reference's knownUsers graph exclusion)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+
+
+_KNOWN_SQL = """
+    SELECT DISTINCT a.user_id AS u, b.user_id AS v
+    FROM (SELECT user_id, date_trunc('hour', ts) AS hr,
+                 json_extract_string(props, '$.k') AS k FROM events) a
+    JOIN (SELECT user_id, date_trunc('hour', ts) AS hr,
+                 json_extract_string(props, '$.k') AS k FROM events) b
+      ON a.hr = b.hr AND a.k = b.k AND a.user_id <> b.user_id
+"""
+
+
+def _active_users_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.select(
+        (F.unix_micros(F.max("ts")) - ACTIVE_DAYS * 86_400_000_000).alias("c")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.unix_micros(F.max("ts")).alias("last_us"))
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("last_us") >= F.col("c"))
+        .select("user_id")
+    )
+
+
+_ACTIVE_SQL = f"""
+    SELECT user_id
+    FROM (SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events GROUP BY user_id)
+    WHERE last_us >= (SELECT MAX(epoch_us(ts)) - {ACTIVE_DAYS}::BIGINT * 86400000000
+                      FROM events)
+"""
+
+
+@register(
+    "similar_users_jaccard",
+    oracle=f"""
+        WITH items AS ({_ITEMS_SQL}),
+        sizes AS (SELECT user_id, COUNT(*) AS n FROM items GROUP BY user_id),
+        inter AS (
+            SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS k
+            FROM items a JOIN items b ON a.item = b.item AND a.user_id <> b.user_id
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT u, v, ROUND(1.0 * k / (sa.n + sb.n - k), 6) AS similarity
+            FROM inter
+            JOIN sizes sa ON sa.user_id = u
+            JOIN sizes sb ON sb.user_id = v
+        ),
+        known AS ({_KNOWN_SQL}),
+        active AS ({_ACTIVE_SQL}),
+        filtered AS (
+            SELECT s.u, s.v, s.similarity
+            FROM sims s
+            JOIN active act ON act.user_id = s.v
+            ANTI JOIN known kn ON kn.u = s.u AND kn.v = s.v
+            WHERE s.similarity >= {MIN_SIM}
+        )
+        SELECT u AS user_id, v AS rec_user_id, similarity
+        FROM (
+            SELECT u, v, similarity,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY similarity DESC, v) AS rn
+            FROM filtered
+        )
+        WHERE rn <= {TOP_N}
+        ORDER BY user_id, similarity DESC, rec_user_id
+    """,
+    doc="Exact-Jaccard top-5 user recommendations with known-pair anti "
+    "join and active-user filter (ref RecommendationsJob.scala:95-118).",
+    tags=("similarity", "bench"),
+)
+def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    sizes = items.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.item") == F.col("b.item"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    sims = (
+        inter.join(F.broadcast(sa), F.col("u") == F.col("sa.user_id"))
+        .join(F.broadcast(sb), F.col("v") == F.col("sb.user_id"))
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("k").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("k")),
+                6,
+            ).alias("similarity"),
+        )
+        .where(F.col("similarity") >= MIN_SIM)
+    )
+    known = _known_pairs_df(spark, sf_dir)
+    active = _active_users_df(spark, sf_dir)
+    filtered = (
+        sims.join(
+            F.broadcast(active.withColumnRenamed("user_id", "v_active")),
+            F.col("v") == F.col("v_active"),
+            "inner",
+        )
+        .join(known, (sims.u == known.u) & (sims.v == known.v), "left_anti")
+        .select("u", "v", "similarity")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("similarity").desc(), F.col("v"))
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_N)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("rec_user_id"),
+            "similarity",
+        )
+        .orderBy("user_id", F.col("similarity").desc(), "rec_user_id")
+    )
+
+
+_PARAMS = H.hash_params(N_HASHES, seed=SEED)
+_SIG_SQL = MH.signature_sql(_ITEMS_SQL, "user_id", "item", _PARAMS)
+
+
+@register(
+    "similar_users_minhash_lsh",
+    oracle=f"""
+        WITH cand AS ({MH.candidate_pairs_sql(_SIG_SQL, "user_id", N_HASHES, BANDS)}),
+        sig AS ({_SIG_SQL}),
+        scored AS (
+            SELECT c.id_a, c.id_b, {MH.est_similarity_sql(N_HASHES)} AS est_sim
+            FROM cand c
+            JOIN sig sa ON sa.user_id = c.id_a
+            JOIN sig sb ON sb.user_id = c.id_b
+        ),
+        both_dirs AS (
+            SELECT id_a AS u, id_b AS v, est_sim FROM scored
+            UNION ALL
+            SELECT id_b AS u, id_a AS v, est_sim FROM scored
+        )
+        SELECT u AS user_id, v AS rec_user_id, est_sim
+        FROM (
+            SELECT u, v, est_sim,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY est_sim DESC, v) AS rn
+            FROM both_dirs
+            WHERE est_sim >= {MIN_SIM}
+        )
+        WHERE rn <= {TOP_N}
+        ORDER BY user_id, est_sim DESC, rec_user_id
+    """,
+    doc="MinHash(32)+LSH(16 bands x 2 rows) top-5 user recommendations "
+    "(ref RecommendationUtils.scala:24-90, MMDS ch.3 construction).",
+    tags=("similarity", "bench"),
+)
+def similar_users_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    sig = MH.signature_df(items, "user_id", "item", _PARAMS)
+    cand = MH.candidate_pairs_df(sig, "user_id", N_HASHES, BANDS)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    scored = (
+        cand.join(sa, F.col("id_a") == F.col("sa.user_id"))
+        .join(sb, F.col("id_b") == F.col("sb.user_id"))
+        .select("id_a", "id_b", MH.est_similarity_expr(N_HASHES).alias("est_sim"))
+    )
+    both = scored.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"), "est_sim"
+    ).unionAll(
+        scored.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"), "est_sim")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("est_sim").desc(), F.col("v"))
+    return (
+        both.where(F.col("est_sim") >= MIN_SIM)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_N)
+        .select(
+            F.col("u").alias("user_id"), F.col("v").alias("rec_user_id"), "est_sim"
+        )
+        .orderBy("user_id", F.col("est_sim").desc(), "rec_user_id")
+    )
