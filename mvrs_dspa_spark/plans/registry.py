@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ann,
         clustering,
         dedup,
+        reply_tree,
         sessionize,
         similarity,
         text_analysis,
