@@ -1,0 +1,150 @@
+"""Batch + streaming sources and sinks (SURVEY §2e #28).
+
+The reference reads CSV files (optionally replayed into Kafka) and
+sinks to ElasticSearch (`utils/kafka/`, `functions/Replayed*SourceFunction`,
+`ReplayedCsvFileSourceFunction.scala`). Spark-first, the same surface
+is the DataSource API: `spark.read`/`readStream` with explicit schemas
+(schema inference is a full extra pass at 100 TB — never in
+production paths) and `writeStream` sinks. Kafka needs the
+spark-sql-kafka package on the classpath plus a broker; neither exists
+in this environment, so the Kafka surface is a **config builder** that
+produces exactly the options a cluster deployment passes to
+``.format("kafka")``, gated behind an availability probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_BATCH_FORMATS = ("parquet", "csv", "json")
+
+
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Schema-explicit batch reader (csv defaults to header=true)."""
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """File-source stream. Streams REQUIRE an explicit schema."""
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if schema is None:
+        raise ValueError("streaming file sources require an explicit schema")
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if max_files_per_trigger is not None:
+        options["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    return reader.options(**options).format(fmt).load(path)
+
+
+# ---------------------------------------------------------------------------
+# Kafka config surface (ref utils/kafka/KafkaTopic.scala, jobs use topics
+# "mvrs_*"). No broker/package in this env -> builders + availability gate.
+# ---------------------------------------------------------------------------
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the kafka data source is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def kafka_stream(
+    spark: SparkSession, brokers: str, topic: str, **kwargs
+) -> DataFrame:
+    """Kafka source stream; raises a clear error when the package is absent."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "kafka data source not on classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        )
+    return (
+        spark.readStream.format("kafka")
+        .options(**kafka_source_options(brokers, topic, **kwargs))
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def parquet_sink(df: DataFrame, path: str, checkpoint: str, **kwargs):
+    """Exactly-once file sink (the scale-path default)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(**kwargs)
+    )
+
+
+def memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """In-memory table sink (tests/debug only — driver-resident)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_sink(df: DataFrame, fn, checkpoint: str, output_mode: str = "update"):
+    """foreachBatch sink — the escape hatch for custom/idempotent sinks
+    (ElasticSearch in the reference; model updates in streaming/kmeans)."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,63 @@
+"""Multimodal binary-column plumbing: schema, mapInPandas stages,
+decode gating (SURVEY §2f #41)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mvrs_dspa_spark.operators import multimodal as mm
+
+
+def _media_df(spark):
+    rows = [
+        Row(
+            media_id=i,
+            kind="video" if i % 3 == 0 else ("audio" if i % 3 == 1 else "image"),
+            payload=bytes([i % 251]) * (100 + i),
+            width=64,
+            height=48,
+            sample_rate=16_000,
+            n_frames=20 if i % 3 == 0 else 0,
+        )
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    df = _media_df(spark)
+    feats = mm.extract_features(df).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r.feature) == mm.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+        assert r.n_bytes == 100 + r.media_id
+    again = {r.media_id: list(r.feature) for r in mm.extract_features(df).collect()}
+    first = {r.media_id: list(r.feature) for r in feats}
+    assert again == first  # decode stub is deterministic
+
+    # payload must NOT survive into the feature frame (projected away)
+    assert "payload" not in mm.extract_features(df).columns
+
+
+def test_real_decode_is_gated(spark):
+    df = _media_df(spark)
+    with pytest.raises(Exception) as ei:
+        mm.extract_features(df, decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sampling(spark):
+    df = _media_df(spark)
+    frames = mm.sample_frames(df, every_n=10).collect()
+    videos = {r.media_id for r in frames}
+    assert videos == {0, 3, 6, 9}  # only kind == video
+    per_vid = {}
+    for r in frames:
+        per_vid.setdefault(r.media_id, []).append(r.frame_idx)
+        assert isinstance(r.frame_payload, (bytes, bytearray))
+        assert len(r.frame_payload) > 0
+    assert all(sorted(v) == [0, 10] for v in per_vid.values())  # 20 frames / 10

@@ -1,0 +1,84 @@
+"""File sources/sinks + Kafka config surface + progress observer
+(SURVEY §2e #28-29)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.streaming import sources
+from mvrs_dspa_spark.streaming.observer import ProgressMonitor, observe_counts
+from mvrs_dspa_spark.tables import table
+
+SCHEMA = "id long, name string, v double"
+
+
+def test_csv_json_batch_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], SCHEMA)
+    for fmt in ("csv", "json", "parquet"):
+        path = str(tmp_path / f"rt_{fmt}")
+        df.write.format(fmt).option("header", "true").save(path)
+        back = sources.read_batch(spark, path, fmt, SCHEMA)
+        assert back.schema == df.schema
+        assert sorted(r.id for r in back.collect()) == [1, 2]
+
+
+def test_stream_requires_schema(spark, tmp_path):
+    try:
+        sources.read_stream(spark, str(tmp_path), "csv")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "schema" in str(e)
+
+
+def test_csv_stream_to_parquet_sink(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"r{i}", float(i)) for i in range(20)], SCHEMA)
+    src = str(tmp_path / "csv_in")
+    df.coalesce(2).write.option("header", "true").csv(src)
+    stream = sources.read_stream(spark, src, "csv", SCHEMA, max_files_per_trigger=1)
+    out, ckpt = str(tmp_path / "pq_out"), str(tmp_path / "ckpt")
+    q = sources.parquet_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_kafka_gated_config_surface(spark):
+    opts = sources.kafka_source_options("broker:9092", "mvrs_events")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "mvrs_events"
+    assert opts["startingOffsets"] == "earliest"
+    assert sources.kafka_sink_options("b:9092", "t")["topic"] == "t"
+    if not sources.kafka_available(spark):
+        try:
+            sources.kafka_stream(spark, "broker:9092", "mvrs_events")
+            raise AssertionError("expected RuntimeError without kafka package")
+        except RuntimeError as e:
+            assert "kafka" in str(e)
+
+
+def test_progress_monitor_and_observe(spark, sf_small, tmp_path):
+    mon = ProgressMonitor()
+    spark.streams.addListener(mon)
+    try:
+        ev = table(spark, sf_small, "events").limit(50)
+        src = str(tmp_path / "obs_in")
+        ev.select("event_id", "value").coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("event_id long, value double").parquet(src)
+        observed = observe_counts(
+            stream, "progress", F.sum("value").alias("sum_v")
+        )
+        q = sources.memory_sink(observed, "obs_out")
+        q.awaitTermination(120)
+        # listener bus is async; poll briefly
+        for _ in range(60):
+            if mon.total_input_rows() >= 50 and mon.terminated:
+                break
+            time.sleep(0.5)
+        assert mon.total_input_rows() == 50
+        assert mon.started and mon.terminated
+        metrics = mon.observed("progress")
+        assert metrics and metrics[0]["n_rows"] == 50
+        assert abs(metrics[0]["sum_v"]) >= 0.0
+    finally:
+        spark.streams.removeListener(mon)
