@@ -42,14 +42,19 @@ _SH_A, _SH_B = H.hash_params(1, seed=31337)[0]
 # --- shared shingle machinery ---------------------------------------------
 
 def shingles_from_codes(tc: Column) -> Column:
-    """Distinct bigram shingle codes from a (materialized) token-code
-    array column — keep token hashing in a separate projection so the
-    char fold runs once per token, not once per shingle index."""
+    """Distinct bigram shingle codes from a token-code array column.
+
+    Deliberately zip_with(slice, slice) rather than
+    transform(sequence, i -> element_at(tc, i) ...): CollapseProject
+    inlines the upstream token-hash expression into every lambda
+    reference, so the element_at form re-evaluates the FULL token-code
+    array once per shingle index — O(tokens^2) hash evals per document
+    (measured 5.6 ms/doc; the whole dedup family was ~30 s at sf0.1).
+    The slice form references tc twice, total work O(tokens)."""
+    left = F.slice(tc, F.lit(1), F.size(tc) - 1)
+    right = F.slice(tc, F.lit(2), F.size(tc) - 1)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tc) - 1),
-            lambda i: (F.element_at(tc, i) * 31 + F.element_at(tc, i + 1)) % F.lit(H.P),
-        )
+        F.zip_with(left, right, lambda x, y: (x * 31 + y) % F.lit(H.P))
     )
 
 
@@ -73,7 +78,14 @@ _DOC_SHINGLE_ITEMS_SQL = f"""
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # Tokenize+hash is CPU-bound per row; a small parquet file scans as
+    # ONE split, serializing the whole pipeline on one core. Repartition
+    # by doc_id first: the raw-text shuffle is tiny, and every groupBy
+    # downstream is on doc_id so the hash partitioning is reused (no
+    # further exchange of the exploded shingles).
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         d.select("doc_id", T.tokens_col(F.col("text")).alias("toks"))
         .select("doc_id", F.transform("toks", H.str_code_col).alias("tc"))

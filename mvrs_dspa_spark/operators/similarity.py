@@ -45,7 +45,11 @@ _ETYPE_IDX_SQL = (
 
 def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (user_id, item_code): item = event_type x props.k."""
-    ev = table(spark, sf_dir, "events")
+    # json extraction is CPU-bound; a small parquet file is one split,
+    # so fan out before parsing (same rationale as dedup._doc_shingles).
+    ev = table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     etype_idx = F.lit(None)
     for i, t in enumerate(EVENT_TYPES):
         etype_idx = F.when(F.col("event_type") == t, F.lit(i)).otherwise(etype_idx)
@@ -66,10 +70,14 @@ _ITEMS_SQL = f"""
 def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Already known' analog: co-present on same props.k in same hour
     (stands in for the reference's knownUsers graph exclusion)."""
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("hr"),
-        F.get_json_object("props", "$.k").alias("k"),
+    ev = (
+        table(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )
     )
     a, b = ev.alias("a"), ev.alias("b")
     return (
