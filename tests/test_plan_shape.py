@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions (SURVEY §4/§5 scale posture).
+
+These lock in the properties that matter at 100 TB and would silently
+regress otherwise: predicate pushdown into the parquet scan, column
+pruning, broadcast of dimension tables, equi-join (not cross/nested-
+loop) for LSH candidate generation, and map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mvrs_dspa_spark.plans.registry import all_queries
+
+# one-row broadcast joins (min-ts / mean / total scalars) legitimately
+# plan as BroadcastNestedLoopJoin; everything else must be equi-join
+_SCALAR_BNLJ_OK = {
+    "ann_cosine_topk",      # broadcast query-point set
+    "embedding_near_dup",   # broadcast norms scalar
+    "unusual_activity",     # 1-row max_n / mean_dist scalars
+    "similar_users_jaccard",  # 1-row activity-cutoff scalar
+}
+
+
+def _plan(spark, sf_small, name: str) -> str:
+    df = all_queries()[name].fn(spark, sf_small)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_cartesian_product(spark, sf_small, name):
+    plan = _plan(spark, sf_small, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _SCALAR_BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join; candidate/feature joins "
+            "must stay equi-joins at scale"
+        )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_small):
+    plan = _plan(spark, sf_small, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "PushedFilters" in plan and "l_shipdate" in plan
+    ), "shipdate filter not pushed to parquet scan"
+    # column pruning: q1 touches 7 lineitem columns; wide text columns
+    # must not reach the scan schema
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[: scan.index("\n\n")] if "\n\n" in scan else scan
+    assert "l_comment" not in read_schema, "scan reads unused columns"
+
+
+def test_q3_broadcasts_dimension(spark, sf_small):
+    plan = _plan(spark, sf_small, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, "customer dim should broadcast"
+
+
+def test_lsh_candidate_joins_are_equi(spark, sf_small):
+    for name in ("dedup_minhash_lsh", "similar_users_minhash_lsh", "ann_lsh"):
+        plan = _plan(spark, sf_small, name)
+        assert (
+            "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        ), f"{name}: band-bucket join must be hash/merge equi-join"
+
+
+def test_sliding_stats_partial_aggregation(spark, sf_small):
+    plan = _plan(spark, sf_small, "sliding_activity_stats")
+    assert "partial_count" in plan or "partial_" in plan, (
+        "window stats must partial-aggregate before the shuffle"
+    )
