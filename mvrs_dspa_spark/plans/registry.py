@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         reply_tree,
         sessionize,
         similarity,
+        skew,
         text_analysis,
         window_stats,
     )

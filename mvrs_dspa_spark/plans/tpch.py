@@ -256,3 +256,162 @@ def event_user_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            n_name
+        FROM customer
+        JOIN orders   ON c_custkey  = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 analog: revenue lost to returned items per customer, "
+    "top 20 (fact-fact shuffle join + broadcast dims + deterministic top-N).",
+    tags=("relational",),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+        SELECT
+            ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                  / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 analog: conditional aggregation over a broadcast "
+    "part join (promo revenue share).",
+    tags=("relational",),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 14, 23, 45)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 analog: distinct-supplier counts per part attribute "
+    "with an anti-join supplier exclusion.",
+    tags=("relational",),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_size").isin(1, 14, 23, 45))
+    bad_supp = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               ROUND(total_qty, 2) AS total_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey  = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 analog: HAVING-filtered aggregate joined back to "
+    "orders/customer (large-quantity orders, top 20 by price).",
+    tags=("relational",),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
