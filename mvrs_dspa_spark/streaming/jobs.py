@@ -1,0 +1,162 @@
+"""End-to-end streaming jobs (reference `jobs/` parity).
+
+The reference wires three always-on Flink jobs from Kafka to
+ElasticSearch. Here each job is a composition of this package's
+sources, operators, and sinks into a started StreamingQuery, runnable
+against replayed file batches locally (trigger availableNow) or Kafka
++ RocksDB state on a cluster — the topology is identical, only
+source/sink options change.
+
+- :func:`active_post_stats_job` — reference
+  `jobs/activeposts/ActivePostStatisticsJob.scala`: replayed events →
+  watermarked sliding per-key stats → append sink.
+- :func:`recommendations_job` — reference
+  `jobs/recommendations/RecommendationsJob.scala:95-118`: per
+  micro-batch, users active in the batch get MinHash+LSH top-N
+  similar users against the full (historical) item sets.
+- :func:`unusual_activity_job` — reference
+  `jobs/clustering/UnusualActivityDetectionJob.scala`: streaming
+  K-means with decaying weights over per-event feature vectors;
+  events are classified by distance to the evolving centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import minhash as MH
+from mvrs_dspa_spark.operators.similarity import _PARAMS, BANDS, MIN_SIM, N_HASHES, TOP_N
+from mvrs_dspa_spark.streaming.kmeans import StreamingKMeansModel, streaming_kmeans
+from mvrs_dspa_spark.streaming.windowed import sliding_stats_stream
+
+
+def active_post_stats_job(
+    events: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    size: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked sliding activity stats to an exactly-once parquet sink."""
+    stats = sliding_stats_stream(events, size=size, slide=slide, watermark_delay=watermark)
+    return (
+        stats.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _batch_items(batch: DataFrame) -> DataFrame:
+    from mvrs_dspa_spark.operators.similarity import EVENT_TYPES
+
+    etype_idx = F.lit(None)
+    for i, t in enumerate(EVENT_TYPES):
+        etype_idx = F.when(F.col("event_type") == t, F.lit(i)).otherwise(etype_idx)
+    code = etype_idx.cast("long") * 1000 + F.get_json_object("props", "$.k").cast("long")
+    return batch.select("user_id", code.alias("item")).where(
+        F.col("item").isNotNull()
+    ).distinct()
+
+
+def recommendations_job(
+    events: DataFrame,
+    sink_writer,
+    checkpoint: str,
+):
+    """Per micro-batch top-N similar users for the batch's active users.
+
+    The batch defines WHO needs fresh recommendations (users active in
+    the window — reference's activity-window gating); item sets
+    accumulate across batches in driver state here (a parquet/Delta
+    feature store on a cluster; the reference reads stored person
+    features from ElasticSearch the same way). `sink_writer(df,
+    batch_id)` receives (user_id, rec_user_id, est_sim) per batch.
+    """
+    state: dict[str, DataFrame] = {}
+
+    def _per_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        new_items = _batch_items(batch)
+        hist = state.get("items")
+        items = new_items if hist is None else hist.unionByName(new_items).distinct()
+        # cut lineage across batches: accumulated state must not grow a plan
+        items = items.localCheckpoint(eager=True)
+        state["items"] = items
+
+        active = new_items.select("user_id").distinct()
+        sig = MH.signature_df(items, "user_id", "item", _PARAMS)
+        cand = MH.candidate_pairs_df(sig, "user_id", N_HASHES, BANDS)
+        sa, sb = sig.alias("sa"), sig.alias("sb")
+        scored = (
+            cand.join(sa, F.col("id_a") == F.col("sa.user_id"))
+            .join(sb, F.col("id_b") == F.col("sb.user_id"))
+            .select("id_a", "id_b", MH.est_similarity_expr(N_HASHES).alias("est_sim"))
+        )
+        both = scored.select(
+            F.col("id_a").alias("user_id"), F.col("id_b").alias("rec_user_id"), "est_sim"
+        ).unionByName(
+            scored.select(
+                F.col("id_b").alias("user_id"),
+                F.col("id_a").alias("rec_user_id"),
+                "est_sim",
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("est_sim").desc(), F.col("rec_user_id")
+        )
+        recs = (
+            both.join(F.broadcast(active), "user_id")  # only batch-active users
+            .where(F.col("est_sim") >= MIN_SIM)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= TOP_N)
+            .select("user_id", "rec_user_id", "est_sim")
+        )
+        sink_writer(recs, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _event_features(batch: DataFrame) -> DataFrame:
+    """Per-event feature vector — the reference's text+frequency
+    features (UnusualActivityDetectionJob.scala:405-440) re-targeted
+    at events: value magnitude + event-kind one-hot-ish mix."""
+    from mvrs_dspa_spark.operators.similarity import EVENT_TYPES
+
+    etype_idx = F.lit(0.0)
+    for i, t in enumerate(EVENT_TYPES):
+        etype_idx = F.when(F.col("event_type") == t, F.lit(float(i))).otherwise(etype_idx)
+    return batch.select(
+        "event_id",
+        "user_id",
+        F.array(
+            (F.col("value") / 100.0),
+            etype_idx / len(EVENT_TYPES),
+            (F.col("user_id") % 97) / 97.0,
+        ).alias("features"),
+    )
+
+
+def unusual_activity_job(
+    events: DataFrame,
+    model: StreamingKMeansModel,
+    checkpoint: str,
+):
+    """Streaming K-means over per-event features; `model` evolves with
+    decaying weights per micro-batch and classifies via `model.assign`."""
+    feats = events.transform(_event_features)
+    return streaming_kmeans(feats, model, "features", checkpoint)
