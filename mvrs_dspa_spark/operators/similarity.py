@@ -275,3 +275,31 @@ def similar_users_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", F.col("est_sim").desc(), "rec_user_id")
     )
+
+
+@register(
+    "user_item_sets",
+    oracle=f"""
+        WITH items AS ({_ITEMS_SQL})
+        SELECT user_id,
+               COUNT(*) AS n_items,
+               array_to_string(list_sort(list(item)), ',') AS items
+        FROM items
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Per-user collected item set (ref functions/CollectSetFunction."
+    "scala; feeds the recommendation signatures). Emitted as a sorted "
+    "joined string so the set is order-insensitively hash-comparable.",
+    tags=("similarity",),
+)
+def user_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    return (
+        items.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_join(F.array_sort(F.collect_set("item")), ",").alias("items"),
+        )
+        .orderBy("user_id")
+    )
