@@ -93,7 +93,15 @@ def kmeans_fit(
     tags=("clustering", "bench"),
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # single-file scan = one split; the per-iteration assignment math is
+    # CPU-bound, so fan out first (deterministic round-robin: Spark
+    # local-sorts before round-robin partitioning, and the dim-wise
+    # sums were verified identical either way)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     centroids = kmeans_fit(emb, "embedding", k=K, iters=ITERS, id_col="vec_id")
     return (
         assign_clusters(emb, "embedding", centroids)
