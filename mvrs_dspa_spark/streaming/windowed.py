@@ -82,3 +82,34 @@ def tumbling_rollup_stream(
             "total_value",
         )
     )
+
+
+def session_stats_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization (batch analog:
+    operators/sessionize.user_sessions).
+
+    F.session_window keeps per-key session state that extends while
+    events arrive within `gap` and finalizes when the watermark passes
+    session end + gap — the streaming form of the reference's
+    activity-timeout windows. Append mode emits each session once.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -132,3 +132,29 @@ def test_stateful_bucket_window(spark, tmp_path):
     assert by_start[pd.Timestamp(_t(1).replace(tzinfo=None))] == (1, 2.0)
     # every window ending before the watermark that has data was emitted
     assert len(by_start) == 7  # starts -05:00 .. 01:00
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from mvrs_dspa_spark.streaming.windowed import session_stats_stream
+
+    batch1 = [
+        (1, _t(1, 0), 7, "click", 1.0),   # session A
+        (2, _t(1, 10), 7, "click", 2.0),  # extends A (gap 30m)
+        (3, _t(3, 0), 7, "click", 4.0),   # new session B (> 30m later)
+    ]
+    batch2 = [(4, _t(20, 0), 99, "view", 0.0)]  # wm -> 18:00, closes all
+    root = _write_batches(spark, tmp_path, [batch1, batch2])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(root)
+    )
+    _run(spark, session_stats_stream(stream, gap="30 minutes"), "sess")
+
+    rows = spark.sql(
+        "SELECT * FROM sess WHERE user_id = 7 ORDER BY session_start"
+    ).collect()
+    assert len(rows) == 2
+    a, b = rows
+    assert a.n_events == 2 and abs(a.total_value - 3.0) < 1e-9
+    assert a.session_start == _t(1, 0).replace(tzinfo=None)
+    assert a.session_end == _t(1, 40).replace(tzinfo=None)  # last event + gap
+    assert b.n_events == 1 and b.session_start == _t(3, 0).replace(tzinfo=None)
