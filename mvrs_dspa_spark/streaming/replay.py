@@ -113,3 +113,46 @@ def read_replay_stream(spark, out_dir: str, schema) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(out_dir, "batch_*"))
     )
+
+
+def replay_rate_aligned(
+    spark,
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    speedup: float = 10_000.0,
+    max_delay_ms: int = 0,
+    seed: int = DEFAULT_SEED,
+    ticks_per_second: int = 10,
+) -> DataFrame:
+    """Wall-clock-paced replay: events stream out as real time passes.
+
+    The rate source emits `ticks_per_second` monotonically increasing
+    tick values per wall second; each scheduled event equi-joins its
+    own tick (emit_offset_ms mapped to tick units), so an event
+    becomes visible to downstream operators when — and only when — its
+    scaled wall-clock offset has elapsed. This is the
+    `SimpleScaledReplayFunction` behavior without a sleeping thread:
+    pacing is data (a stream-stream equi-join), so it parallelizes and
+    checkpoints like everything else.
+
+    Returns a streaming DataFrame with the original columns; the rate
+    stream's processing timestamp rides along as `emitted_at`.
+    """
+    sched = replay_schedule(df, ts_col, id_col, speedup, max_delay_ms, seed)
+    tick_of_event = (F.col("emit_offset_ms") * ticks_per_second / 1000).cast("long")
+    scheduled = sched.withColumn("tick", tick_of_event).drop(
+        "delay_ms", "emit_offset_ms"
+    )
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(ticks_per_second))
+        .load()
+        .select(
+            F.col("value").alias("tick"),
+            F.col("timestamp").alias("emitted_at"),
+        )
+    )
+    # stream-static join: the static side is the schedule; each rate
+    # tick releases exactly its slice of events.
+    return rate.join(scheduled, "tick", "inner").drop("tick")

@@ -68,3 +68,44 @@ def test_replay_batches_stream_roundtrip(spark, sf_small, tmp_path):
     assert got == 300
     # one micro-batch per schedule slice
     assert q.lastProgress["batchId"] + 1 >= len(paths)
+
+
+def test_rate_aligned_replay(spark, sf_small, tmp_path):
+    """Wall-clock pacing: run the rate-aligned stream for a few
+    seconds; events must arrive in schedule order and only those whose
+    offset has elapsed may be present (completeness bounded by run
+    time, so assert subset + ordering, not totals)."""
+    from mvrs_dspa_spark.streaming.replay import replay_rate_aligned, replay_schedule
+
+    ev = table(spark, sf_small, "events").limit(200).select("event_id", "ts")
+    # compress the whole 30-day stream into ~4 wall seconds
+    span_ms = (
+        replay_schedule(ev, speedup=1.0).agg({"emit_offset_ms": "max"}).first()[0]
+    )
+    speedup = span_ms / 4_000.0
+    stream = replay_rate_aligned(spark, ev, speedup=speedup, ticks_per_second=10)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_replay")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time as _time
+
+        _time.sleep(8)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT event_id, emitted_at FROM rate_replay ORDER BY emitted_at"
+    ).collect()
+    assert got, "no events released within the run window"
+    sched = {
+        r.event_id: r.emit_offset_ms
+        for r in replay_schedule(ev, speedup=speedup).collect()
+    }
+    # emission order respects the schedule at tick granularity (events
+    # released by the same tick share emitted_at, so their relative
+    # order is arbitrary; ticks themselves must be non-decreasing)
+    ticks = [sched[r.event_id] * 10 // 1000 for r in got]
+    assert all(a <= b for a, b in zip(ticks, ticks[1:]))
