@@ -32,6 +32,15 @@ ITERS = 8
 UA_K = 4
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+# Below this many rows the Lloyd loop runs driver-side on a collected
+# copy (one Spark job instead of 2+iters). Same spirit as AQE picking
+# broadcast-hash below a size threshold: the *model fit* is a tiny
+# k x dim reduction, so when the input fits comfortably on the driver
+# (100k x 64 doubles = 50 MB) round-trip latency dominates and local
+# numpy wins; above it, the distributed per-iteration loop takes over.
+# Assignment output is always distributed regardless of path.
+LOCAL_FIT_CAP = 100_000
+
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     c = F.array(*[F.lit(float(x)) for x in centroid])
@@ -50,8 +59,33 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     ).withColumn("sq_dist", F.array_min("_dists")).drop("_dists")
 
 
+def _kmeans_fit_local(rows, k: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd over a collected (id, vec) list — numpy, but
+    semantics identical to the distributed loop: init = k lowest-id
+    rows, argmin ties -> lowest cluster id, empty clusters keep their
+    previous centroid."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    x = np.asarray([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest index, like array_position
+        for j in range(k):
+            members = assign == j
+            if members.any():
+                cents[j] = x[members].mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
 def kmeans_fit(
-    df: DataFrame, vec_col: str, k: int = K, iters: int = ITERS, id_col: str | None = None
+    df: DataFrame,
+    vec_col: str,
+    k: int = K,
+    iters: int = ITERS,
+    id_col: str | None = None,
+    local_cap: int = LOCAL_FIT_CAP,
 ) -> list[list[float]]:
     """Lloyd iterations; returns final centroids (k x dim, driver-side).
 
@@ -60,8 +94,17 @@ def kmeans_fit(
     previous centroid (the reference re-splits the largest cluster —
     KMeansClustering.scala:98-110 — a policy only needed under its
     dynamic-k control stream).
+
+    Size-adaptive: inputs up to `local_cap` rows are collected once and
+    fit driver-side (`_kmeans_fit_local`); larger inputs run the
+    distributed loop (one map-side assignment + one dim-wise agg per
+    iteration). Pass ``local_cap=0`` to force the distributed path.
     """
     order_col = id_col or vec_col
+    if local_cap:
+        sample = df.select(order_col, vec_col).limit(local_cap + 1).collect()
+        if len(sample) <= local_cap:
+            return _kmeans_fit_local(sample, k, iters)
     init_rows = df.orderBy(order_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     dim = len(centroids[0])

@@ -34,6 +34,20 @@ def test_kmeans_inertia_decreases(spark, sf_small):
     assert inertia(6) <= inertia(1) + 1e-9
 
 
+def test_kmeans_local_matches_distributed(spark, sf_small):
+    """The size-adaptive local fit must agree with the distributed
+    loop (same init, tie-break, and empty-cluster policy; fp-order
+    differences only)."""
+    import numpy as np
+
+    from mvrs_dspa_spark.tables import table
+
+    emb = table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    local = C.kmeans_fit(emb, "embedding", k=4, iters=3, id_col="vec_id")
+    dist = C.kmeans_fit(emb, "embedding", k=4, iters=3, id_col="vec_id", local_cap=0)
+    assert np.allclose(np.array(local), np.array(dist), rtol=1e-9, atol=1e-9)
+
+
 def test_unusual_activity_shape(spark, sf_small):
     df = C.unusual_activity(spark, sf_small)
     rows = df.collect()
