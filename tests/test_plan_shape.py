@@ -19,6 +19,7 @@ _SCALAR_BNLJ_OK = {
     "embedding_near_dup",   # broadcast norms scalar
     "unusual_activity",     # 1-row max_n / mean_dist scalars
     "similar_users_jaccard",  # 1-row activity-cutoff scalar
+    "q22_idle_rich_customers",  # 1-row avg-balance scalar subquery
 }
 
 
@@ -66,6 +67,38 @@ def test_lsh_candidate_joins_are_equi(spark, sf_small):
             "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan
         ), f"{name}: band-bucket join must be hash/merge equi-join"
+
+
+def test_q6_full_pushdown(spark, sf_small):
+    """Every q6 predicate must reach the parquet scan — at 100 TB the
+    scan, not the agg, is the whole query."""
+    plan = _plan(spark, sf_small, "q6_forecast_revenue")
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"q6 {col} predicate not pushed to scan"
+
+
+def test_q2_single_agg_shuffle_before_window(spark, sf_small):
+    """The q2 min-over-group join-back must be window-over-agg (one
+    shuffle reused), not a self-join of the costs subplan."""
+    import re
+
+    plan = _plan(spark, sf_small, "q2_min_cost_supplier")
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 3, (
+        f"q2 plans {n_scans} scans; it should scan lineitem once "
+        "(window-min join-back), not self-join two cost subplans"
+    )
+    assert "Window" in plan
+
+
+def test_q21_exists_as_semi_anti_joins(spark, sf_small):
+    """Correlated EXISTS/NOT-EXISTS must plan as equi semi/anti joins
+    on l_orderkey with residual suppkey conditions — never a
+    nested-loop over lineitem."""
+    plan = _plan(spark, sf_small, "q21_sole_return_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_sliding_stats_partial_aggregation(spark, sf_small):
