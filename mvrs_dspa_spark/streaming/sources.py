@@ -148,3 +148,84 @@ def foreach_batch_sink(df: DataFrame, fn, checkpoint: str, output_mode: str = "u
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# ElasticSearch sink surface (ref utils/elastic/ElasticSearchNode.scala,
+# ElasticSearchIndexSink.scala, ElasticSearchIndexWithUpsertOutputFormat.scala:
+# every job upserts documents keyed by an id column into a per-job index).
+# The elasticsearch-hadoop Spark connector isn't on this classpath, so —
+# like Kafka above — the surface is an options builder + availability gate,
+# with a deterministic local JSON-index stand-in for tests.
+# ---------------------------------------------------------------------------
+
+
+def elastic_available(spark: SparkSession) -> bool:
+    """True iff the elasticsearch-spark connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.elasticsearch.spark.sql.DefaultSource")
+        return True
+    except Exception:
+        return False
+
+
+def elastic_sink_options(
+    nodes: str, index: str, doc_id_col: str | None = None
+) -> dict[str, str]:
+    """Options for ``.format("org.elasticsearch.spark.sql")`` matching the
+    reference's upsert-by-id behavior."""
+    opts = {"es.nodes": nodes, "es.resource": index}
+    if doc_id_col is not None:
+        opts["es.mapping.id"] = doc_id_col
+        opts["es.write.operation"] = "upsert"
+    return opts
+
+
+def elastic_sink(
+    df: DataFrame,
+    nodes: str,
+    index: str,
+    checkpoint: str,
+    doc_id_col: str | None = None,
+):
+    """Streaming ES sink; raises a clear error when the connector is absent."""
+    if not elastic_available(df.sparkSession):
+        raise RuntimeError(
+            "elasticsearch data source not on classpath; submit with "
+            "--packages org.elasticsearch:elasticsearch-spark-30_2.13:<es-version>"
+        )
+    return (
+        df.writeStream.format("org.elasticsearch.spark.sql")
+        .options(**elastic_sink_options(nodes, index, doc_id_col))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def local_index_sink(df: DataFrame, index_dir: str, doc_id_col: str, checkpoint: str):
+    """Deterministic local stand-in for the ES index: upsert-by-id into a
+    JSON-lines directory via foreachBatch (last write per id wins, like
+    the reference's upsert output format). Used by tests; the production
+    path is `elastic_sink`."""
+    import json
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        path = os.path.join(index_dir, "index.jsonl")
+        docs: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                docs = {d[doc_id_col]: d for d in map(json.loads, fh) if doc_id_col in d}
+        for row in batch_df.toJSON().collect():
+            doc = json.loads(row)
+            docs[doc[doc_id_col]] = doc
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for key in sorted(docs, key=str):
+                fh.write(json.dumps(docs[key], sort_keys=True, default=str) + "\n")
+        os.replace(tmp, path)
+
+    return foreach_batch_sink(df, upsert, checkpoint, output_mode="update")

@@ -57,6 +57,46 @@ def test_kafka_gated_config_surface(spark):
             assert "kafka" in str(e)
 
 
+def test_elastic_gated_config_surface(spark):
+    opts = sources.elastic_sink_options("es-node:9200", "mvrs-statistics", "post_id")
+    assert opts["es.nodes"] == "es-node:9200"
+    assert opts["es.resource"] == "mvrs-statistics"
+    assert opts["es.mapping.id"] == "post_id"
+    assert opts["es.write.operation"] == "upsert"
+    assert "es.mapping.id" not in sources.elastic_sink_options("n", "i")
+    if not sources.elastic_available(spark):
+        df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        try:
+            sources.elastic_sink(df, "es-node:9200", "idx", "/tmp/nope")
+            raise AssertionError("expected RuntimeError without es connector")
+        except RuntimeError as e:
+            assert "elasticsearch" in str(e)
+
+
+def test_local_index_sink_upserts_by_id(spark, tmp_path):
+    """The ES stand-in must upsert: two batches writing the same id keep
+    only the last document (ref ElasticSearchIndexWithUpsertOutputFormat)."""
+    import json
+
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    df.coalesce(1).write.option("header", "true").csv(src)
+    idx = str(tmp_path / "es_index")
+    stream = sources.read_stream(spark, src, "csv", SCHEMA)
+    q = sources.local_index_sink(stream, idx, "id", str(tmp_path / "ck1"))
+    q.awaitTermination(60)
+    # second batch: overwrite id=2, add id=3 — resuming from the SAME
+    # checkpoint, so only the new file forms the (later) micro-batch
+    df2 = spark.createDataFrame([(2, "b2", 2.5), (3, "c", 3.0)], SCHEMA)
+    df2.coalesce(1).write.option("header", "true").mode("append").csv(src)
+    q2 = sources.local_index_sink(stream, idx, "id", str(tmp_path / "ck1"))
+    q2.awaitTermination(60)
+    with open(f"{idx}/index.jsonl") as fh:
+        docs = {d["id"]: d for d in map(json.loads, fh)}
+    assert set(docs) == {1, 2, 3}
+    assert docs[2]["name"] == "b2"
+
+
 def test_progress_monitor_and_observe(spark, sf_small, tmp_path):
     mon = ProgressMonitor()
     spark.streams.addListener(mon)
