@@ -440,3 +440,285 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q4_late_shipping_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 analog: order counts by priority for orders with at "
+    "least one line shipped after the order date (stands in for "
+    "commitdate < receiptdate). Correlated EXISTS -> left-semi join on "
+    "the equi key with a residual non-equi date condition.",
+    tags=("relational",),
+)
+def q4_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE 0 END) / SUM(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8 analog: NATION_1's share of PROMO-part revenue sold "
+    "into ASIA-customer markets, by year. 8-way join with the nation "
+    "dim in two roles; conditional-share aggregate.",
+    tags=("relational",),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == region.r_regionkey, "left_semi")
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(F.sum(nation_vol) / F.sum("volume"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q11_concentrated_part_value",
+    oracle="""
+        WITH scoped AS (
+            SELECT l_partkey, l_extendedprice
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+        FROM scoped
+        GROUP BY l_partkey
+        HAVING SUM(l_extendedprice) > (
+            SELECT SUM(l_extendedprice) * 0.001 FROM scoped
+        )
+        ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 analog: parts whose NATION_3-supplied value exceeds "
+    "a fraction of the national total (lineitem value stands in for "
+    "partsupp stock). Grouped HAVING vs a scalar aggregate over the "
+    "same scoped scan — Spark reuses one shuffle via AQE exchange "
+    "reuse; threshold joins back as a broadcast scalar.",
+    tags=("relational",),
+)
+def q11_concentrated_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    scoped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    threshold = scoped.agg((F.sum("l_extendedprice") * 0.001).alias("cutoff"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("raw_value") > F.col("cutoff"))
+        .select(
+            "l_partkey", F.round("raw_value", 2).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: supplier(s) with the quarter's maximum revenue — "
+    "the revenue 'view' computed once, max as a broadcast scalar "
+    "joined back (AQE reuses the grouped exchange for both branches).",
+    tags=("relational",),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    doc="TPC-H Q17: revenue lost to small-quantity orders of one "
+    "brand. Correlated AVG subquery decorrelated into a per-part "
+    "grouped aggregate joined back on partkey (broadcast: one row "
+    "per part).",
+    tags=("relational",),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cutoff")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_bulk_bolt_suppliers",
+    oracle="""
+        SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem
+              WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+                )
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey
+              HAVING SUM(l_quantity) > 50
+          )
+          AND s_nationkey IN (
+              SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+          )
+        ORDER BY s_name
+    """,
+    doc="TPC-H Q20 analog: suppliers who moved >50 units of bolt parts "
+    "in 1996 within one region — doubly nested IN (part-name filter "
+    "inside a grouped HAVING inside the supplier IN) as stacked "
+    "left-semi joins.",
+    tags=("relational",),
+)
+def q20_bulk_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    bolts = table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    nations = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    bulk_suppliers = (
+        li.join(F.broadcast(bolts), li.l_partkey == bolts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 50)
+    )
+    return (
+        supp.join(
+            F.broadcast(bulk_suppliers), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nations), supp.s_nationkey == nations.n_nationkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
