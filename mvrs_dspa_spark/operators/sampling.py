@@ -1,0 +1,192 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines (SURVEY §2f companions to the dedup/quality family).
+
+Everything keys off the portable md5 code (`hashing.str_code_col`), so
+assignment is a pure function of the row — reproducible across runs,
+engines, and cluster sizes, with no RNG state to coordinate:
+
+- `train_test_split`: hash-bucket split assignment (80/10/10). The
+  standard alternative, `DataFrame.randomSplit`, is seed- and
+  partitioning-dependent; a hash of the stable id is not.
+- `stratified_sample`: per-stratum Bernoulli keep with per-language
+  rates (upsampling low-resource languages is the canonical use).
+- `source_quota_cap`: at most N docs per source, chosen by hash rank
+  (not file order, which is ingest-dependent).
+- `pack_sequences`: contiguous greedy packing of docs into
+  fixed-capacity bins per source by running char count — the batch
+  analog of sequence packing for training shards.
+
+Scale shape: split/sample are stateless narrow projections (scan
+throughput bound, embarrassingly parallel). quota/packing shuffle
+once on `source` for their window — at 100 TB the per-source window
+is the intended semantics (quota and packing are per-shard-stream
+decisions); skew across sources is bounded by the quota/capacity
+itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+
+def _code(col: Column, salt: str) -> Column:
+    """Salted md5 code of a column, in [0, P)."""
+    return H.str_code_col(F.concat(F.lit(salt + ":"), col.cast("string")))
+
+
+def _code_sql(expr: str, salt: str) -> str:
+    return H.str_code_sql(f"'{salt}:' || ({expr})::VARCHAR")
+
+
+SPLIT_SALT = "split-v1"
+SAMPLE_SALT = "sample-v1"
+QUOTA_SALT = "quota-v1"
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, {_code_sql('doc_id', SPLIT_SALT)} % 100 AS bucket
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    doc="Deterministic 80/10/10 split by salted hash bucket of doc_id "
+    "— stable under re-runs, repartitioning, and engine choice "
+    "(unlike randomSplit).",
+    tags=("sampling",),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = _code(F.col("doc_id"), SPLIT_SALT) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+# Per-language keep rates: downsample the high-resource language,
+# keep the rest — the canonical rebalancing move.
+SAMPLE_RATES = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.5}
+_DEFAULT_RATE = 1.0
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   {_code_sql('doc_id', SAMPLE_SALT)} / {float(H.P)} AS u,
+                   CASE lang
+                        WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+                        WHEN 'es' THEN 1.0  WHEN 'fr' THEN 1.0
+                        WHEN 'zh' THEN 0.5  ELSE {_DEFAULT_RATE} END AS rate
+            FROM documents
+        )
+        WHERE u < rate
+        ORDER BY doc_id
+    """,
+    doc="Per-language Bernoulli sample at configured rates, keyed on a "
+    "salted doc_id hash: the kept set is a deterministic function of "
+    "the data, and nested samples (lower rate ⊂ higher rate) come for "
+    "free from the shared uniform u.",
+    tags=("sampling",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u = _code(F.col("doc_id"), SAMPLE_SALT) / float(H.P)
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.where(u < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+QUOTA_PER_SOURCE = 15
+
+
+@register(
+    "source_quota_cap",
+    oracle=f"""
+        SELECT doc_id, source, hash_rank
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {_code_sql('doc_id', QUOTA_SALT)}, doc_id
+                   ) AS hash_rank
+            FROM documents
+        )
+        WHERE hash_rank <= {QUOTA_PER_SOURCE}
+        ORDER BY source, hash_rank
+    """,
+    doc="Cap each source at N docs, selected by salted-hash rank so "
+    "the kept subset is a uniform, order-independent choice (file "
+    "order would bias toward early-ingested docs). One shuffle on "
+    "source; rank is computed per partition group.",
+    tags=("sampling",),
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _code(F.col("doc_id"), QUOTA_SALT), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("hash_rank"))
+        .where(F.col("hash_rank") <= QUOTA_PER_SOURCE)
+        .orderBy("source", "hash_rank")
+    )
+
+
+PACK_CAPACITY = 2048  # chars per bin (stand-in for a token budget)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+        SELECT source, bin_id,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM (
+            SELECT source, n_chars,
+                   CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {PACK_CAPACITY}) AS BIGINT) AS bin_id
+            FROM documents
+        )
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+    doc="Contiguous greedy sequence packing: docs stream per source in "
+    "doc_id order; each lands in bin floor(running_chars / capacity). "
+    "Batch analog of training-shard packing — one shuffle on source, "
+    "then a window cumsum and a re-aggregation on (source, bin).",
+    tags=("sampling",),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_id = F.floor(
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / PACK_CAPACITY
+    ).cast("long")
+    return (
+        docs.select("source", "n_chars", bin_id.alias("bin_id"))
+        .groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source", "bin_id")
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         clustering,
         dedup,
         reply_tree,
+        sampling,
         sessionize,
         similarity,
         skew,
