@@ -323,3 +323,102 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- near-dup connected components -----------------------------------------
+
+_PAIRS_SQL = f"""
+    SELECT c.id_a AS doc_a, c.id_b AS doc_b
+    FROM ({MH.candidate_pairs_sql(_SIG_SQL, "doc_id", N_HASHES, BANDS)}) c
+    JOIN ({_SIG_SQL}) sa ON sa.doc_id = c.id_a
+    JOIN ({_SIG_SQL}) sb ON sb.doc_id = c.id_b
+    WHERE {MH.est_similarity_sql(N_HASHES)} >= {NEAR_DUP_SIM}
+"""
+
+CC_MAX_ROUNDS = 16
+
+
+def cluster_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    `nodes` is (doc,), `edges` is directed (a, b) — pass both
+    directions for undirected graphs. Returns (doc, comp) with comp =
+    min doc id in the component. Rounds needed = component diameter;
+    near-dup clusters are small and dense, so this converges in a few
+    rounds (the alternating-star algorithm is the fallback if a
+    pathological long-chain graph ever shows up). The edge set is
+    localCheckpoint'ed once and re-joined per round — iterative reuse,
+    not a shared-subplan persist.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select(F.col("doc"), F.col("doc").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        nmin = (
+            edges.join(labels, edges["b"] == labels["doc"])
+            .groupBy(F.col("a").alias("doc2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        joined = labels.join(nmin, labels["doc"] == nmin["doc2"], "left")
+        if joined.where(F.col("nmin") < F.col("comp")).isEmpty():
+            return labels
+        labels = joined.select(
+            "doc", F.least("comp", F.coalesce("nmin", "comp")).alias("comp")
+        ).localCheckpoint(eager=True)
+    raise RuntimeError(f"components did not converge in {max_rounds} rounds")
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        pairs AS ({_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS doc, doc_id AS comp FROM documents
+            UNION
+            SELECT e.b AS doc, r.comp FROM reach r JOIN edges e ON e.a = r.doc
+        )
+        SELECT doc AS doc_id,
+               MIN(comp) AS cluster_id,
+               (doc = MIN(comp)) AS keep
+        FROM reach
+        GROUP BY doc
+        ORDER BY doc_id
+    """,
+    doc="Near-dup cluster assignment: connected components over the "
+    "minhash-LSH near-dup pair graph (est Jaccard >= 0.5), cluster id "
+    "= min doc_id in the component, keep = is-representative. The "
+    "dedup decision table a training pipeline actually consumes — "
+    "pairs alone under-remove (transitive dups). Spark: min-label "
+    "propagation, O(diameter) rounds; oracle: recursive CTE closure.",
+    tags=("dedup",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _doc_shingle_items(spark, sf_dir)
+    sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
+    cand = MH.candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    pairs = (
+        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .where(MH.est_similarity_expr(N_HASHES) >= NEAR_DUP_SIM)
+        .select("id_a", "id_b")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    nodes = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("doc"))
+    labels = cluster_components(nodes, edges)
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("doc") == F.col("comp")).alias("keep"),
+    ).orderBy("doc_id")
