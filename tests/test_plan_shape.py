@@ -20,6 +20,8 @@ _SCALAR_BNLJ_OK = {
     "unusual_activity",     # 1-row max_n / mean_dist scalars
     "similar_users_jaccard",  # 1-row activity-cutoff scalar
     "q22_idle_rich_customers",  # 1-row avg-balance scalar subquery
+    "q11_concentrated_part_value",  # 1-row value-threshold scalar
+    "q15_top_supplier",  # 1-row max-revenue scalar
 }
 
 
@@ -106,3 +108,44 @@ def test_sliding_stats_partial_aggregation(spark, sf_small):
     assert "partial_count" in plan or "partial_" in plan, (
         "window stats must partial-aggregate before the shuffle"
     )
+
+
+def test_train_test_split_is_narrow(spark, sf_small):
+    """Split assignment is a pure projection: no join, no aggregate,
+    no exchange other than the final presentation sort — at 100 TB it
+    must stay scan-throughput-bound."""
+    plan = _plan(spark, sf_small, "train_test_split")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_pack_sequences_single_source_shuffle(spark, sf_small):
+    """Packing shuffles once on source for the window; the (source,
+    bin) re-aggregation must reuse that partitioning, not add a
+    second wide exchange before the final sort."""
+    import re
+
+    plan = _plan(spark, sf_small, "pack_sequences")
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges <= 1, (
+        f"pack_sequences plans {n_hash_exchanges} hash exchanges; the "
+        "window partitioning must be reused by the bin aggregation"
+    )
+    assert "Window" in plan
+
+
+def test_q4_exists_as_semi_join(spark, sf_small):
+    """The EXISTS subquery must plan as an equi semi join on
+    l_orderkey with the shipdate comparison as a residual condition,
+    never a per-order nested loop."""
+    plan = _plan(spark, sf_small, "q4_late_shipping_priority")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_dims_broadcast(spark, sf_small):
+    """q8's dims all broadcast: the only sort-merge-eligible join is
+    lineitem-orders (fact-fact)."""
+    plan = _plan(spark, sf_small, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
