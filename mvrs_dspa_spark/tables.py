@@ -28,9 +28,23 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_configs(spark: SparkSession) -> None:
+    """Make reads work under ANY caller-supplied session, not just ours.
+
+    events.parquet stores ts as INT64 TIMESTAMP(NANOS); without
+    nanosAsLong the scan throws PARQUET_TYPE_ILLEGAL.  Both configs are
+    runtime-settable SQLConfs, so setting them here is safe even on a
+    session we did not build.  UTC pins timestamp-literal parsing so
+    date predicates (q3/q4/q6/q12...) can't shift under a non-UTC JVM.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _ensure_session_configs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
