@@ -156,7 +156,7 @@ PACK_CAPACITY = 2048  # chars per bin (stand-in for a token budget)
     oracle=f"""
         SELECT source, bin_id,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM (
             SELECT source, n_chars,
                    CAST(FLOOR(COALESCE(SUM(n_chars) OVER (

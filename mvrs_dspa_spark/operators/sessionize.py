@@ -72,7 +72,7 @@ def sessionize(df: DataFrame, key: str = "user_id", gap_us: int = GAP_US) -> Dat
             FROM flagged
         )
         SELECT user_id,
-               session_seq,
+               CAST(session_seq AS BIGINT) AS session_seq,
                make_timestamp(MIN(ts_us)) AS session_start,
                make_timestamp(MAX(ts_us)) AS session_end,
                COUNT(*) AS n_events,

@@ -243,8 +243,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
         )
         SELECT doc_id,
-               CASE WHEN len(toks) = 0 THEN 0
-                    ELSE {T.fingerprint_sql('toks', _FP_A, _FP_B)} END AS fingerprint
+               CAST(CASE WHEN len(toks) = 0 THEN 0
+                    ELSE {T.fingerprint_sql('toks', _FP_A, _FP_B)} END
+                    AS BIGINT) AS fingerprint
         FROM t
         ORDER BY doc_id
     """,

@@ -115,7 +115,7 @@ _SLIDING_ORACLE = f"""
     agg AS (
         SELECT user_id, ws_us,
                COUNT(*) AS n_events,
-               {', '.join(f"count_if(event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)},
+               {', '.join(f"CAST(count_if(event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)},
                COUNT(DISTINCT k) AS n_distinct_keys,
                ROUND(SUM(value), 2) AS total_value,
                MIN(ts_us) AS w_min_ts_us

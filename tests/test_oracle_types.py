@@ -1,0 +1,41 @@
+"""Every registered oracle must produce driver-hashable column types.
+
+The driver value-hashes typed results; DuckDB's SUM(int)/count_if
+return HUGEINT where Spark returns BIGINT, which hash-mismatches even
+when values are identical (round-1 lost q12 + pack_sequences to this).
+DESCRIBE every oracle against the sf0.001 views and fail on any
+HUGEINT-family column so a new query can't reintroduce the bug.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+BANNED = {"HUGEINT", "UHUGEINT", "INT128", "UINT128"}
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    conn = duckdb.connect()
+    for t in TABLES:
+        conn.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    return conn
+
+
+def test_no_hugeint_oracle_columns(duck):
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        desc = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) q").fetchall()
+        bad = [(col, typ) for col, typ, *_ in desc if typ.upper() in BANNED]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles emit non-hashable int128 types: {offenders}"
