@@ -30,8 +30,16 @@ OUTPUT_SCHEMA = (
     "user_id long, window_start timestamp, window_end timestamp, "
     "n_events long, total_value double"
 )
-# state: parallel arrays of bucket start (epoch ms), event count, value sum
-STATE_SCHEMA = "starts array<long>, counts array<long>, sums array<double>"
+# state: parallel arrays of bucket start (epoch ms), event count, value sum,
+# plus the end (epoch ms) of the last window already fired.  fired_through
+# makes firing idempotent across micro-batches: without it the fire loop
+# re-derives its start from the *surviving* buckets and re-emits windows
+# whose trailing buckets outlived pruning — duplicate, partial rows in an
+# append sink whenever the watermark advances in steps < window size.
+STATE_SCHEMA = (
+    "starts array<long>, counts array<long>, sums array<double>, "
+    "fired_through long"
+)
 
 
 def _bucket_window_fn(size_ms: int, slide_ms: int):
@@ -46,9 +54,11 @@ def _bucket_window_fn(size_ms: int, slide_ms: int):
         counts: list[int]
         sums: list[float]
         if state.exists:
-            starts, counts, sums = map(list, state.get)
+            s0, s1, s2, fired_through = state.get
+            starts, counts, sums = list(s0), list(s1), list(s2)
         else:
             starts, counts, sums = [], [], []
+            fired_through = 0
         buckets = {s: (c, v) for s, c, v in zip(starts, counts, sums)}
 
         wm_ms = state.getCurrentWatermarkMs()
@@ -66,13 +76,13 @@ def _bucket_window_fn(size_ms: int, slide_ms: int):
             for _ in pdfs:
                 pass
 
-        # fire every window whose end <= watermark: window [ws, ws+size)
-        # merges the n_buckets buckets starting at ws.
+        # fire every window whose end is in (fired_through, wm]: window
+        # [ws, ws+size) merges the n_buckets buckets starting at ws.
         out_rows = []
         if buckets and wm_ms > 0:
             lo = min(buckets)
             hi = max(buckets)
-            ws = lo - (size_ms - slide_ms)
+            ws = max(lo - (size_ms - slide_ms), fired_through - size_ms + slide_ms)
             while ws + size_ms <= wm_ms and ws <= hi:
                 member = [
                     buckets[b]
@@ -90,10 +100,17 @@ def _bucket_window_fn(size_ms: int, slide_ms: int):
                         }
                     )
                 ws += slide_ms
-            # prune buckets fully covered by fired windows (end <= watermark
-            # means no future window can include buckets older than wm-size)
-            cutoff = wm_ms - (size_ms - slide_ms)
-            buckets = {b: cs for b, cs in buckets.items() if b >= cutoff}
+        if wm_ms > 0:
+            # mark the last slide-aligned window end <= wm as fired even if
+            # it held no buckets (an empty window emits nothing but must not
+            # become fireable again once late data lands in its range)
+            fired_through = max(fired_through, wm_ms // slide_ms * slide_ms)
+            # prune buckets whose last containing window (ws = b, ending at
+            # b + size) has fired; keyed to fired_through, not raw wm, so a
+            # mid-slide watermark can't prune a bucket of an unfired window
+            buckets = {
+                b: cs for b, cs in buckets.items() if b + size_ms > fired_through
+            }
 
         if buckets:
             items = sorted(buckets.items())
@@ -102,6 +119,7 @@ def _bucket_window_fn(size_ms: int, slide_ms: int):
                     [b for b, _ in items],
                     [c for _, (c, _) in items],
                     [s for _, (_, s) in items],
+                    fired_through,
                 )
             )
             # wake up when the next unfired window can close

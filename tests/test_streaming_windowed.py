@@ -134,6 +134,48 @@ def test_stateful_bucket_window(spark, tmp_path):
     assert len(by_start) == 7  # starts -05:00 .. 01:00
 
 
+def test_stateful_bucket_window_stepped_watermark_no_refire(spark, tmp_path):
+    # Watermark advancing in steps smaller than the window size must not
+    # re-emit windows whose trailing buckets survived pruning (the fire
+    # loop used to restart at min(buckets) - (size - slide), re-firing
+    # already-emitted windows with partial counts).
+    batch1 = [
+        (1, _t(0, 10), 7, "click", 1.0),
+        (2, _t(4, 10), 7, "click", 2.0),
+        (3, _t(8, 30), 99, "view", 0.0),  # wm -> 06:30 after this batch
+    ]
+    batch2 = [(4, _t(14, 30), 99, "view", 0.0)]  # fires u7 ends <= 06:30
+    batch3 = [(5, _t(15, 0), 99, "view", 0.0)]  # fires u7 ends <= 12:30
+    root = _write_batches(spark, tmp_path, [batch1, batch2, batch3])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(root)
+    )
+    _run(
+        spark,
+        bucketed_sliding_stats(stream, watermark_delay="2 hours"),
+        "bucketed_stepped",
+    )
+
+    pdf = spark.sql(
+        "SELECT * FROM bucketed_stepped WHERE user_id = 7"
+    ).toPandas()
+    # each window fires at most once, ever
+    assert not pdf.duplicated(subset=["window_start"]).any(), pdf
+    by_start = {
+        row.window_start: (row.n_events, row.total_value)
+        for row in pdf.itertuples()
+    }
+    # windows [-01:00, 05:00) and [00:00, 06:00) hold both events and fired
+    # in the FIRST step — they must keep their full counts, not reappear
+    # with only the 04:00 bucket after the second step
+    assert by_start[pd.Timestamp(_t(23).replace(tzinfo=None)) - pd.Timedelta(days=1)] == (2, 3.0)
+    assert by_start[pd.Timestamp(_t(0).replace(tzinfo=None))] == (2, 3.0)
+    # second step emits only the four not-yet-fired windows
+    for h in (1, 2, 3, 4):
+        assert by_start[pd.Timestamp(_t(h).replace(tzinfo=None))] == (1, 2.0)
+    assert len(by_start) == 10  # starts 19:00(-1d) .. 04:00
+
+
 def test_streaming_session_windows(spark, tmp_path):
     from mvrs_dspa_spark.streaming.windowed import session_stats_stream
 
