@@ -51,8 +51,11 @@ def shingles_from_codes(tc: Column) -> Column:
     array once per shingle index — O(tokens^2) hash evals per document
     (measured 5.6 ms/doc; the whole dedup family was ~30 s at sf0.1).
     The slice form references tc twice, total work O(tokens)."""
-    left = F.slice(tc, F.lit(1), F.size(tc) - 1)
-    right = F.slice(tc, F.lit(2), F.size(tc) - 1)
+    # greatest(.., 0): slice() throws on a negative length, which a
+    # zero-token (empty/whitespace-only) document would produce
+    n = F.greatest(F.size(tc) - 1, F.lit(0))
+    left = F.slice(tc, F.lit(1), n)
+    right = F.slice(tc, F.lit(2), n)
     return F.array_distinct(
         F.zip_with(left, right, lambda x, y: (x * 31 + y) % F.lit(H.P))
     )
@@ -92,8 +95,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evals/doc; hashing per pair element is 2n and measured ~40%
     # faster end-to-end (sf0.1 shingle scan 1.18s -> 0.73s).
     toks = F.col("toks")
-    left = F.slice(toks, F.lit(1), F.size(toks) - 1)
-    right = F.slice(toks, F.lit(2), F.size(toks) - 1)
+    n = F.greatest(F.size(toks) - 1, F.lit(0))  # slice() throws on length -1
+    left = F.slice(toks, F.lit(1), n)
+    right = F.slice(toks, F.lit(2), n)
     sh = F.array_distinct(
         F.zip_with(
             left,

@@ -86,7 +86,19 @@ def salted_join(
     n: int = DEFAULT_SALT,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-safe equi-join on `on`: big side salted, small side replicated."""
+    """Skew-safe equi-join on `on`: big side salted, small side replicated.
+
+    Only join types where an unmatched SMALL-side row produces no output
+    row are supported: the small side is replicated n-fold, so right /
+    full outer joins would emit each unmatched small-side row once per
+    salt value — silently wrong n-fold duplication.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the n-fold "
+            "replicated small side would duplicate unmatched rows; use "
+            "inner/left/left_semi/left_anti"
+        )
     b = with_salt(big, salt_on, n)
     s = replicate_small_for_salted_join(small, n)
     joined = b.join(s, [on, "_salt"], how)

@@ -33,3 +33,21 @@ def test_components_stay_separate(spark):
 
 def test_singletons_self_labeled(spark):
     assert _cc(spark, [5, 7], []) == {5: 5, 7: 7}
+
+
+def test_shingles_survive_empty_documents(spark):
+    # zero-token docs used to pass length -1 to slice() and blow up the
+    # whole dedup family at runtime
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.operators.dedup import shingles_from_codes
+
+    df = spark.createDataFrame(
+        [(1, [7, 11, 13]), (2, []), (3, [5])], "id long, tc array<long>"
+    )
+    rows = {r.id: r.sh for r in df.select(
+        "id", shingles_from_codes(F.col("tc")).alias("sh")
+    ).collect()}
+    assert rows[2] == []
+    assert rows[3] == []
+    assert len(rows[1]) == 2

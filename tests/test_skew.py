@@ -57,3 +57,13 @@ def test_salted_join_spreads_partitions(spark, sf_small):
     rep = skew.replicate_small_for_salted_join(users, 4)
     rows = {(r.user_id, r._salt) for r in rep.collect()}
     assert rows == {(u, s) for u in (1, 2) for s in range(4)}
+
+
+def test_salted_join_rejects_outer_joins(spark, sf_small):
+    import pytest
+
+    ev = table(spark, sf_small, "events").select("event_id", "user_id")
+    users = ev.select("user_id").distinct()
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            skew.salted_join(ev, users, "user_id", "event_id", how=how)
