@@ -3,8 +3,10 @@
 - `embedding_near_dup`: all pairs with cosine >= 0.4 — brute-force
   self-join baseline, oracle-checked.
 - `ann_cosine_topk`: top-10 neighbors for a fixed query subset
-  (vec_id % 50 == 0) — the query side is broadcast, so the scan side
-  never shuffles; rank happens after a map-side cosine.
+  (vec_id % 50 == 0, capped at MAX_QUERIES ids) — the query side is
+  broadcast, so the scan side never shuffles; rank happens after a
+  map-side cosine.  The cap keeps the broadcast constant-bounded as
+  the table grows; bigger query sets go through ann_ivf instead.
 - `ann_lsh`: random-hyperplane LSH bucketing — the 100 TB path:
   candidates only within matching signature bands, cosine evaluated
   on candidates alone. Deterministic hyperplanes from the shared LCG.
@@ -31,6 +33,12 @@ from mvrs_dspa_spark.tables import table
 NEAR_DUP_COS = 0.4
 TOP_K = 10
 QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50 of vectors are queries
+# Hard cap on the broadcast query side: % QUERY_MOD alone selects a
+# constant FRACTION of the table, so the broadcast would grow linearly
+# with data volume (tens of GB at 100 TB).  vec_id < QUERY_MOD *
+# MAX_QUERIES bounds it to <= MAX_QUERIES vectors no matter the scale;
+# query sets larger than this belong on the IVF probe-join path.
+MAX_QUERIES = 1024
 LSH_BITS = 12
 LSH_DIM = 64
 
@@ -101,7 +109,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_cosine_topk",
     oracle=f"""
         WITH v AS ({_WITH_NORM_SQL}),
-        q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+        q AS (SELECT * FROM v
+              WHERE vec_id % {QUERY_MOD} = 0
+                AND vec_id < {QUERY_MOD * MAX_QUERIES}),
         scored AS (
             SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                    ROUND({_dot_sql('q.embedding', 'v.embedding')} / (q.nrm * v.nrm), 6) AS cos_sim
@@ -122,7 +132,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _with_norm_df(table(spark, sf_dir, "embeddings"))
-    q = v.where(F.col("vec_id") % QUERY_MOD == 0)
+    q = v.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    )
     qa, vb = q.alias("q"), v.alias("v")
     cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
         F.col("q.nrm") * F.col("v.nrm")

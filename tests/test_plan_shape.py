@@ -149,3 +149,14 @@ def test_q8_dims_broadcast(spark, sf_small):
     plan = _plan(spark, sf_small, "q8_market_share")
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_ann_cosine_topk_query_broadcast_is_bounded(spark, sf_small):
+    # the broadcast query side must carry the constant vec_id cap all the
+    # way into the parquet scan — without it the broadcast grows linearly
+    # with the table
+    from mvrs_dspa_spark.operators.ann import MAX_QUERIES, QUERY_MOD
+
+    plan = _plan(spark, sf_small, "ann_cosine_topk")
+    bound = QUERY_MOD * MAX_QUERIES
+    assert f"LessThan(vec_id,{bound})" in plan, plan
