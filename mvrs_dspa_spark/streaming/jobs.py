@@ -31,6 +31,28 @@ from mvrs_dspa_spark.streaming.kmeans import StreamingKMeansModel, streaming_kme
 from mvrs_dspa_spark.streaming.windowed import sliding_stats_stream
 
 
+def enrich_post_stats(
+    stats: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Enrich windowed stats with dimension metadata.
+
+    Spark-native analog of the reference's async cached ES lookup
+    (`jobs/activeposts/AsyncEnrichPostStatisticsFunction.scala:20-62` +
+    `utils/Cache.scala`): a stream-static broadcast LEFT join replaces
+    the per-key async query + driver cache — the dimension ships once
+    per executor and every lookup is a local hash probe, no I/O on the
+    hot path.  `defaults` fills misses the way the reference emits
+    "<unknown content>"/"<unknown forum>" instead of dropping rows.
+    """
+    enriched = stats.join(F.broadcast(dim), on, "left")
+    for col, default in (defaults or {}).items():
+        enriched = enriched.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return enriched
+
+
 def active_post_stats_job(
     events: DataFrame,
     sink_path: str,
@@ -38,9 +60,18 @@ def active_post_stats_job(
     size: str = "6 hours",
     slide: str = "1 hour",
     watermark: str = "2 hours",
+    dim: DataFrame | None = None,
+    dim_defaults: dict[str, str] | None = None,
 ):
-    """Watermarked sliding activity stats to an exactly-once parquet sink."""
+    """Watermarked sliding activity stats to an exactly-once parquet sink.
+
+    With `dim`, each emitted window row is enriched via a stream-static
+    broadcast join (see :func:`enrich_post_stats`) before the sink —
+    the reference's enriched post-statistics topology.
+    """
     stats = sliding_stats_stream(events, size=size, slide=slide, watermark_delay=watermark)
+    if dim is not None:
+        stats = enrich_post_stats(stats, dim, defaults=dim_defaults)
     return (
         stats.writeStream.format("parquet")
         .option("path", sink_path)

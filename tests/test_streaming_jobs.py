@@ -74,3 +74,46 @@ def test_unusual_activity_job(spark, sf_small, tmp_path):
     rows = assigned.collect()
     assert len(rows) == 100
     assert {r.cluster for r in rows} <= {0, 1, 2}
+
+
+def test_active_post_stats_job_enriched(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.streaming.jobs import enrich_post_stats
+
+    stream = _replayed_events(spark, sf_small, tmp_path)
+    # dimension: user metadata for SOME users, so the '<unknown>' default
+    # path is exercised (reference emits "<unknown content>" on miss)
+    ev = table(spark, sf_small, "events").limit(400)
+    dim = (
+        ev.select("user_id").distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("user_name", F.concat(F.lit("user-"), F.col("user_id")))
+    )
+    q = active_post_stats_job(
+        stream,
+        sink_path=str(tmp_path / "enr_out"),
+        checkpoint=str(tmp_path / "enr_ckpt"),
+        watermark="1 hour",
+        dim=dim,
+        dim_defaults={"user_name": "<unknown user>"},
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "enr_out"))
+    rows = out.collect()
+    assert rows
+    assert "user_name" in out.columns
+    for r in rows:
+        if r.user_id % 2 == 0:
+            assert r.user_name == f"user-{r.user_id}"
+        else:
+            assert r.user_name == "<unknown user>"
+
+    # the enrichment join must broadcast the dimension side (batch-plan
+    # check of the exact join enrich_post_stats builds)
+    stats_sample = out.drop("user_name")
+    plan = (
+        enrich_post_stats(stats_sample, dim, defaults={"user_name": "x"})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
