@@ -67,9 +67,23 @@ _ITEMS_SQL = f"""
 """
 
 
+# Bound on distinct users per (hour, props.k) bucket entering the
+# known-pairs self-join.  Candidate volume is sum of per-bucket n^2, so
+# one hot bucket is quadratic at scale; capping to the first CAP users
+# (deterministic: ordered by user_id) bounds any bucket's contribution
+# to CAP^2 pairs.  Orders of magnitude above observed bucket sizes at
+# test SFs (max 9 at sf0.1), so the oracle comparison is unaffected;
+# at 100 TB a hotter bucket just contributes fewer "known" exclusions.
+KNOWN_BUCKET_CAP = 1000
+
+
 def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Already known' analog: co-present on same props.k in same hour
-    (stands in for the reference's knownUsers graph exclusion)."""
+    (stands in for the reference's knownUsers graph exclusion).
+
+    Distinct (user, hr, k) triples first — the self-join expands pairs,
+    so dedup must happen before it, not after — then a per-bucket cap
+    (see KNOWN_BUCKET_CAP) before the pair expansion."""
     ev = (
         table(spark, sf_dir, "events")
         .repartition(spark.sparkContext.defaultParallelism, "user_id")
@@ -78,8 +92,15 @@ def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hr"),
             F.get_json_object("props", "$.k").alias("k"),
         )
+        .distinct()
     )
-    a, b = ev.alias("a"), ev.alias("b")
+    w = Window.partitionBy("hr", "k").orderBy("user_id")
+    capped = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= KNOWN_BUCKET_CAP)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,

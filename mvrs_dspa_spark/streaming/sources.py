@@ -111,6 +111,75 @@ def kafka_stream(
 
 
 # ---------------------------------------------------------------------------
+# Avro payload surface (ref utils/avro/AvroUtils.scala +
+# Avro4sSerializationSchema.scala: Kafka messages carry Avro-encoded
+# records).  Spark-first this is from_avro/to_avro over the Kafka
+# `value` binary column; the spark-avro package is not in this env, so
+# the codec is gated exactly like the Kafka source itself.
+# ---------------------------------------------------------------------------
+
+# Avro schema for the events payload — the writer/reader contract a
+# cluster deployment registers (schema-registry or literal), matching
+# tables.table("events") post-conversion (ts carried as micros).
+EVENTS_AVRO_SCHEMA = """{
+  "type": "record", "name": "Event", "namespace": "mvrs.dspa",
+  "fields": [
+    {"name": "event_id", "type": "long"},
+    {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    {"name": "user_id", "type": "long"},
+    {"name": "event_type", "type": "string"},
+    {"name": "value", "type": "double"},
+    {"name": "props", "type": ["null", "string"], "default": null}
+  ]
+}"""
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro data source is usable.
+
+    A Class.forName probe is not enough: Spark ships the to_avro/
+    from_avro SQL function stubs even without the package, and they
+    fail analysis with AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE.  So
+    probe by analyzing (not executing) a one-column to_avro plan.
+    """
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct("id")).alias("v"))
+        return True
+    except Exception:
+        return False
+
+
+def encode_avro(df: DataFrame, cols: list[str], schema: str) -> DataFrame:
+    """Pack `cols` into one Avro `value` binary column (Kafka sink shape)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.avro.functions import to_avro
+
+    _require_avro(df.sparkSession)
+    return df.select(to_avro(F.struct(*cols), schema).alias("value"))
+
+
+def decode_avro(df: DataFrame, schema: str, value_col: str = "value") -> DataFrame:
+    """Unpack an Avro `value` binary column back into typed columns
+    (Kafka source shape: `kafka_stream(...).transform(decode_avro, ...)`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.avro.functions import from_avro
+
+    _require_avro(df.sparkSession)
+    return df.select(from_avro(F.col(value_col), schema).alias("r")).select("r.*")
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "avro data source not on classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+
+
+# ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------
 

@@ -122,3 +122,34 @@ def test_progress_monitor_and_observe(spark, sf_small, tmp_path):
         assert abs(metrics[0]["sum_v"]) >= 0.0
     finally:
         spark.streams.removeListener(mon)
+
+
+def test_avro_surface_gated(spark, sf_small):
+    import json
+
+    import pytest
+
+    from mvrs_dspa_spark.streaming import sources as S
+
+    # schema is valid Avro JSON with the events field contract
+    schema = json.loads(S.EVENTS_AVRO_SCHEMA)
+    assert schema["type"] == "record"
+    assert [f["name"] for f in schema["fields"]] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+
+    ev = table(spark, sf_small, "events").limit(20)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    if not S.avro_available(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            S.encode_avro(ev, cols, S.EVENTS_AVRO_SCHEMA)
+        pytest.skip("spark-avro not on classpath; codec surface gated")
+
+    # with the package present: lossless round-trip through the binary
+    # `value` column, the exact Kafka message shape
+    packed = S.encode_avro(ev, cols, S.EVENTS_AVRO_SCHEMA)
+    assert packed.columns == ["value"]
+    back = S.decode_avro(packed, S.EVENTS_AVRO_SCHEMA)
+    orig = {tuple(r) for r in ev.select(*cols).collect()}
+    got = {tuple(r) for r in back.select(*cols).collect()}
+    assert got == orig
