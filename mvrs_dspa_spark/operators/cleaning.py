@@ -1,0 +1,174 @@
+"""Training-data cleaning operators: PII scrubbing and repetition
+quality metrics (SURVEY §2f #46-47).
+
+Complements `text_analysis` (lang-ID, length/stopword quality) with
+the other two filters every large-scale corpus pipeline runs before
+training: masking personally-identifiable spans, and dropping
+machine-generated / boilerplate documents by repetition statistics
+(the "repetition" rules of the published Gopher/MassiveText filtering
+recipe — top-word share and duplicate n-gram fraction).
+
+Everything is JVM-side column expressions over the parquet scan — no
+UDFs, no Python on the hot path:
+
+- `pii_scrub` — chained `regexp_replace` (linear scans per pattern,
+  whole-stage codegen) + `regexp_count` audit columns.  Patterns are
+  written in the common subset of Java regex and RE2 (no \\b, no
+  backrefs) so the DuckDB oracle runs the IDENTICAL expressions.
+- `doc_repetition` — whitespace tokens (shared
+  `functions/text.tokens_*` mirrors), bigrams via the zip_with(slice,
+  slice) form (see `dedup.shingles_from_codes` for why not
+  transform(sequence)), top-word share via explode + two-level
+  aggregation keyed on doc_id (the scan is pre-partitioned on doc_id,
+  so both groupBys reuse one exchange).
+
+At 100 TB both stay scan-bound and narrow except doc_repetition's
+explode, whose shuffle key (doc_id, word) is near-uniform — no hot
+keys, no skew handling needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import text as T
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset.  Order
+# matters: emails first (their local part looks like a phone to the
+# digit-run pattern), then IPv4, then phone digit runs.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "[+(]?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_text(col: F.Column) -> F.Column:
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def _scrub_sql(expr: str) -> str:
+    out = expr
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               {_scrub_sql('text')} AS clean_text,
+               {', '.join(
+                   f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+                   f" AS n_{name}"
+                   for name, pat, _ in PII_PATTERNS)}
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="PII masking: emails / IPv4 / phone digit runs replaced by "
+    "typed tokens, with per-kind match counts for audit.",
+    tags=("llm", "cleaning"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        scrub_text(F.col("text")).alias("clean_text"),
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+        ),
+        words AS (
+            SELECT doc_id, unnest(toks) AS w FROM t
+        ),
+        word_counts AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        ),
+        shares AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_share
+            FROM word_counts GROUP BY doc_id
+        ),
+        bi AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+                     ROUND(1.0 - len(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1]
+                     )))::DOUBLE / (len(toks) - 1), 6)
+                   END AS dup_bigram_ratio
+            FROM t
+        )
+        SELECT s.doc_id, s.n_words, s.top_word_share, b.dup_bigram_ratio
+        FROM shares s JOIN bi b ON s.doc_id = b.doc_id
+        ORDER BY s.doc_id
+    """,
+    doc="Gopher-style repetition metrics: share of the most frequent "
+    "word and duplicate-bigram fraction per document.",
+    tags=("llm", "cleaning"),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select("doc_id", T.tokens_col(F.col("text")).alias("toks"))
+
+    # bigrams stay array-side (no shuffle): zip_with over two slices —
+    # the transform(sequence) form re-evaluates toks per index
+    n = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", F.lit(1), n),
+        F.slice("toks", F.lit(2), n),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bi = toks.select(
+        "doc_id",
+        F.when(F.size("toks") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / (F.size("toks") - 1),
+                6,
+            )
+        )
+        .alias("dup_bigram_ratio"),
+    )
+
+    # top-word share needs cross-row counts -> explode; both groupBys
+    # and the final join are keyed on doc_id (bigrams side too), so
+    # the doc_id partitioning from the repartition is reused throughout
+    shares = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_word_share"
+            ),
+        )
+    )
+    return (
+        shares.join(bi, "doc_id")
+        .select("doc_id", "n_words", "top_word_share", "dup_bigram_ratio")
+        .orderBy("doc_id")
+    )
