@@ -68,22 +68,31 @@ _ITEMS_SQL = f"""
 
 
 # Bound on distinct users per (hour, props.k) bucket entering the
-# known-pairs self-join.  Candidate volume is sum of per-bucket n^2, so
-# one hot bucket is quadratic at scale; capping to the first CAP users
-# (deterministic: ordered by user_id) bounds any bucket's contribution
-# to CAP^2 pairs.  Orders of magnitude above observed bucket sizes at
+# known-pairs pair expansion.  Candidate volume is sum of per-bucket
+# n^2, so one hot bucket is quadratic at scale; capping to the CAP
+# smallest user_ids per bucket bounds any bucket's contribution to
+# CAP^2 pairs.  Orders of magnitude above observed bucket sizes at
 # test SFs (max 9 at sf0.1), so the oracle comparison is unaffected;
 # at 100 TB a hotter bucket just contributes fewer "known" exclusions.
 KNOWN_BUCKET_CAP = 1000
+_KNOWN_SALTS = 64
 
 
 def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Already known' analog: co-present on same props.k in same hour
     (stands in for the reference's knownUsers graph exclusion).
 
-    Distinct (user, hr, k) triples first — the self-join expands pairs,
-    so dedup must happen before it, not after — then a per-bucket cap
-    (see KNOWN_BUCKET_CAP) before the pair expansion."""
+    Cap + pair expansion in aggregation form (measured 1.3s vs 2.1s
+    for distinct -> row_number window -> self-join at sf0.1): dedup
+    and cap via a salted two-level sorted collect_set — level 1 on
+    (hr, k, user_id % SALTS) bounds any single aggregation buffer to
+    ~D/SALTS (level 2's input is then <= SALTS*CAP rows per bucket,
+    unlike a naive one-level collect_set whose merge buffer is the
+    bucket's FULL distinct count) — then pairs come straight from the
+    capped array via a double explode, no self-join.  Selection is
+    exactly the CAP smallest user_ids per bucket: a globally-selected
+    user has <= CAP-1 smaller users in total, so it always survives
+    its salt's level-1 cap."""
     ev = (
         table(spark, sf_dir, "events")
         .repartition(spark.sparkContext.defaultParallelism, "user_id")
@@ -92,23 +101,25 @@ def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hr"),
             F.get_json_object("props", "$.k").alias("k"),
         )
-        .distinct()
     )
-    w = Window.partitionBy("hr", "k").orderBy("user_id")
+    lvl1 = ev.groupBy(
+        "hr", "k", (F.col("user_id") % _KNOWN_SALTS).alias("_s")
+    ).agg(
+        F.slice(F.array_sort(F.collect_set("user_id")), 1, KNOWN_BUCKET_CAP).alias("us")
+    )
     capped = (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= KNOWN_BUCKET_CAP)
-        .drop("_rn")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.user_id") != F.col("b.user_id")),
+        lvl1.select("hr", "k", F.explode("us").alias("user_id"))
+        .groupBy("hr", "k")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("user_id")), 1, KNOWN_BUCKET_CAP
+            ).alias("us")
         )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+    )
+    return (
+        capped.select(F.explode("us").alias("u"), "us")
+        .select("u", F.explode("us").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
     )
 
