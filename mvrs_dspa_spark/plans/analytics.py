@@ -1,0 +1,198 @@
+"""Temporal / analytical operators beyond plain TPC-H shapes
+(SURVEY §2a #10t-10w): as-of join, ROLLUP hierarchy, range-frame
+moving aggregate, exact percentiles.
+
+These are the analytics idioms a reference user would reach for next
+(the reference's windowed statistics family plus standard streaming-DB
+temporal joins), each expressed as one declarative plan Catalyst can
+optimize, with a DuckDB oracle twin.
+
+Scale notes:
+- as-of join: the classic union-tag + running last_value form — ONE
+  shuffle on the join key, no range-join explosion, no per-key state.
+  This is the canonical distributed as-of (e.g. point-in-time joins in
+  feature stores); a sort-merge ASOF like DuckDB's single-node one
+  would require a global interleave anyway.
+- rollup: Spark expands grouping sets map-side; one shuffle, partial
+  aggregation per grouping set.
+- moving average: RANGE frame over event-time per user — window sort
+  is per user_id partition, no cross-key data movement.
+- percentiles: exact `percentile` needs the full value multiset per
+  group (sort-based agg, one shuffle); both engines interpolate
+  linearly so results hash-match. The streaming/sketch variant is
+  approx_percentile — kept out of the oracle gate deliberately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+
+@register(
+    "click_purchase_asof",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               p.ts AS purchase_ts,
+               c.ts AS click_ts,
+               ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 3)
+                   AS delay_s
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    doc="As-of join: each purchase attributed to the user's most "
+    "recent click at or before it (left: unattributed purchases "
+    "keep NULL). Union-tag + running last_value, one shuffle.",
+    tags=("relational", "temporal"),
+)
+def click_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    is_p = F.col("event_type") == "purchase"
+    # order clicks before purchases at equal ts so `>=` semantics hold
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), is_p.cast("int").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attr = F.last(F.when(~is_p, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("click_ts", attr)
+        .where(is_p)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            F.round(
+                (F.unix_micros("ts") - F.unix_micros("click_ts")) / 1_000_000.0, 3
+            ).alias("delay_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "event_rollup_hierarchy",
+    oracle="""
+        SELECT event_type,
+               day,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(day) AS INT) AS g_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM (
+            -- duckdb date_trunc('day') is DATE; Spark's is TIMESTAMP
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP (event_type, day)
+        ORDER BY g_type, g_day, event_type, day
+    """,
+    doc="Hierarchical rollup (type, day) -> (type) -> () in one pass: "
+    "Spark expands grouping sets map-side, one shuffle.",
+    tags=("relational",),
+)
+def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n_events", "total_value")
+        .orderBy("g_type", "g_day", "event_type", "day")
+    )
+
+
+_MAVG_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "user_value_moving_avg",
+    oracle=f"""
+        SELECT event_id, user_id, ts,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_MAVG_WINDOW_US} PRECEDING AND CURRENT ROW
+               ), 6) AS avg_1h,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_MAVG_WINDOW_US} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_1h
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+    doc="Trailing 1 h per-user moving average over event time (RANGE "
+    "frame on epoch micros, identical bounds in both engines).",
+    tags=("windows", "temporal"),
+)
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_MAVG_WINDOW_US, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               ROUND(q[1], 6) AS p50,
+               ROUND(q[2], 6) AS p90,
+               ROUND(q[3], 6) AS p99
+        FROM (
+            SELECT event_type,
+                   quantile_cont(value, [0.5, 0.9, 0.99]) AS q
+            FROM events GROUP BY event_type
+        )
+        ORDER BY event_type
+    """,
+    doc="Exact linear-interpolated p50/p90/p99 per event type "
+    "(verified bit-identical interpolation across engines).",
+    tags=("relational",),
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    q = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 6).alias("p50"),
+            F.round(F.element_at("q", 2), 6).alias("p90"),
+            F.round(F.element_at("q", 3), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -49,7 +49,7 @@ def register(
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import registers as a side effect; keep imports here to avoid cycles.
-    from mvrs_dspa_spark.plans import tpch, tpch_extra  # noqa: F401
+    from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
     from mvrs_dspa_spark.operators import (  # noqa: F401
         ann,
         cleaning,

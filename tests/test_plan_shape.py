@@ -160,3 +160,13 @@ def test_ann_cosine_topk_query_broadcast_is_bounded(spark, sf_small):
     plan = _plan(spark, sf_small, "ann_cosine_topk")
     bound = QUERY_MOD * MAX_QUERIES
     assert f"LessThan(vec_id,{bound})" in plan, plan
+
+
+def test_asof_join_is_single_exchange_no_join(spark, sf_small):
+    # union-tag as-of: one hash exchange on user_id, ZERO join operators
+    # (a range/theta join here would explode at scale)
+    plan = _plan(spark, sf_small, "click_purchase_asof")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    n_hash_exchanges = body.count("Arguments: hashpartitioning")
+    assert n_hash_exchanges == 1, body
