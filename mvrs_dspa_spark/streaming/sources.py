@@ -15,6 +15,7 @@ produces exactly the options a cluster deployment passes to
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _BATCH_FORMATS = ("parquet", "csv", "json")
@@ -108,6 +109,51 @@ def kafka_stream(
         .options(**kafka_source_options(brokers, topic, **kwargs))
         .load()
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout — the 100 TB table format.
+
+    Partition columns must be low-cardinality (event kind, date);
+    readers with literal predicates on them prune whole directories
+    before any I/O (PartitionFilters in the scan, not PushedFilters).
+
+    The repartition on the partition columns is load-bearing: without
+    it every task writes a file into every partition directory —
+    tasks × partitions small files, the classic metadata killer.  With
+    it each partition's data lands in one task = one file.
+    """
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_partitioned(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read a partitioned layout; partition columns come back as
+    regular columns and literal filters on them prune directories."""
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
 
 
 # ---------------------------------------------------------------------------

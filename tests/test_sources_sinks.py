@@ -153,3 +153,34 @@ def test_avro_surface_gated(spark, sf_small):
     orig = {tuple(r) for r in ev.select(*cols).collect()}
     got = {tuple(r) for r in back.select(*cols).collect()}
     assert got == orig
+
+
+def test_partitioned_write_prunes_directories(spark, sf_small, tmp_path):
+    import os
+
+    ev = table(spark, sf_small, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    root = str(tmp_path / "part_events")
+    sources.write_partitioned(ev, root, ["event_type"])
+
+    # one directory per event kind, ONE file per directory (the
+    # repartition prevents tasks x partitions file explosion)
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("event_type="))
+    assert len(dirs) == 5
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = sources.read_partitioned(spark, root)
+    assert back.count() == ev.count()
+
+    # literal filter on the partition column prunes whole directories:
+    # it must appear as a PartitionFilter, NOT a data PushedFilter,
+    # and the pruned scan reads 1/5 of the files
+    q = back.where(F.col("event_type") == "purchase")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan or (
+        "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+    ), plan
+    assert q.count() == ev.where(F.col("event_type") == "purchase").count()
