@@ -52,6 +52,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # measure each query from a clean heap: without this, garbage
+        # from the previous query's shuffles lands as GC pauses inside
+        # the next query's timed run (measured 2x swings)
+        spark._jvm.System.gc()
         if not cold:
             q[name](spark, sf_dir).count()  # untimed: one-time codegen compile
         best = float("inf")
