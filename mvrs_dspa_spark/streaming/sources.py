@@ -180,6 +180,27 @@ EVENTS_AVRO_SCHEMA = """{
 }"""
 
 
+# to_json's default timestampFormat truncates to milliseconds; the
+# events table carries micros, so the codec pins a micro format
+_JSON_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def encode_json(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pack `cols` into one JSON `value` binary column — the Kafka
+    message shape with a codec that needs no extra package (the
+    executable stand-in for the Avro path below; same topology)."""
+    return df.select(
+        F.to_json(F.struct(*cols), _JSON_TS_OPTS).cast("binary").alias("value")
+    )
+
+
+def decode_json(df: DataFrame, schema: StructType | str, value_col: str = "value") -> DataFrame:
+    """Unpack a JSON `value` binary column back into typed columns."""
+    return df.select(
+        F.from_json(F.col(value_col).cast("string"), schema, _JSON_TS_OPTS).alias("r")
+    ).select("r.*")
+
+
 def avro_available(spark: SparkSession) -> bool:
     """True iff the spark-avro data source is usable.
 

@@ -184,3 +184,20 @@ def test_partitioned_write_prunes_directories(spark, sf_small, tmp_path):
         "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
     ), plan
     assert q.count() == ev.where(F.col("event_type") == "purchase").count()
+
+
+def test_json_value_codec_roundtrip(spark, sf_small):
+    # executable Kafka-payload path (Avro sibling is gated): events ->
+    # binary value column -> back, lossless including the nested props
+    ev = table(spark, sf_small, "events").limit(50)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    packed = sources.encode_json(ev.select(*cols), cols)
+    assert [f.dataType.simpleString() for f in packed.schema.fields] == ["binary"]
+    back = sources.decode_json(packed, schema)
+    orig = sorted(tuple(r) for r in ev.select(*cols).collect())
+    got = sorted(tuple(r) for r in back.select(*cols).collect())
+    assert got == orig
