@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ann,
         cleaning,
         clustering,
+        decontam,
         dedup,
         reply_tree,
         sampling,
