@@ -1,0 +1,113 @@
+"""Stream-stream interval join + streaming dedup behavior."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from mvrs_dspa_spark.streaming.joins import (
+    click_purchase_stream_join,
+    dedup_stream,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _t(h: int, m: int = 0) -> datetime:
+    return datetime(2026, 1, 1, h, m, tzinfo=timezone.utc)
+
+
+def _write_batches(spark, tmp_path, batches):
+    root = str(tmp_path / "stream_in")
+    os.makedirs(root, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, SCHEMA)
+        path = os.path.join(root, f"b{i:03d}")
+        df.coalesce(1).write.parquet(path)
+        ts = time.time() + i * 10
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(dirpath, f), (ts, ts))
+    return os.path.join(root, "b*")
+
+
+def _stream(spark, glob):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+
+
+def _run(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_interval_join_matches_within_bound(spark, tmp_path):
+    rows = [
+        (1, _t(1, 0), 7, "click", 1.0),
+        (2, _t(1, 10), 7, "purchase", 42.0),   # +10 min -> joins
+        (3, _t(2, 0), 7, "purchase", 9.0),     # +60 min -> outside bound
+        (4, _t(1, 5), 8, "purchase", 5.0),     # other user, no click
+        (5, _t(0, 50), 7, "purchase", 3.0),    # BEFORE the click -> no join
+        (6, _t(12, 0), 99, "view", 0.0),       # watermark advancer
+    ]
+    glob = _write_batches(spark, tmp_path, [rows])
+    out = _run(
+        spark,
+        click_purchase_stream_join(_stream(spark, glob), within="30 minutes"),
+        "ij_basic",
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.click_id, r.purchase_id, r.purchase_value) == (7, 1, 2, 42.0)
+
+
+def test_interval_join_across_batches(spark, tmp_path):
+    # click arrives in batch 0, matching purchase in batch 1: the join
+    # state must hold the click until the purchase side catches up
+    b0 = [(1, _t(1, 0), 7, "click", 1.0)]
+    b1 = [(2, _t(1, 20), 7, "purchase", 17.0), (3, _t(12, 0), 99, "view", 0.0)]
+    glob = _write_batches(spark, tmp_path, [b0, b1])
+    out = _run(
+        spark,
+        click_purchase_stream_join(_stream(spark, glob), within="30 minutes"),
+        "ij_batches",
+    )
+    assert [(r.click_id, r.purchase_id) for r in out] == [(1, 2)]
+
+
+def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
+    # same event_id twice in-batch and again next batch within the
+    # watermark -> admitted once; a FRESH id later still flows through
+    b0 = [
+        (1, _t(1, 0), 7, "click", 1.0),
+        (1, _t(1, 0), 7, "click", 1.0),
+    ]
+    b1 = [
+        (1, _t(1, 1), 7, "click", 1.0),   # dup within watermark
+        (2, _t(1, 2), 7, "click", 1.0),   # fresh id
+        (9, _t(12, 0), 99, "view", 0.0),  # watermark advancer
+    ]
+    glob = _write_batches(spark, tmp_path, [b0, b1])
+    out = _run(spark, dedup_stream(_stream(spark, glob)), "dedup_s")
+    ids = sorted(r.event_id for r in out)
+    assert ids == [1, 2, 9]
+
+
+def test_interval_join_rejects_unsupported_how(spark):
+    import pytest
+    from mvrs_dspa_spark.streaming.joins import interval_join
+
+    df = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="inner/leftOuter"):
+        interval_join(df, df, how="fullOuter")
