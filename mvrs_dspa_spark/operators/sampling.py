@@ -46,6 +46,7 @@ def _code_sql(expr: str, salt: str) -> str:
 SPLIT_SALT = "split-v1"
 SAMPLE_SALT = "sample-v1"
 QUOTA_SALT = "quota-v1"
+MIX_SALT = "mix-v1"
 
 
 @register(
@@ -145,6 +146,74 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("hash_rank"))
         .where(F.col("hash_rank") <= QUOTA_PER_SOURCE)
         .orderBy("source", "hash_rank")
+    )
+
+
+@register(
+    "lang_mix_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, n_docs,
+                   SQRT((SELECT MIN(n_docs) FROM counts)::DOUBLE
+                        / n_docs::DOUBLE) AS p
+            FROM counts
+        ),
+        kept AS (
+            SELECT d.lang, COUNT(*) AS n_kept
+            FROM documents d JOIN rates r USING (lang)
+            WHERE {_code_sql('doc_id', MIX_SALT)} / {float(H.P)} < r.p
+            GROUP BY d.lang
+        )
+        SELECT r.lang,
+               r.n_docs,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               ROUND(r.p, 6) AS target_rate
+        FROM rates r LEFT JOIN kept k USING (lang)
+        ORDER BY lang
+    """,
+    doc="Temperature-smoothed language mixing (alpha = 0.5): language "
+    "l is kept with probability sqrt(n_min / n_l), so the resulting "
+    "mix is proportional to n_l^alpha — the multinomial temperature "
+    "reweighting used for multilingual pretraining corpora (mT5/XLM-R "
+    "style), with the lowest-resource language kept in full. alpha is "
+    "pinned to 0.5 because sqrt is IEEE correctly-rounded in both "
+    "engines (fractional pow is not), keeping the keep/drop decision "
+    "bit-identical.",
+    tags=("sampling", "llm"),
+)
+def lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep-rate mixing; counts shuffle once on `lang`
+    (tiny: one row per language), rates broadcast back onto the doc
+    stream, so the corpus itself never shuffles — the right shape at
+    100 TB where strata are few and documents are not."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double")).alias("p"),
+    )
+    u = _code(F.col("doc_id"), MIX_SALT) / float(H.P)
+    kept = (
+        docs.select("lang", u.alias("u"))
+        .join(F.broadcast(rates.select("lang", "p")), "lang")
+        .where(F.col("u") < F.col("p"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round("p", 6).alias("target_rate"),
+        )
+        .orderBy("lang")
     )
 
 
