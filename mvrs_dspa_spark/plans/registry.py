@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         clustering,
         decontam,
         dedup,
+        range_join,
         reply_tree,
         sampling,
         sessionize,

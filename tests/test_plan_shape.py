@@ -22,6 +22,7 @@ _SCALAR_BNLJ_OK = {
     "q22_idle_rich_customers",  # 1-row avg-balance scalar subquery
     "q11_concentrated_part_value",  # 1-row value-threshold scalar
     "q15_top_supplier",  # 1-row max-revenue scalar
+    "lang_mix_temperature",  # 1-row min-count scalar broadcast
 }
 
 
@@ -170,3 +171,11 @@ def test_asof_join_is_single_exchange_no_join(spark, sf_small):
     assert "Join" not in body, body
     n_hash_exchanges = body.count("Arguments: hashpartitioning")
     assert n_hash_exchanges == 1, body
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_small):
+    # the bucketed rewrite must surface as an equi-join on
+    # (user_id, _bucket); a raw theta join would be BroadcastNestedLoop
+    plan = _plan(spark, sf_small, "error_purchase_precursor_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
