@@ -116,11 +116,16 @@ def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("us")
         )
     )
+    # NO trailing distinct: the only consumer is an anti-join build
+    # side, where duplicate (u, v) rows are semantically inert. The
+    # cross-bucket multiplicity is tiny (sf0.1: 138.6k vs 134.3k rows,
+    # +3%) and skipping the dedup shuffle saves ~0.6 s of the 1.5 s
+    # known-pairs cost. Call .distinct() at the use site if exact pair
+    # sets are ever needed.
     return (
         capped.select(F.explode("us").alias("u"), "us")
         .select("u", F.explode("us").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
