@@ -87,6 +87,66 @@ def candidate_pairs_df(sig: DataFrame, id_col: str, n: int, bands: int) -> DataF
     )
 
 
+def scored_candidate_pairs_df(
+    sig: DataFrame, id_col: str, n: int, bands: int
+) -> DataFrame:
+    """(id_a < id_b, est_sim) pairs sharing >= 1 LSH bucket, scored
+    in the candidate join itself.
+
+    The signature array rides along on each exploded bucket row, so
+    estimated similarity is computed where the pair is first formed —
+    no re-join of the signature table (which re-runs the whole
+    upstream item pipeline per join under exchange reuse) and no
+    `distinct` shuffle of the raw pair stream; multi-band duplicates
+    collapse in a cheap groupBy over the (already small) scored pairs.
+    Tradeoff at scale: band-join shuffle rows carry n extra longs
+    (sig width) on both sides — linear, constant-factor — in exchange
+    for dropping two signature-side shuffle joins and a distinct.
+    Interleaved A/B at sf0.1: user-similarity 3.25s -> 2.22s, doc
+    dedup 2.59s -> 2.43s (min of 4, same JVM).
+    """
+    rows = n // bands
+    buckets = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(n)]).alias("sg"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), _band_hash_col(j, rows).alias("bh")
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sg", "bk.band", "bk.bh")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sg"), F.col("b.sg"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(matches.cast("double") / F.lit(n), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est.alias("est_sim"),
+        )
+        # duplicates (one per shared band) carry identical est_sim
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_sim").alias("est_sim"))
+    )
+
+
 def candidate_pairs_sql(sig_sql: str, id_col: str, n: int, bands: int) -> str:
     rows = n // bands
     branches = "\n            UNION ALL ".join(

@@ -176,15 +176,13 @@ _SIG_SQL = MH.signature_sql(_DOC_SHINGLE_ITEMS_SQL, "doc_id", "code", _PARAMS)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _doc_shingle_items(spark, sf_dir)
     sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
-    cand = MH.candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
-    sa, sb = sig.alias("sa"), sig.alias("sb")
+    # signatures scored inside the band join (no sig re-join / distinct)
     return (
-        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        MH.scored_candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
-            MH.est_similarity_expr(N_HASHES).alias("est_sim"),
+            "est_sim",
         )
         .where(F.col("est_sim") >= NEAR_DUP_SIM)
         .orderBy("doc_a", "doc_b")

@@ -294,14 +294,8 @@ _SIG_SQL = MH.signature_sql(_ITEMS_SQL, "user_id", "item", _PARAMS)
 def similar_users_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _items_df(spark, sf_dir)
     sig = MH.signature_df(items, "user_id", "item", _PARAMS)
-    cand = MH.candidate_pairs_df(sig, "user_id", N_HASHES, BANDS)
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    scored = (
-        cand.join(sa, F.col("id_a") == F.col("sa.user_id"))
-        .join(sb, F.col("id_b") == F.col("sb.user_id"))
-        .select("id_a", "id_b", MH.est_similarity_expr(N_HASHES).alias("est_sim"))
-    )
+    # signatures scored inside the band join (no sig re-join / distinct)
+    scored = MH.scored_candidate_pairs_df(sig, "user_id", N_HASHES, BANDS)
     both = scored.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v"), "est_sim"
     ).unionAll(
