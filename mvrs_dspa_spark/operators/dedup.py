@@ -419,12 +419,9 @@ def cluster_components(
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _doc_shingle_items(spark, sf_dir)
     sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
-    cand = MH.candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
-    sa, sb = sig.alias("sa"), sig.alias("sb")
     pairs = (
-        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .where(MH.est_similarity_expr(N_HASHES) >= NEAR_DUP_SIM)
+        MH.scored_candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
+        .where(F.col("est_sim") >= NEAR_DUP_SIM)
         .select("id_a", "id_b")
     )
     edges = pairs.select(
@@ -437,3 +434,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         (F.col("doc") == F.col("comp")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- boilerplate n-gram stats ----------------------------------------------
+
+BOILERPLATE_DF_FRAC = 0.25  # shingle is boilerplate if in >= 25% of docs
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+        WITH items AS ({_DOC_SHINGLE_ITEMS_SQL}),
+        n AS (SELECT COUNT(*) AS total FROM documents),
+        freq AS (SELECT code, COUNT(*) AS df FROM items GROUP BY code),
+        common AS (
+            SELECT code FROM freq, n
+            WHERE df >= CEIL({BOILERPLATE_DF_FRAC} * total)
+        ),
+        per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM items GROUP BY doc_id),
+        hits AS (
+            SELECT i.doc_id, COUNT(*) AS n_common
+            FROM items i JOIN common USING (code)
+            GROUP BY i.doc_id
+        )
+        SELECT p.doc_id,
+               CAST(p.n_shingles AS BIGINT) AS n_shingles,
+               CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+               ROUND(COALESCE(h.n_common, 0)::DOUBLE / p.n_shingles, 6)
+                   AS common_frac
+        FROM per p LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="C4/Gopher-style boilerplate share: fraction of each doc's "
+    "distinct bigram shingles whose corpus document-frequency is >= "
+    "25% of all docs. DF table shuffles once on code; the common set "
+    "is broadcast back (bounded above by shingle-occurrences / "
+    "df-threshold, so it CANNOT grow linearly with the corpus).",
+    tags=("dedup", "llm"),
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction via shingle document frequency.
+
+    Both per-doc aggregations reuse the doc_id hash partitioning set
+    in `_doc_shingles`; the only data-sized shuffle is the DF groupBy
+    on code (near-uniform keys). The `common` broadcast is bounded:
+    at df-threshold k over M total (doc, shingle) occurrences there
+    can be at most M/k distinct common codes.
+    """
+    items = _doc_shingle_items(spark, sf_dir)
+    total = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    freq = items.groupBy("code").agg(F.count(F.lit(1)).alias("df"))
+    common = (
+        freq.crossJoin(F.broadcast(total))
+        .where(F.col("df") >= F.ceil(BOILERPLATE_DF_FRAC * F.col("total")))
+        .select("code")
+    )
+    per = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        items.join(F.broadcast(common), "code")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        per.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            n_common.cast("long").alias("n_common"),
+            F.round(
+                n_common.cast("double") / F.col("n_shingles"), 6
+            ).alias("common_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
     from mvrs_dspa_spark.operators import (  # noqa: F401
         ann,
+        chunking,
         cleaning,
         clustering,
         decontam,

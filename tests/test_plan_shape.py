@@ -23,6 +23,7 @@ _SCALAR_BNLJ_OK = {
     "q11_concentrated_part_value",  # 1-row value-threshold scalar
     "q15_top_supplier",  # 1-row max-revenue scalar
     "lang_mix_temperature",  # 1-row min-count scalar broadcast
+    "boilerplate_ngrams",  # 1-row total-docs scalar broadcast
 }
 
 
