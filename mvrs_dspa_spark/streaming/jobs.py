@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.functions import minhash as MH
 from mvrs_dspa_spark.operators.similarity import _PARAMS, BANDS, MIN_SIM, N_HASHES, TOP_N
+from mvrs_dspa_spark.streaming import joins
 from mvrs_dspa_spark.streaming.kmeans import StreamingKMeansModel, streaming_kmeans
 from mvrs_dspa_spark.streaming.windowed import sliding_stats_stream
 
@@ -191,3 +192,47 @@ def unusual_activity_job(
     decaying weights per micro-batch and classifies via `model.assign`."""
     feats = events.transform(_event_features)
     return streaming_kmeans(feats, model, "features", checkpoint)
+
+
+def conversion_attribution_job(
+    events: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    within: str = "30 minutes",
+    window: str = "1 hour",
+):
+    """Click→purchase attribution with hourly conversion rollups — two
+    CHAINED stateful operators (stream-stream interval join, then a
+    windowed aggregation on the join output) in one continuous query,
+    the Spark analog of a multi-stage keyed Flink topology.
+
+    Watermark flows through the join automatically (do NOT re-call
+    `withWatermark` on the join output — Spark rejects watermark
+    redefinition); the aggregation fires a window once the propagated
+    watermark (source watermark minus the join's interval upper bound)
+    passes window end. Note the watermark nodes sit downstream of the
+    click/purchase filters, so only click/purchase events advance
+    event time — true of any filtered-stream topology.
+    """
+    pairs = joins.click_purchase_stream_join(events, within=within)
+    stats = (
+        pairs.groupBy(F.window("purchase_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("purchase_value"), 2).alias("conversion_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_conversions",
+            "conversion_value",
+        )
+    )
+    return (
+        stats.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -111,3 +111,39 @@ def test_interval_join_rejects_unsupported_how(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="inner/leftOuter"):
         interval_join(df, df, how="fullOuter")
+
+
+def test_conversion_attribution_job_end_to_end(spark, tmp_path):
+    # chained stateful ops: interval join -> windowed rollup, one query.
+    # Advancer rows must themselves be clicks/purchases: the watermark
+    # assignments sit downstream of the event-type filters.
+    from mvrs_dspa_spark.streaming.jobs import conversion_attribution_job
+    from datetime import datetime, timezone
+
+    def _d(d, h, m=0):
+        return datetime(2026, 1, d, h, m, tzinfo=timezone.utc)
+
+    b0 = [
+        (1, _d(1, 1, 0), 7, "click", 1.0),
+        (2, _d(1, 1, 10), 7, "purchase", 42.0),
+        (3, _d(1, 1, 30), 8, "click", 1.0),
+        (4, _d(1, 1, 50), 8, "purchase", 10.0),
+    ]
+    b1 = [  # advance both side watermarks past the 01:00-02:00 window
+        (5, _d(1, 12, 0), 98, "click", 0.0),
+        (6, _d(1, 18, 0), 97, "purchase", 0.0),
+    ]
+    b2 = [  # flush: close the advancers' own windows region
+        (7, _d(2, 12, 0), 96, "click", 0.0),
+        (8, _d(2, 18, 0), 95, "purchase", 0.0),
+    ]
+    glob = _write_batches(spark, tmp_path, [b0, b1, b2])
+    sink = str(tmp_path / "conv_out")
+    ckpt = str(tmp_path / "conv_ckpt")
+    q = conversion_attribution_job(_stream(spark, glob), sink, ckpt)
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink).orderBy("window_start").collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert r.window_start == _d(1, 1, 0).replace(tzinfo=None)
+    assert (r.n_conversions, r.conversion_value) == (2, 52.0)
