@@ -196,3 +196,46 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "activity_ledger",
+    oracle="""
+        SELECT kind,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(amount), 2) AS total_amount
+        FROM (
+            SELECT 'event:' || event_type AS kind, value AS amount
+            FROM events
+            UNION ALL
+            SELECT 'order:' || o_orderpriority AS kind,
+                   o_totalprice AS amount
+            FROM orders
+        )
+        GROUP BY kind
+        ORDER BY kind
+    """,
+    doc="Heterogeneous-source union into a common ledger schema "
+    "(SURVEY §2a #10 standalone gate): events and orders normalized "
+    "to (kind, amount), then one aggregation over the union — the "
+    "map-side-combined shape where the union adds no exchange.",
+    tags=("relational", "union"),
+)
+def activity_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.concat(F.lit("event:"), F.col("event_type")).alias("kind"),
+        F.col("value").alias("amount"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("order:"), F.col("o_orderpriority")).alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return (
+        ev.unionByName(orders)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+        )
+        .orderBy("kind")
+    )
