@@ -14,7 +14,7 @@ embarrassingly parallel and bounded by parquet scan throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.functions import hashing as H
@@ -135,14 +135,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "doc_quality",
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents
+# Shared metric CTEs (t -> tokens, m -> raw ratio metrics): one
+# definition feeds both the doc_quality report and the percentile
+# filter, so the filter's keep/drop decisions are gated on exactly the
+# score the report publishes.
+_QUALITY_CTES = f"""
+        t AS (
+            SELECT doc_id, lang, text, {T.tokens_sql('text')} AS toks
+            FROM documents
         ),
         m AS (
-            SELECT doc_id,
+            SELECT doc_id, lang,
                    length(text) AS n_chars,
                    len(toks) AS n_tokens,
                    CASE WHEN len(toks) = 0 THEN 0.0
@@ -153,21 +156,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 1.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) END AS alpha_ratio
             FROM t
         )
-        SELECT doc_id, n_chars, n_tokens,
-               ROUND(avg_token_len, 6) AS avg_token_len,
-               ROUND(stopword_ratio, 6) AS stopword_ratio,
-               ROUND(alpha_ratio, 6) AS alpha_ratio,
-               ROUND(0.5 * stopword_ratio + 0.3 * alpha_ratio
-                     + 0.2 * (CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END) / 100.0, 6) AS quality_score
-        FROM m
-        ORDER BY doc_id
-    """,
-    doc="Quality scoring: length/stopword/alpha ratios + rational "
-    "composite score (no transcendentals: cross-engine exact).",
-    tags=("text",),
-)
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _toks(table(spark, sf_dir, "documents"))
+"""
+
+_QUALITY_SCORE_SQL = """ROUND(0.5 * stopword_ratio + 0.3 * alpha_ratio
+                     + 0.2 * (CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END) / 100.0, 6)"""
+
+
+def _quality_metrics(df: DataFrame) -> DataFrame:
+    """Raw (unrounded) quality metrics per doc; Spark twin of the
+    ``m`` CTE in :data:`_QUALITY_CTES`."""
+    t = df.select(
+        "doc_id", "lang", "text", T.tokens_col(F.col("text")).alias("toks")
+    )
     n_tokens = F.size("toks")
     tok_len_sum = F.aggregate(
         F.transform(F.col("toks"), F.length),
@@ -184,15 +184,45 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
     )
+    return t.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("_atl"),
+        stopword_ratio.alias("_sr"),
+        alpha_ratio.alias("_ar"),
+    )
+
+
+def _quality_score_col() -> Column:
+    return F.round(
+        0.5 * F.col("_sr")
+        + 0.3 * F.col("_ar")
+        + 0.2 * F.least(F.col("n_tokens"), F.lit(100)) / 100.0,
+        6,
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+        WITH {_QUALITY_CTES}
+        SELECT doc_id, n_chars, n_tokens,
+               ROUND(avg_token_len, 6) AS avg_token_len,
+               ROUND(stopword_ratio, 6) AS stopword_ratio,
+               ROUND(alpha_ratio, 6) AS alpha_ratio,
+               {_QUALITY_SCORE_SQL} AS quality_score
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc="Quality scoring: length/stopword/alpha ratios + rational "
+    "composite score (no transcendentals: cross-engine exact).",
+    tags=("text",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        t.select(
-            "doc_id",
-            n_chars.alias("n_chars"),
-            n_tokens.alias("n_tokens"),
-            avg_token_len.alias("_atl"),
-            stopword_ratio.alias("_sr"),
-            alpha_ratio.alias("_ar"),
-        )
+        _quality_metrics(table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "n_chars",
@@ -200,13 +230,54 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_atl", 6).alias("avg_token_len"),
             F.round("_sr", 6).alias("stopword_ratio"),
             F.round("_ar", 6).alias("alpha_ratio"),
-            F.round(
-                0.5 * F.col("_sr")
-                + 0.3 * F.col("_ar")
-                + 0.2 * F.least(F.col("n_tokens"), F.lit(100)) / 100.0,
-                6,
-            ).alias("quality_score"),
+            _quality_score_col().alias("quality_score"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# Drop the lowest-quality fraction per language: per-stratum rather
+# than global because quality scores aren't comparable across
+# languages (the stopword list is per-language).
+QUALITY_DROP_FRAC = 0.2
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+        WITH {_QUALITY_CTES},
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   {_QUALITY_SCORE_SQL} AS quality_score
+            FROM m
+        )
+        SELECT doc_id, lang, quality_score, ROUND(q_rank, 6) AS q_rank
+        FROM (
+            SELECT *, PERCENT_RANK() OVER (
+                PARTITION BY lang ORDER BY quality_score, doc_id
+            ) AS q_rank
+            FROM s
+        )
+        WHERE q_rank >= {QUALITY_DROP_FRAC}
+        ORDER BY doc_id
+    """,
+    doc="Percentile quality gate: drop the bottom 20% of docs per "
+    "language by the published quality_score (percent_rank over the "
+    "rounded score, doc_id tiebreak, so the kept set is deterministic "
+    "and engine-identical). One shuffle on lang; strata are few, so "
+    "the window never concentrates more than one language per task.",
+    tags=("text", "sampling", "llm"),
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _quality_metrics(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_tokens", "_sr", "_ar"
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        s.select("doc_id", "lang", _quality_score_col().alias("quality_score"))
+        .withColumn("q_rank", F.percent_rank().over(w))
+        .where(F.col("q_rank") >= QUALITY_DROP_FRAC)
+        .select("doc_id", "lang", "quality_score", F.round("q_rank", 6).alias("q_rank"))
         .orderBy("doc_id")
     )
 

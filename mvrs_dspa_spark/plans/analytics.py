@@ -199,6 +199,46 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_events_snapshot",
+    oracle="""
+        SELECT user_id, event_type, event_id AS last_event_id,
+               ts AS last_ts, ROUND(value, 2) AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+    doc="CDC upsert compaction: collapse the event log to the latest "
+    "row per (user, type) key — the MERGE/latest-snapshot idiom, one "
+    "shuffle on the key, ties broken by event_id so both engines pick "
+    "the same row.",
+    tags=("relational", "temporal"),
+)
+def latest_events_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
     "activity_ledger",
     oracle="""
         SELECT kind,

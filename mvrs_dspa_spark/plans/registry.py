@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         clustering,
         decontam,
         dedup,
+        export,
         range_join,
         reply_tree,
         sampling,

@@ -47,15 +47,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_configs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros exactly
-        # like DuckDB does so oracle comparisons see identical instants.
+        # Normalize ts to TIMESTAMP (session tz, pinned UTC above) no
+        # matter how the generator wrote it: INT64 TIMESTAMP(NANOS)
+        # surfaces as long nanos via nanosAsLong; TIMESTAMP(MICROS)
+        # without the UTC-adjusted flag surfaces as TIMESTAMP_NTZ.
+        # DuckDB reads both as naive micros, so either branch keeps the
+        # oracle comparison instant-identical.
+        from pyspark.sql import functions as F
+
         field = dict(df.dtypes).get("ts")
         if field == "bigint":
-            from pyspark.sql import functions as F
-
             # integer div: nanos ~1.7e18 exceed double's 53-bit mantissa
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field == "timestamp_ntz":
+            # NTZ -> LTZ is exact under the UTC session tz; downstream
+            # code (unix_micros, windows, watermarks) expects TIMESTAMP
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
