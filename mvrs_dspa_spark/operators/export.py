@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.functions import hashing as H
-from mvrs_dspa_spark.operators.ann import dot_col, _with_norm_df
+from mvrs_dspa_spark.operators.ann import _cos_udf
 from mvrs_dspa_spark.operators.clustering import assign_clusters, kmeans_fit
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table
@@ -99,15 +99,16 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ann", "dedup", "llm"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm_df(table(spark, sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = kmeans_fit(emb, "embedding", k=SEM_K, iters=SEM_ITERS, id_col="vec_id")
     assigned = assign_clusters(emb, "embedding", centroids).select(
-        "vec_id", "embedding", "nrm", "cluster"
+        "vec_id", "embedding", "cluster"
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
+    # pair cosine via Arrow-batched numpy (rows-gated query, so the
+    # oracle-fold FP order is not required; the pair volume is the hot
+    # loop and the batched matmul is ~100x the interpreted fold)
+    cos = _cos_udf()(F.col("a.embedding"), F.col("b.embedding"))
     # v is dropped when ANY lower-id same-cluster vector is >= tau close
     # (the earlier vector itself may also be dropped — chains collapse
     # toward their lowest id, exactly the paper's keep-one-per-ball).

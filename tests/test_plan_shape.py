@@ -180,3 +180,44 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_small):
     plan = _plan(spark, sf_small, "error_purchase_precursor_join")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_small):
+    """Catalyst's runtime bloom filter prunes the big probe side of a
+    shuffle join before the exchange — the shuffle-volume killer at
+    100 TB. The production thresholds (creation side <= 10 MB,
+    application scan >= 10 GB) only meet on a real cluster, so this
+    lock lowers them to prove the engine's plans stay eligible for
+    the rewrite: a selective dim filter + non-broadcast equi-join
+    must surface might_contain on the probe-side scan."""
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.tables import table
+
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_small, "lineitem")
+        orders = table(spark, sf_small, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
