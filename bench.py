@@ -47,6 +47,9 @@ EXTRA_QUERIES = [
     "boilerplate_ngrams",
     "error_purchase_precursor_join",
     "ann_ivf",
+    "dedup_incremental",
+    "semantic_dedup",
+    "quality_percentile_filter",
 ]
 
 

@@ -189,6 +189,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_MOD = 4  # doc_id % 4 == 0 -> incoming batch; everything else -> corpus
+# integer match-count threshold: est_sim >= 0.5 <=> matches >= n/2;
+# comparing the integer keeps the keep/drop decision engine-exact
+MIN_MATCHES = int(N_HASHES * NEAR_DUP_SIM)
+
+_INCR_BUCKETS_SQL = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, {MH._band_hash_sql(j, N_HASHES // BANDS)} AS bh FROM sig"
+    for j in range(BANDS)
+)
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH sig AS ({_SIG_SQL}),
+        buckets AS ({_INCR_BUCKETS_SQL}),
+        matches AS (
+            SELECT a.doc_id AS inc_id, MIN(b.doc_id) AS dup_of
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+            JOIN sig sa ON sa.doc_id = a.doc_id
+            JOIN sig sb ON sb.doc_id = b.doc_id
+            WHERE a.doc_id % {INCR_MOD} = 0 AND b.doc_id % {INCR_MOD} <> 0
+              AND ({MH.sig_match_count_sql(N_HASHES)}) >= {MIN_MATCHES}
+            GROUP BY a.doc_id
+        )
+        SELECT d.doc_id,
+               m.dup_of IS NULL AS keep,
+               m.dup_of
+        FROM documents d LEFT JOIN matches m ON m.inc_id = d.doc_id
+        WHERE d.doc_id % {INCR_MOD} = 0
+        ORDER BY d.doc_id
+    """,
+    doc="Incremental dedup: a new batch (doc_id % 4 == 0 stands in for "
+    "the delta) checked against the existing corpus via the SAME "
+    "MinHash band buckets, asymmetrically — no corpus-corpus pairs are "
+    "ever formed. dup_of = lowest matching corpus doc. The shape a "
+    "recurring crawl pipeline runs daily: at 100 TB the corpus side is "
+    "a precomputed signature table and only the delta is re-shingled.",
+    tags=("dedup", "llm"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _doc_shingle_items(spark, sf_dir)
+    sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
+    buckets = MH.bucket_rows_df(sig, "doc_id", N_HASHES, BANDS)
+    inc = buckets.where(F.col("doc_id") % INCR_MOD == 0).alias("a")
+    corp = buckets.where(F.col("doc_id") % INCR_MOD != 0).alias("b")
+    matches = MH.sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
+    matched = (
+        inc.join(
+            corp,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .where(matches >= MIN_MATCHES)
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("corp_id"))
+        .groupBy("doc_id")
+        .agg(F.min("corp_id").alias("dup_of"))
+    )
+    incoming = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % INCR_MOD == 0)
+        .select("doc_id")
+    )
+    return (
+        incoming.join(matched, "doc_id", "left")
+        .select("doc_id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+        .orderBy("doc_id")
+    )
+
+
 # --- simhash ---------------------------------------------------------------
 
 def simhash_agg(items: DataFrame, id_col: str, code_col: str) -> DataFrame:

@@ -200,8 +200,31 @@ _ACTIVE_SQL = f"""
     tags=("similarity", "bench"),
 )
 def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items_df(spark, sf_dir)
-    sizes = items.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # One events scan + one shuffle on user_id yields the item sets,
+    # set sizes, AND the activity cutoff (vs three separate scans when
+    # items/sizes/active are built independently — measured 2.46s ->
+    # 2.16s at sf0.1, and one scan instead of three is the posture that
+    # matters at 100 TB). Item sets per user are bounded by the item
+    # vocabulary, same bound the explode-join itself relies on.
+    ev = table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    etype_idx = F.lit(None)
+    for i, t in enumerate(EVENT_TYPES):
+        etype_idx = F.when(F.col("event_type") == t, F.lit(i)).otherwise(etype_idx)
+    code = etype_idx.cast("long") * 1000 + F.get_json_object(
+        "props", "$.k"
+    ).cast("long")
+    per_user = (
+        ev.select("user_id", code.alias("item"), "ts")
+        .groupBy("user_id")
+        .agg(
+            F.collect_set("item").alias("items"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+        )
+    )
+    items = per_user.select("user_id", F.explode("items").alias("item"))
+    sizes = per_user.select("user_id", F.size("items").alias("n"))
     a, b = items.alias("a"), items.alias("b")
     inter = (
         a.join(
@@ -234,7 +257,15 @@ def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and AQE was measured not to convert this anti join on its own
     # (sf0.1: 2.9s -> 1.95s with the hint).
     known = _known_pairs_df(spark, sf_dir)
-    active = _active_users_df(spark, sf_dir)
+    cutoff = per_user.agg(
+        (F.max("last_us") - ACTIVE_DAYS * 86_400_000_000).alias("c")
+    )
+    active = (
+        per_user.select("user_id", "last_us")
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("last_us") >= F.col("c"))
+        .select("user_id")
+    )
     filtered = (
         sims.join(
             F.broadcast(active.withColumnRenamed("user_id", "v_active")),

@@ -1,0 +1,112 @@
+"""Streaming throughput measurement (SURVEY §7.8: streaming tuning).
+
+The reference reports its pipeline health through per-operator counts
+(`functions/ProgressMonitorFunction.scala`); Spark's per-batch
+progress events already carry rows/sec, so this module packages a
+repeatable micro-benchmark around them instead of a custom counter:
+drive a BOUNDED stream through a representative pipeline into the
+no-op sink and summarize `recentProgress`.
+
+Two source modes, because they measure different things:
+- `parquet`: a file stream over pre-split parquet (JVM-side scan,
+  `maxFilesPerTrigger` pacing) — the real engine path; throughput here
+  is the number that scales with executors.
+- `synthetic`: the engine's Python DataSource (`synthetic_source.py`)
+  — bounded by the Python worker generating rows, useful as a ceiling
+  check on custom Python sources, not as an engine number.
+
+Pipelines: `stateless` (projection+filter — source/sink overhead) and
+`sliding` (watermark + sliding-window agg — the stateful path of
+`streaming/windowed.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mvrs_dspa_spark.streaming.windowed import sliding_stats_stream
+
+
+def _apply_pipeline(src: DataFrame, pipeline: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if pipeline == "stateless":
+        return src.where(F.col("value") > 1.0).select(
+            "event_id", "user_id", "event_type", (F.col("value") * 2).alias("v2")
+        )
+    if pipeline == "sliding":
+        return sliding_stats_stream(src)
+    raise ValueError(f"unknown pipeline {pipeline!r}")
+
+
+def measure_stream_throughput(
+    spark: SparkSession,
+    source: str = "parquet",
+    pipeline: str = "sliding",
+    parquet_dir: str | None = None,
+    files_per_trigger: int = 2,
+    synthetic_rows: int = 100_000,
+    rows_per_batch: int = 25_000,
+    timeout_s: int = 120,
+) -> dict:
+    """Run the bounded stream to completion; return a progress summary.
+
+    Output keys: rows, batches, wall_ms (sum of batch triggerExecution),
+    rows_per_s (rows / wall), peak_batch_rows_per_s.
+    """
+    if source == "parquet":
+        if parquet_dir is None:
+            raise ValueError("parquet_dir required for source='parquet'")
+        from mvrs_dspa_spark.streaming.synthetic_source import SCHEMA_DDL
+
+        src = (
+            spark.readStream.schema(SCHEMA_DDL)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(parquet_dir)
+        )
+    elif source == "synthetic":
+        from mvrs_dspa_spark.streaming.synthetic_source import (
+            register_synthetic_source,
+        )
+
+        register_synthetic_source(spark)
+        src = (
+            spark.readStream.format("synthetic_events")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("maxRows", synthetic_rows)
+            .load()
+        )
+    else:
+        raise ValueError(f"unknown source {source!r}")
+
+    q = (
+        _apply_pipeline(src, pipeline)
+        .writeStream.format("noop")
+        .outputMode("append" if pipeline != "stateless" else "append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(timeout_s)
+
+    progress = [p for p in (q.recentProgress or []) if p is not None]
+    rows = sum(p["numInputRows"] for p in progress)
+    wall_ms = sum(
+        (p.get("durationMs") or {}).get("triggerExecution", 0) for p in progress
+    )
+    batch_rates = [
+        p["processedRowsPerSecond"]
+        for p in progress
+        if p["numInputRows"] and p.get("processedRowsPerSecond")
+    ]
+    return {
+        "source": source,
+        "pipeline": pipeline,
+        "rows": rows,
+        "batches": sum(1 for p in progress if p["numInputRows"]),
+        "wall_ms": wall_ms,
+        "rows_per_s": round(rows / (wall_ms / 1000.0), 1) if wall_ms else 0.0,
+        "peak_batch_rows_per_s": round(max(batch_rates), 1) if batch_rates else 0.0,
+    }
