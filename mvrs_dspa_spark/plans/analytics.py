@@ -198,6 +198,40 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 10_000  # KLL-style sketch accuracy knob
+
+
+@register(
+    "event_value_percentiles_approx",
+    oracle=None,  # sketch output is engine-specific; pytest bounds the error
+    doc="Sketch-based p50/p90/p99 per event type via approx_percentile "
+    "(Greenwald-Khanna/KLL-family quantile sketch): mergeable partial "
+    "sketches, one shuffle of sketch state instead of the full value "
+    "multiset — the streaming/100 TB path next to the exact "
+    "event_value_percentiles baseline. tests/test_sketches.py bounds "
+    "its error against the exact oracle-gated twin.",
+    tags=("relational", "sketch"),
+)
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    q = F.approx_percentile(
+        "value",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(APPROX_PCT_ACCURACY),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 6).alias("p50"),
+            F.round(F.element_at("q", 2), 6).alias("p90"),
+            F.round(F.element_at("q", 3), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "latest_events_snapshot",
     oracle="""

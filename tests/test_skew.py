@@ -67,3 +67,38 @@ def test_salted_join_rejects_outer_joins(spark, sf_small):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join does not support"):
             skew.salted_join(ev, users, "user_id", "event_id", how=how)
+
+
+def test_salted_aggregate_spreads_hot_key_across_reducers(spark):
+    """The 100 TB scenario in miniature: ONE key owns 100k rows. Plain
+    groupBy lands them on one reducer; the salted phase-1 must spread
+    them across many. Asserted on the actual phase-1 exchange: distinct
+    shuffle partitions touched by the hot key's partial aggregates."""
+    hot = spark.range(100_000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("event_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    salted_partials = (
+        skew.with_salt(hot, "event_id", 16)
+        .groupBy("k", "_salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    # AQE would coalesce the tiny 16-row output back to one partition,
+    # hiding exactly the spread this test observes; turn it off here.
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        parts = (
+            salted_partials.withColumn("p", F.spark_partition_id())
+            .select("p")
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+    assert parts > 1, "phase-1 partials all landed on one reducer"
+    # and the two-phase result still matches the plain aggregation
+    out = skew.salted_aggregate(hot, ["k"], "event_id", ["value"]).collect()
+    assert len(out) == 1
+    assert out[0].n_rows == 100_000
+    assert abs(out[0].sum_value - sum(i % 97 for i in range(100_000))) < 1e-6
