@@ -221,3 +221,29 @@ def test_runtime_bloom_filter_injection(spark, sf_small):
             old_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "top_user_per_type",
+        "similar_users_jaccard",
+        "similar_users_minhash_lsh",
+        "ann_cosine_topk",
+        "ann_ivf",
+        "source_quota_cap",
+        "latest_events_snapshot",
+    ],
+)
+def test_topn_queries_get_window_group_limit(spark, sf_small, name):
+    """Every rank<=N filter must compile to WindowGroupLimit: Spark
+    then keeps only the per-partition top-N BEFORE the window
+    shuffle, so at scale the exchange carries k rows per key instead
+    of every candidate row. Losing this (e.g. by filtering on a
+    derived column instead of the rank itself) silently reverts to
+    shuffling the full candidate set."""
+    from mvrs_dspa_spark.plans.registry import all_queries
+
+    df = all_queries()[name].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, f"{name} lost WindowGroupLimit"
