@@ -7,10 +7,11 @@ Each query is fully executed (count() forces every exchange and
 aggregation; nothing is cached between queries — Spark's DataFrame
 cache is never used). Timing is steady-state: each query runs once
 untimed (Catalyst analysis + Janino/whole-stage-codegen compile are
-one-time JVM costs that amortize away at scale), then the MIN of two
+one-time JVM costs that amortize away at scale), then the MIN of three
 timed full executions is reported — single timed runs in a shared JVM
-swing 2x on GC pauses, and min-of-2 measures the plan, not the pause.
-Set SPARK_GRAFT_COLD=1 to time first executions instead.
+swing 2x on GC pauses and background load, and the min measures the
+plan, not the pause. Set SPARK_GRAFT_COLD=1 to time first executions
+instead.
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def main() -> None:
             if not cold:
                 q[name](spark, sf_dir).count()  # untimed: codegen compile
             best = float("inf")
-            for _ in range(1 if cold else 2):
+            for _ in range(1 if cold else 3):
                 t0 = time.perf_counter()
                 q[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)

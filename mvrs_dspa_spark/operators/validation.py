@@ -1,0 +1,125 @@
+"""Data-quality constraint checking (SURVEY §2f #56).
+
+Every serious ingest pipeline runs declarative validation (dbt tests /
+Deequ-style constraints) before downstream jobs consume a batch. This
+expresses the engine's star schema contracts — domain bounds,
+referential integrity, key uniqueness, derived-column consistency — as
+ONE DataFrame: a union of scalar violation counts, each independently
+scan-bound.
+
+Scale shape: domain/consistency rules are narrow scan+agg passes
+(embarrassingly parallel); the referential rules are anti joins whose
+build side is the smaller key set (broadcast at dim sizes, shuffle
+otherwise — Catalyst picks); key-uniqueness is one groupBy on the key.
+Nothing here shuffles the fact tables more than once per rule, and the
+union output is a handful of scalar rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+
+def _rule(name: str, count_df: DataFrame) -> DataFrame:
+    return count_df.select(
+        F.lit(name).alias("rule"), F.col("n").cast("long").alias("n_violations")
+    )
+
+
+@register(
+    "constraint_violations",
+    oracle="""
+        SELECT rule, n_violations FROM (
+            SELECT 'events.duplicate_event_id' AS rule,
+                   CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'events.value_negative_or_null',
+                   CAST(COUNT(*) FILTER (WHERE value IS NULL OR value < 0) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'documents.n_chars_mismatch',
+                   CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'lineitem.quantity_not_positive',
+                   CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.discount_out_of_range',
+                   CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.orphan_orderkey',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL
+            SELECT 'orders.orphan_custkey',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+        )
+        ORDER BY rule
+    """,
+    doc="Deequ/dbt-style batch validation: domain bounds, referential "
+    "integrity (anti-join counts), key uniqueness, derived-column "
+    "consistency — one unioned violation-count report per ingest "
+    "batch.",
+    tags=("relational", "validation"),
+)
+def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    docs = table(spark, sf_dir, "documents")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    rules = [
+        _rule(
+            "events.duplicate_event_id",
+            ev.agg((F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n")),
+        ),
+        _rule(
+            "events.value_negative_or_null",
+            ev.agg(
+                F.count_if(F.col("value").isNull() | (F.col("value") < 0)).alias("n")
+            ),
+        ),
+        _rule(
+            "documents.n_chars_mismatch",
+            docs.agg(
+                F.count_if(F.col("n_chars") != F.length("text")).alias("n")
+            ),
+        ),
+        _rule(
+            "lineitem.quantity_not_positive",
+            li.agg(F.count_if(F.col("l_quantity") <= 0).alias("n")),
+        ),
+        _rule(
+            "lineitem.discount_out_of_range",
+            li.agg(
+                F.count_if(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).alias("n")
+            ),
+        ),
+        _rule(
+            "lineitem.orphan_orderkey",
+            li.join(
+                orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        _rule(
+            "orders.orphan_custkey",
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rule")

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         skew,
         text_analysis,
+        validation,
         window_stats,
     )
 
