@@ -94,7 +94,7 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "sf": sf,
-                "methodology": "cold-first-run" if cold else "steady-state-min-of-2",
+                "methodology": "cold-first-run" if cold else "steady-state-min-of-3",
             }
         )
     )

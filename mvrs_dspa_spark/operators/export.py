@@ -1,5 +1,6 @@
-"""Training-export shapes (SURVEY §2f #52-53): deterministic shard
-manifests and SemDeDup-style semantic deduplication.
+"""Training-export shapes (SURVEY §2f #52-54, #57): deterministic
+shard manifests, SemDeDup-style semantic dedup, and the composed
+end-to-end curation pipeline.
 
 - `shard_manifest`: the step between a curated corpus and training —
   assign every document to one of N output shards and a position
@@ -11,8 +12,12 @@ manifests and SemDeDup-style semantic deduplication.
   the SemDeDup recipe (Abbas et al., 2023, arXiv:2303.09540): K-means
   partitions the space, then candidate pairs are compared ONLY within
   a cluster, so the quadratic term is bounded per cluster instead of
-  global. Reuses the engine's deterministic `kmeans_fit` and the
-  oracle-verified cosine fold from `operators/ann.py`.
+  global. Reuses the engine's deterministic `kmeans_fit` and
+  Arrow-batched cosine scoring from `operators/ann.py`.
+- `training_corpus_manifest`: quality gate -> exact dedup -> split ->
+  shard, chained from the other modules' own definitions — the whole
+  curation pipeline as ONE declarative plan Catalyst optimizes
+  end-to-end, hash-checked against an equally-composed DuckDB oracle.
 
 Scale shape:
 - shard_manifest is one shuffle on shard_id (the window); position
@@ -85,6 +90,138 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) - 1).cast("long").alias("pos"),
         )
         .orderBy("shard_id", "pos")
+    )
+
+
+def _manifest_oracle() -> str:
+    from mvrs_dspa_spark.operators.sampling import SPLIT_SALT
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _QUALITY_CTES,
+        _QUALITY_SCORE_SQL,
+        QUALITY_DROP_FRAC,
+    )
+
+    split_code = H.str_code_sql(f"'{SPLIT_SALT}:' || (doc_id)::VARCHAR")
+    shard_code = H.str_code_sql(f"'{SHARD_SALT}:' || (doc_id)::VARCHAR")
+    return f"""
+        WITH {_QUALITY_CTES},
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   {_QUALITY_SCORE_SQL} AS q
+            FROM m
+        ),
+        kept AS (
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, PERCENT_RANK() OVER (
+                    PARTITION BY lang ORDER BY q, doc_id) AS qr
+                FROM s
+            ) WHERE qr >= {QUALITY_DROP_FRAC}
+        ),
+        norm AS (
+            SELECT d.doc_id,
+                   regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g') AS nt
+            FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+        ),
+        canon AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY nt) AS c FROM norm
+            ) WHERE doc_id = c
+        ),
+        assigned AS (
+            SELECT doc_id, lang,
+                   CASE WHEN ({split_code}) % 100 < 80 THEN 'train'
+                        WHEN ({split_code}) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   ({shard_code}) % {N_SHARDS} AS shard_id,
+                   {shard_code} AS sc
+            FROM (SELECT k.doc_id AS doc_id, k.lang
+                  FROM kept k JOIN canon c ON c.doc_id = k.doc_id)
+        )
+        SELECT doc_id, lang, split, shard_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY split, shard_id ORDER BY sc, doc_id
+               ) - 1 AS pos
+        FROM assigned
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "training_corpus_manifest",
+    oracle=_manifest_oracle(),
+    doc="Composed curation pipeline: per-language quality gate -> "
+    "exact-dedup canonical keep -> deterministic 80/10/10 split -> "
+    "hash-sharded manifest. Every stage reuses an oracle-verified "
+    "operator's definition, so the composition is itself hash-checked "
+    "end to end.",
+    tags=("sampling", "export", "llm"),
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composed from the engine's own
+    oracle-verified stages — the query a user runs to turn a raw
+    document table into a training manifest:
+
+    quality gate (drop bottom 20% per language by the published
+    quality_score) -> exact dedup (keep canonical docs only) ->
+    deterministic 80/10/10 split -> hash-sharded, hash-ordered
+    positions per (split, shard).
+
+    Every stage is a pure function of the data (salted md5 codes, no
+    RNG), so the manifest is reproducible across runs, engines, and
+    cluster sizes. One documents scan feeds the quality+split+shard
+    columns; dedup joins the normalized text back on doc_id.
+    """
+    from mvrs_dspa_spark.operators.sampling import SPLIT_SALT, _code
+    from mvrs_dspa_spark.operators.text_analysis import (
+        QUALITY_DROP_FRAC,
+        _quality_metrics,
+        _quality_score_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    s = _quality_metrics(docs).select(
+        "doc_id", "lang", "n_tokens", "_sr", "_ar"
+    ).select("doc_id", "lang", _quality_score_col().alias("q"))
+    wq = Window.partitionBy("lang").orderBy("q", "doc_id")
+    kept = (
+        s.withColumn("qr", F.percent_rank().over(wq))
+        .where(F.col("qr") >= QUALITY_DROP_FRAC)
+        .select("doc_id", "lang")
+    )
+    norm = docs.join(kept.select("doc_id"), "doc_id").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ").alias("nt"),
+    )
+    wn = Window.partitionBy("nt")
+    canon = (
+        norm.withColumn("c", F.min("doc_id").over(wn))
+        .where(F.col("doc_id") == F.col("c"))
+        .select("doc_id")
+    )
+    split_bucket = _code(F.col("doc_id"), SPLIT_SALT) % 100
+    shard_code = H.str_code_col(
+        F.concat(F.lit(SHARD_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    assigned = kept.join(canon, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        (shard_code % N_SHARDS).alias("shard_id"),
+        shard_code.alias("sc"),
+    )
+    wp = Window.partitionBy("split", "shard_id").orderBy("sc", "doc_id")
+    return (
+        assigned.select(
+            "doc_id",
+            "lang",
+            "split",
+            "shard_id",
+            (F.row_number().over(wp) - 1).cast("long").alias("pos"),
+        )
+        .orderBy("doc_id")
     )
 
 
