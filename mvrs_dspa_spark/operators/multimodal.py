@@ -157,3 +157,75 @@ def with_arrow_batch_bound(df: DataFrame, max_records: int = 64) -> DataFrame:
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records)
         )
     return df.repartition(n)
+
+
+# --- driver-visible query over synthesized media ---------------------------
+#
+# The testdata has no binary media table, so the registered query
+# synthesizes one deterministically from `documents` (payload = 64
+# bytes of md5-derived content per doc) and runs the Arrow
+# feature-extraction stage over it. This keeps the mapInPandas
+# plumbing on the driver-checked surface rather than pytest-only.
+# NOTE: the stage below is deliberately self-contained (locals +
+# stdlib/numpy/pandas only) so cloudpickle ships it by value and
+# executors never need this package importable (driver may run from
+# any cwd).
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table as _table
+
+
+@register(
+    "media_features",
+    oracle=None,  # binary payload + sha256 stage; pytest pins the values
+    doc="Multimodal feature extraction on the driver-checked surface: "
+    "synthesize a binary media table from documents (64-byte "
+    "md5-derived payloads, kind image/audio/video), run the Arrow "
+    "mapInPandas decode->feature stage (fake codec), project the "
+    "payload away. Payloads never touch the driver.",
+    tags=("multimodal", "llm"),
+)
+def media_features(spark, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":chunk{i}"))))
+            for i in range(4)
+        ]
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"), payload.alias("payload")
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        dim = 16
+        for pdf in batches:
+            f0 = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(bytes(p)).digest()
+                raw = _np.frombuffer(
+                    (h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4"
+                )
+                f0.append(float((raw % 10_000)[0]) / 10_000.0)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "f0": _pd.Series(f0, dtype="float64"),
+                }
+            )
+
+    return (
+        media.mapInPandas(stage, schema="media_id long, kind string, n_bytes long, f0 double")
+        .orderBy("media_id")
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         decontam,
         dedup,
         export,
+        multimodal,
         range_join,
         reply_tree,
         sampling,

@@ -61,3 +61,33 @@ def test_frame_sampling(spark):
         assert isinstance(r.frame_payload, (bytes, bytearray))
         assert len(r.frame_payload) > 0
     assert all(sorted(v) == [0, 10] for v in per_vid.values())  # 20 frames / 10
+
+
+def test_media_features_registered_query_deterministic(spark, sf_small):
+    """The driver-visible media_features query: full coverage, stable
+    values, and the Arrow-stage output must equal a driver-side
+    reference computation of the same fake codec."""
+    import hashlib
+
+    import numpy as np
+
+    from mvrs_dspa_spark.operators.multimodal import media_features
+    from mvrs_dspa_spark.tables import table
+
+    rows = media_features(spark, sf_small).collect()
+    docs = {r.doc_id: r.text for r in table(spark, sf_small, "documents").collect()}
+    assert len(rows) == len(docs)
+    assert all(r.n_bytes == 64 for r in rows)
+    assert all(0.0 <= r.f0 < 1.0 for r in rows)
+    # re-run: identical (pure function of the data)
+    again = media_features(spark, sf_small).collect()
+    assert rows == again
+    # value-pin a sample against a plain-Python reference
+    for r in rows[:5]:
+        payload = b"".join(
+            hashlib.md5((docs[r.media_id] + f":chunk{i}").encode()).digest()
+            for i in range(4)
+        )
+        h = hashlib.sha256(payload).digest()
+        raw = np.frombuffer((h * ((16 * 4) // len(h) + 1))[: 16 * 4], dtype="<u4")
+        assert r.f0 == float((raw % 10_000)[0]) / 10_000.0
