@@ -131,3 +131,41 @@ def _event_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def reply_tree_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_roots(_event_forest(spark, sf_dir)).orderBy("id")
+
+
+@register(
+    "reply_tree_stats",
+    oracle=f"""
+        WITH RECURSIVE nodes AS ({_FOREST_SQL}),
+        r AS (
+            SELECT id, id AS root_id, 0 AS depth FROM nodes WHERE parent_id IS NULL
+            UNION ALL
+            SELECT n.id, r.root_id, r.depth + 1
+            FROM nodes n JOIN r ON n.parent_id = r.id
+        )
+        SELECT root_id,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               CAST(COUNT(*) FILTER (WHERE depth = 1) AS BIGINT)
+                   AS n_direct_replies
+        FROM r
+        GROUP BY root_id
+        ORDER BY root_id
+    """,
+    doc="Per-thread statistics over the resolved reply forest: node "
+    "count, max depth, direct replies — the post-engagement rollup the "
+    "reference derives from its reply trees. One extra shuffle on "
+    "root_id after the O(log depth) doubling rounds.",
+    tags=("graph",),
+)
+def reply_tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = resolve_roots(_event_forest(spark, sf_dir))
+    return (
+        r.groupBy("root_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.count_if(F.col("depth") == 1).alias("n_direct_replies"),
+        )
+        .orderBy("root_id")
+    )
