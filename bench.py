@@ -51,6 +51,8 @@ EXTRA_QUERIES = [
     "dedup_incremental",
     "semantic_dedup",
     "quality_percentile_filter",
+    "training_corpus_manifest",
+    "media_features",
 ]
 
 
