@@ -49,14 +49,16 @@ def register(
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import registers as a side effect; keep imports here to avoid cycles.
-    from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
+    #
+    # ORDER MATTERS: the external correctness driver checks the FIRST 50
+    # registered queries each round. Rotate so every family cycles through
+    # a driver-verified round. Round 3 front-loads the 26 queries that had
+    # no driver entry in rounds 1-2 (export/sampling/text/multimodal/
+    # range_join/reply_tree/sessionize/similarity/skew/validation/
+    # window_stats), then fills to 50 with ann/chunking/cleaning/
+    # clustering/decontam/dedup/analytics; the r2-green tpch block
+    # rotates to the back.
     from mvrs_dspa_spark.operators import (  # noqa: F401
-        ann,
-        chunking,
-        cleaning,
-        clustering,
-        decontam,
-        dedup,
         export,
         multimodal,
         range_join,
@@ -69,6 +71,15 @@ def all_queries() -> dict[str, QuerySpec]:
         validation,
         window_stats,
     )
+    from mvrs_dspa_spark.operators import (  # noqa: F401
+        ann,
+        chunking,
+        cleaning,
+        clustering,
+        decontam,
+        dedup,
+    )
+    from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
 
     return dict(_REGISTRY)
 
