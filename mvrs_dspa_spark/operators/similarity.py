@@ -56,14 +56,25 @@ def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = etype_idx.cast("long") * 1000 + F.get_json_object(
         "props", "$.k"
     ).cast("long")
-    return ev.select("user_id", code.alias("item")).distinct()
+    # Null items (unparseable props.$.k or unknown event_type) are
+    # excluded on BOTH engines: nulls never match an equi-join anyway,
+    # and pinning the exclusion here keeps set sizes (and therefore
+    # Jaccard denominators) identical between Spark's collect_set
+    # (which drops nulls) and the DuckDB oracle's COUNT(*).
+    return (
+        ev.select("user_id", code.alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
 
 
 _ITEMS_SQL = f"""
-    SELECT DISTINCT user_id,
-           ({_ETYPE_IDX_SQL})::BIGINT * 1000
-             + json_extract_string(props, '$.k')::BIGINT AS item
-    FROM events
+    SELECT DISTINCT user_id, item FROM (
+        SELECT user_id,
+               ({_ETYPE_IDX_SQL})::BIGINT * 1000
+                 + TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    ) WHERE item IS NOT NULL
 """
 
 
@@ -101,6 +112,10 @@ def _known_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hr"),
             F.get_json_object("props", "$.k").alias("k"),
         )
+        # Spark's groupBy would make NULL k a (hot) bucket of its own;
+        # the oracle's a.k = b.k join can never match NULLs. Pin the
+        # oracle semantics explicitly.
+        .where(F.col("k").isNotNull())
     )
     lvl1 = ev.groupBy(
         "hr", "k", (F.col("user_id") % _KNOWN_SALTS).alias("_s")
@@ -223,8 +238,19 @@ def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")).alias("last_us"),
         )
     )
-    items = per_user.select("user_id", F.explode("items").alias("item"))
-    sizes = per_user.select("user_id", F.size("items").alias("n"))
+    # Set size and last-activity timestamp RIDE the exploded item rows
+    # out of the same aggregate: the intersection groupBy then carries
+    # them through as functionally-dependent mins, so neither the
+    # Jaccard denominator nor the active-user filter needs any per-user
+    # join. (Round 2 broadcast O(users) sizes/active tables here — a
+    # forced-hint OOM at 100x; now the only broadcast is the 1-row
+    # activity cutoff.)
+    items = per_user.select(
+        "user_id",
+        F.size("items").alias("n"),
+        "last_us",
+        F.explode("items").alias("item"),
+    )
     a, b = items.alias("a"), items.alias("b")
     inter = (
         a.join(
@@ -233,46 +259,43 @@ def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.user_id") != F.col("b.user_id")),
         )
         .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+            F.min(F.col("b.last_us")).alias("v_last_us"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     sims = (
-        inter.join(F.broadcast(sa), F.col("u") == F.col("sa.user_id"))
-        .join(F.broadcast(sb), F.col("v") == F.col("sb.user_id"))
-        .select(
+        inter.select(
             "u",
             "v",
             F.round(
                 F.col("k").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("k")),
+                / (F.col("na") + F.col("nb") - F.col("k")),
                 6,
             ).alias("similarity"),
+            "v_last_us",
         )
         .where(F.col("similarity") >= MIN_SIM)
     )
-    # known-pairs is broadcast deliberately: it is bounded by the
-    # social graph (the reference holds the same per-person known-user
-    # sets in keyed Flink state), far below the candidate-pair space,
-    # and AQE was measured not to convert this anti join on its own
-    # (sf0.1: 2.9s -> 1.95s with the hint).
-    known = _known_pairs_df(spark, sf_dir)
+    # known-pairs anti join is left UNHINTED: the pair count is capped
+    # per bucket (KNOWN_BUCKET_CAP^2) but the bucket COUNT grows with
+    # the covered time range, so a forced broadcast is not scale-safe.
+    # AQE converts it to broadcast when it is genuinely small.
+    known = _known_pairs_df(spark, sf_dir).alias("kn")
     cutoff = per_user.agg(
         (F.max("last_us") - ACTIVE_DAYS * 86_400_000_000).alias("c")
     )
-    active = (
-        per_user.select("user_id", "last_us")
-        .crossJoin(F.broadcast(cutoff))
-        .where(F.col("last_us") >= F.col("c"))
-        .select("user_id")
-    )
     filtered = (
-        sims.join(
-            F.broadcast(active.withColumnRenamed("user_id", "v_active")),
-            F.col("v") == F.col("v_active"),
-            "inner",
+        sims.crossJoin(F.broadcast(cutoff))  # 1-row scalar: scale-safe
+        .where(F.col("v_last_us") >= F.col("c"))
+        .alias("s")
+        .join(
+            known,
+            (F.col("s.u") == F.col("kn.u")) & (F.col("s.v") == F.col("kn.v")),
+            "left_anti",
         )
-        .join(F.broadcast(known), (sims.u == known.u) & (sims.v == known.v), "left_anti")
         .select("u", "v", "similarity")
     )
     w = Window.partitionBy("u").orderBy(F.col("similarity").desc(), F.col("v"))

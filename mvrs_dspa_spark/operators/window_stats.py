@@ -22,6 +22,7 @@ variant does with state — see `streaming/stateful.py`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.registry import register
@@ -65,7 +66,6 @@ def sliding_window_stats(
         "value",
         F.get_json_object("props", "$.k").alias("k"),
     )
-    firsts = base.groupBy(key).agg(F.min("ts_us").alias("first_ts_us"))
     exploded = base.withColumn(
         "ws_us", F.explode(slide_windows(F.col("ts_us"), size_us, slide_us))
     )
@@ -79,8 +79,14 @@ def sliding_window_stats(
         F.round(F.sum("value"), 2).alias("total_value"),
         F.min("ts_us").alias("w_min_ts_us"),
     )
+    # The user's global first timestamp is recoverable from the window
+    # minima themselves (every event lands in >= 1 window), so the
+    # new-user flag is a per-key analytic min over the already-reduced
+    # rows — no per-user `firsts` table, no O(users) broadcast (the
+    # round-2 shape; a forced-hint OOM at 100x).
+    first_ts_us = F.min("w_min_ts_us").over(W.partitionBy(key))
     return (
-        agg.join(F.broadcast(firsts), key)
+        agg.withColumn("first_ts_us", first_ts_us)
         .select(
             F.col(key),
             F.timestamp_micros(F.col("ws_us")).alias("window_start"),

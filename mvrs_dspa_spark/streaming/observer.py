@@ -49,6 +49,7 @@ class ProgressMonitor(StreamingQueryListener):
                     "query_id": str(p.id),
                     "batch_id": p.batchId,
                     "num_input_rows": p.numInputRows,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
                     "duration_ms": dict(p.durationMs or {}),
                     "observed_metrics": {
                         name: row.asDict() for name, row in (p.observedMetrics or {}).items()

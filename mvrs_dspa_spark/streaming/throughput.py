@@ -22,8 +22,11 @@ Pipelines: `stateless` (projection+filter — source/sink overhead) and
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 
+from mvrs_dspa_spark.streaming.observer import ProgressMonitor
 from mvrs_dspa_spark.streaming.windowed import sliding_stats_stream
 
 
@@ -79,33 +82,51 @@ def measure_stream_throughput(
     else:
         raise ValueError(f"unknown source {source!r}")
 
-    q = (
-        _apply_pipeline(src, pipeline)
-        .writeStream.format("noop")
-        .outputMode("append" if pipeline != "stateless" else "append")
-        .start()
-    )
+    # Progress is collected via a StreamingQueryListener, NOT
+    # q.recentProgress: Spark caps the latter at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100)
+    # entries, which silently undercounts bounded runs with many
+    # triggers (small files_per_trigger over many files).
+    monitor = ProgressMonitor()
+    spark.streams.addListener(monitor)
     try:
-        q.processAllAvailable()
+        # append is correct for both pipelines: the sliding agg is
+        # watermarked, so finalized windows append on watermark advance.
+        q = (
+            _apply_pipeline(src, pipeline)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(timeout_s)
+        # the listener bus is async; terminated-event delivery bounds
+        # progress-event delivery for this query id
+        deadline = time.monotonic() + 10.0
+        qid = str(q.id)
+        while time.monotonic() < deadline and qid not in monitor.terminated:
+            time.sleep(0.05)
     finally:
-        q.stop()
-        q.awaitTermination(timeout_s)
+        spark.streams.removeListener(monitor)
 
-    progress = [p for p in (q.recentProgress or []) if p is not None]
-    rows = sum(p["numInputRows"] for p in progress)
+    progress = [p for p in monitor.progress if p["query_id"] == qid]
+    rows = sum(p["num_input_rows"] for p in progress)
     wall_ms = sum(
-        (p.get("durationMs") or {}).get("triggerExecution", 0) for p in progress
+        (p.get("duration_ms") or {}).get("triggerExecution", 0) for p in progress
     )
     batch_rates = [
-        p["processedRowsPerSecond"]
+        p["processed_rows_per_second"]
         for p in progress
-        if p["numInputRows"] and p.get("processedRowsPerSecond")
+        if p["num_input_rows"] and p.get("processed_rows_per_second")
     ]
     return {
         "source": source,
         "pipeline": pipeline,
         "rows": rows,
-        "batches": sum(1 for p in progress if p["numInputRows"]),
+        "batches": sum(1 for p in progress if p["num_input_rows"]),
         "wall_ms": wall_ms,
         "rows_per_s": round(rows / (wall_ms / 1000.0), 1) if wall_ms else 0.0,
         "peak_batch_rows_per_s": round(max(batch_rates), 1) if batch_rates else 0.0,

@@ -223,6 +223,32 @@ def test_runtime_bloom_filter_injection(spark, sf_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
+def _optimized(spark, sf_small, name: str) -> str:
+    df = all_queries()[name].fn(spark, sf_small)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_jaccard_only_scalar_broadcast_hint(spark, sf_small):
+    """similar_users_jaccard may force-broadcast ONLY the 1-row
+    activity-cutoff scalar. Round 2 hinted per-user sizes/active
+    tables and the known-pairs set — all O(users)-or-worse build
+    sides whose forced hints bypass autoBroadcastJoinThreshold and
+    OOM executors at 100x. AQE is free to add broadcasts for
+    genuinely small sides; user-forced hints are the hazard."""
+    plan = _optimized(spark, sf_small, "similar_users_jaccard")
+    assert plan.count("ResolvedHint") <= 1, plan
+
+
+def test_sliding_stats_no_broadcast_hint(spark, sf_small):
+    """The new-user flag must come from an analytic min over the
+    aggregated rows, not a forced-broadcast per-user firsts table
+    (unbounded build side)."""
+    plan = _optimized(spark, sf_small, "sliding_activity_stats")
+    assert "ResolvedHint" not in plan, plan
+    phys = _plan(spark, sf_small, "sliding_activity_stats")
+    assert "Window" in phys
+
+
 @pytest.mark.parametrize(
     "name",
     [
