@@ -1,0 +1,118 @@
+"""Streaming reply-tree resolution: orphan buffering across
+micro-batches, feedback-loop chain propagation, causality drops, and
+dangling reporting (reference BuildReplyTreeProcessFunctionTestSuite /
+ITSuite scenarios: dangling replies, out-of-order arrival)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from mvrs_dspa_spark.streaming.reply_tree_stream import (
+    run_reply_tree_resolution,
+)
+
+RAW_SCHEMA = "comment_id long, ts timestamp, post_id long, parent_id long"
+
+
+def _t(h: int, m: int = 0) -> datetime:
+    return datetime(2026, 1, 1, h, m, tzinfo=timezone.utc)
+
+
+def _write_batches(spark, tmp_path, batches):
+    """One parquet file per batch; mtimes force file-source order."""
+    root = str(tmp_path / "stream_in")
+    os.makedirs(root, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, RAW_SCHEMA)
+        path = os.path.join(root, f"b{i:03d}")
+        df.coalesce(1).write.parquet(path)
+        ts = time.time() + i * 10
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(dirpath, f), (ts, ts))
+    return os.path.join(root, "b*")
+
+
+def _run(spark, tmp_path, batches, **kw):
+    glob = _write_batches(spark, tmp_path, batches)
+    out = run_reply_tree_resolution(
+        spark, glob, str(tmp_path / "work"), **kw
+    )
+    return {
+        r["comment_id"]: (r["post_id"], r["depth"], r["status"])
+        for r in out.collect()
+    }
+
+
+def test_out_of_order_chain_resolves_across_micro_batches(spark, tmp_path):
+    # replies arrive BEFORE their parents, each in its own micro-batch:
+    # grandchild 103 -> child 102 -> first-level comment 101 (post 9).
+    batches = [
+        [(103, _t(10, 20), None, 102)],
+        [(102, _t(10, 10), None, 101)],
+        [(101, _t(10, 0), 9, None)],
+    ]
+    got = _run(spark, tmp_path, batches, max_files_per_trigger=1)
+    assert got[101] == (9, 0, "comment")
+    assert got[102] == (9, 1, "resolved")
+    assert got[103] == (9, 2, "resolved")
+
+
+def test_deep_chain_propagates_through_feedback(spark, tmp_path):
+    # depth-5 chain delivered in ONE batch: in-batch rendezvous resolves
+    # depth 1; each further level needs one feedback round trip.
+    rows = [(100, _t(9, 0), 7, None)]
+    rows += [(100 + d, _t(9, d), None, 100 + d - 1) for d in range(1, 6)]
+    got = _run(spark, tmp_path, [rows])
+    for d in range(1, 6):
+        assert got[100 + d] == (7, d, "resolved")
+
+
+def test_dangling_orphan_reported_not_silently_dropped(spark, tmp_path):
+    # 202's parent never arrives; a late high-watermark event pushes
+    # the watermark past 202's timestamp -> reported as dangling.
+    batches = [
+        [(202, _t(10, 0), None, 999)],
+        [(300, _t(13, 0), 5, None)],  # watermark -> 12:50
+    ]
+    got = _run(
+        spark,
+        tmp_path,
+        batches,
+        watermark_delay="10 minutes",
+        max_files_per_trigger=1,
+    )
+    assert got[300] == (5, 0, "comment")
+    assert got[202][2] == "dangling"
+
+
+def test_reply_before_parent_timestamp_dropped_with_descendants(
+    spark, tmp_path
+):
+    # 402 predates its parent comment 401 -> causality drop (ref
+    # BuildReplyTreeProcessFunction.scala:144-157); its child 403 is
+    # on-time but descends from a drop -> tombstone cascade.
+    batches = [
+        [
+            (401, _t(11, 0), 9, None),
+            (402, _t(10, 0), None, 401),  # BEFORE parent
+            (403, _t(11, 30), None, 402),
+        ],
+    ]
+    got = _run(spark, tmp_path, batches)
+    assert got[401] == (9, 0, "comment")
+    assert got[402][2] == "dropped"
+    assert got[403][2] == "dropped"
+
+
+def test_orphans_buffer_until_parent_in_later_batch(spark, tmp_path):
+    # two siblings wait on one parent; both flush when it lands
+    batches = [
+        [(502, _t(10, 5), None, 501), (503, _t(10, 6), None, 501)],
+        [(501, _t(10, 0), 4, None)],
+    ]
+    got = _run(spark, tmp_path, batches, max_files_per_trigger=1)
+    assert got[502] == (4, 1, "resolved")
+    assert got[503] == (4, 1, "resolved")
