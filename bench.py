@@ -53,6 +53,10 @@ EXTRA_QUERIES = [
     "quality_percentile_filter",
     "training_corpus_manifest",
     "media_features",
+    # round 3: iterative (pointer-doubling) and multi-table-scan paths
+    "reply_tree_stats",
+    "constraint_violations",
+    "latest_events_snapshot",
 ]
 
 

@@ -43,6 +43,28 @@ QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50 of vectors are queries
 MAX_QUERIES = 1024
 LSH_BITS = 12
 LSH_DIM = 64
+# Expected vectors per LSH bucket the within-bucket pair join is sized
+# for: candidate volume is sum of n_b^2 over buckets, so occupancy must
+# stay CONSTANT as the corpus grows — bits grow with log2(n), not fixed.
+LSH_TARGET_OCCUPANCY = 8
+
+
+def lsh_bits_for(
+    n_rows: int,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    lo: int = 4,
+    hi: int = 48,
+) -> int:
+    """Signature width so expected bucket occupancy n / 2^bits ~= target.
+
+    With occupancy pinned, total candidate pairs grow linearly in n
+    (n/target buckets x target^2 pairs each) instead of quadratically
+    (fixed bucket count -> occupancy ~ n -> pairs ~ n^2)."""
+    import math
+
+    if n_rows <= target_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_occupancy))))
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -212,43 +234,75 @@ def _cos_udf():
     return cos
 
 
-@register(
-    "ann_lsh",
-    oracle=None,  # bucketed recall is approximate by design; rows-only gate
-    doc="Random-hyperplane LSH ANN: 12-bit signatures, candidates share "
-    "the full signature bucket, cosine on candidates only (scale path; "
-    "signatures and scoring are Arrow-batched numpy, buckets stay an "
-    "equi-join).",
-    tags=("ann", "scale"),
-)
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = np.asarray(_hyperplanes(LSH_BITS, LSH_DIM))
-    weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
+def lsh_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int | None = None,
+    dim: int = LSH_DIM,
+) -> DataFrame:
+    """Attach a random-hyperplane LSH signature column `sig`.
+
+    bits=None derives the width from the actual corpus size via
+    `lsh_bits_for` (one count job — row-group metadata only on
+    parquet); pass an explicit value for pinned/deterministic gates.
+    """
+    if bits is None:
+        bits = lsh_bits_for(df.count())
+    planes = np.asarray(_hyperplanes(bits, dim))
+    weights = 1 << np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf("long")
     def sig_udf(emb: pd.Series) -> pd.Series:
         X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
-        bits = (X @ planes.T) > 0
-        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+        b = (X @ planes.T) > 0
+        return pd.Series((b * weights).sum(axis=1).astype(np.int64))
 
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sig_udf("embedding").alias("sig")
-    )
+    return df.select(id_col, vec_col, sig_udf(vec_col).alias("sig"))
+
+
+def lsh_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int | None = None,
+    dim: int = LSH_DIM,
+) -> DataFrame:
+    """Within-bucket cosine pairs over LSH signatures (scale path)."""
+    v = lsh_signatures(df, vec_col, id_col, bits, dim)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
             F.round(
-                _cos_udf()(F.col("a.embedding"), F.col("b.embedding")), 6
+                _cos_udf()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+    )
+
+
+@register(
+    "ann_lsh",
+    oracle=None,  # bucketed recall is approximate by design; rows-only gate
+    doc="Random-hyperplane LSH ANN: candidates share the full signature "
+    "bucket, cosine on candidates only (scale path; signatures and "
+    "scoring are Arrow-batched numpy, buckets stay an equi-join). The "
+    "registered gate pins bits=12 for determinism; unpinned callers get "
+    "bits from lsh_bits_for(n) so bucket occupancy — and with it the "
+    "within-bucket pair volume per row — stays constant as data grows.",
+    tags=("ann", "scale", "rows_gate"),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_near_dup(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        bits=LSH_BITS,
     )
 
 
@@ -269,7 +323,7 @@ IVF_ITERS = 4
     "billion-scale ANN layout (FAISS IVF flat, re-expressed on "
     "DataFrames). Cell assignment and scoring are Arrow-batched numpy "
     "(one matmul per batch); the join/shuffle layer stays JVM-side.",
-    tags=("ann", "scale"),
+    tags=("ann", "scale", "rows_gate"),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrs_dspa_spark.operators.clustering import kmeans_fit

@@ -11,9 +11,9 @@ each iteration is one distributed assignment pass (map-side argmin
 against literal centroid arrays — no shuffle) plus one per-dimension
 mean aggregation (posexplode + partial agg, one shuffle). Iteration
 count is fixed and init is deterministic (lowest-id points), so
-results are reproducible run-to-run; the reference instead uses
-random init + ensureK splitting (KMeansClustering.scala:95-120),
-which we trade for determinism.
+results are reproducible run-to-run; the reference's ensureK
+empty-cluster splitting (KMeansClustering.scala:95-120) is kept, in
+a deterministic form (`_split_empty_clusters`).
 
 The streaming variant with decaying weights lives in
 `streaming/kmeans.py` (round 2).
@@ -59,11 +59,37 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     ).withColumn("sq_dist", F.array_min("_dists")).drop("_dists")
 
 
+def _split_empty_clusters(
+    cents: list[list[float]], counts: list[int]
+) -> None:
+    """ensureK for the batch loop (ref KMeansClustering.scala:96-114):
+    every EMPTY cluster is refilled by splitting the heaviest cluster —
+    the two halves sit at ±valueOffset around the heavy centroid and
+    share its weight. Deterministic: empties processed in ascending
+    id, heaviest ties resolve to the lowest id, offsets come from the
+    same `_split_offset` the streaming model uses. In-place."""
+    from mvrs_dspa_spark.streaming.kmeans import _split_offset
+
+    factor = 1
+    for j in range(len(cents)):
+        if counts[j]:
+            continue
+        h = max(range(len(cents)), key=lambda i: (counts[i], -i))
+        if counts[h] < 2:
+            continue  # nothing worth splitting
+        off = [_split_offset(v, factor) for v in cents[h]]
+        cents[j] = [v + o for v, o in zip(cents[h], off)]
+        cents[h] = [v - o for v, o in zip(cents[h], off)]
+        counts[j] = counts[h] // 2
+        counts[h] -= counts[j]
+        factor += 1
+
+
 def _kmeans_fit_local(rows, k: int, iters: int) -> list[list[float]]:
     """Driver-side Lloyd over a collected (id, vec) list — numpy, but
     semantics identical to the distributed loop: init = k lowest-id
-    rows, argmin ties -> lowest cluster id, empty clusters keep their
-    previous centroid."""
+    rows, argmin ties -> lowest cluster id, empty clusters refilled by
+    splitting the heaviest (`_split_empty_clusters`)."""
     import numpy as np
 
     rows = sorted(rows, key=lambda r: r[0])
@@ -72,10 +98,13 @@ def _kmeans_fit_local(rows, k: int, iters: int) -> list[list[float]]:
     for _ in range(iters):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # ties -> lowest index, like array_position
+        counts = [int((assign == j).sum()) for j in range(k)]
         for j in range(k):
-            members = assign == j
-            if members.any():
-                cents[j] = x[members].mean(axis=0)
+            if counts[j]:
+                cents[j] = x[assign == j].mean(axis=0)
+        cent_list = [[float(v) for v in c] for c in cents]
+        _split_empty_clusters(cent_list, counts)
+        cents = np.asarray(cent_list)
     return [[float(v) for v in c] for c in cents]
 
 
@@ -90,10 +119,11 @@ def kmeans_fit(
     """Lloyd iterations; returns final centroids (k x dim, driver-side).
 
     Init: the k lowest-id rows (deterministic; stands in for the
-    reference's seeded random init). Empty clusters keep their
-    previous centroid (the reference re-splits the largest cluster —
-    KMeansClustering.scala:98-110 — a policy only needed under its
-    dynamic-k control stream).
+    reference's seeded random init). Empty clusters are refilled each
+    iteration by deterministically splitting the heaviest cluster
+    (ref ensureK, KMeansClustering.scala:96-114) — without this, a
+    collapsed centroid silently unbalances the downstream coarse
+    quantizers (ann_ivf cells, semantic_dedup clusters).
 
     Size-adaptive: inputs up to `local_cap` rows are collected once and
     fit driver-side (`_kmeans_fit_local`); larger inputs run the
@@ -121,9 +151,12 @@ def kmeans_fit(
             assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
         )
         new = [list(c) for c in centroids]
+        counts = [0] * k
         for r in rows:
             if r["n"]:
+                counts[r["cluster"]] = r["n"]
                 new[r["cluster"]] = [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
+        _split_empty_clusters(new, counts)
         centroids = new
     return centroids
 
@@ -133,7 +166,7 @@ def kmeans_fit(
     oracle=None,  # iterative; checked rows-only + pytest invariants
     doc="Batch K-means (k=8, 8 Lloyd iterations, deterministic init) "
     "over embeddings; per-vector cluster + distance.",
-    tags=("clustering", "bench"),
+    tags=("clustering", "bench", "rows_gate"),
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan = one split; the per-iteration assignment math is
@@ -188,7 +221,7 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Unusual-activity detection: per-user activity features -> "
     "K-means(4) -> distance to centroid, unusual if > 2x mean distance "
     "(ref UnusualActivityDetectionJob.scala, ClassifyEventsFunction).",
-    tags=("clustering",),
+    tags=("clustering", "rows_gate"),
 )
 def unusual_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = user_activity_features(spark, sf_dir)

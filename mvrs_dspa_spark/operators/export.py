@@ -46,9 +46,24 @@ from mvrs_dspa_spark.tables import table
 N_SHARDS = 8
 SHARD_SALT = "shard-v1"
 
-SEM_K = 8  # clusters; scale with corpus size (see module docstring)
+SEM_K = 8  # pinned k for the registered gate query only
 SEM_ITERS = 8
 SEM_TAU = 0.4  # same threshold as embedding_near_dup's oracle baseline
+# Expected vectors per cluster the within-cluster pair join is sized
+# for: SemDeDup's k must grow ~n/target (the paper uses k in the tens
+# of thousands at web scale) so per-cluster pair volume stays bounded.
+SEM_TARGET_CLUSTER_SIZE = 64
+
+
+def sem_k_for(
+    n_rows: int, target_cluster_size: int = SEM_TARGET_CLUSTER_SIZE
+) -> int:
+    """Cluster count so expected cluster size stays ~target.
+
+    Keeps total within-cluster candidate pairs ~linear in n
+    (n/target clusters x target^2 pairs) instead of n^2/k for a
+    fixed k."""
+    return max(2, -(-n_rows // target_cluster_size))
 
 
 @register(
@@ -233,13 +248,38 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dropped when a lower-id vector with cosine >= tau exists. Kept "
     "set is within-cluster tau-independent; pair comparisons bounded "
     "per cluster, never global.",
-    tags=("ann", "dedup", "llm"),
+    tags=("ann", "dedup", "llm", "rows_gate"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = kmeans_fit(emb, "embedding", k=SEM_K, iters=SEM_ITERS, id_col="vec_id")
-    assigned = assign_clusters(emb, "embedding", centroids).select(
-        "vec_id", "embedding", "cluster"
+    # the registered gate pins k=SEM_K so the tiny fixture keeps
+    # multi-member clusters and stays deterministic round-over-round
+    return semantic_dedup_op(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        k=SEM_K,
+    )
+
+
+def semantic_dedup_op(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    iters: int = SEM_ITERS,
+    tau: float = SEM_TAU,
+) -> DataFrame:
+    """SemDeDup over any (id, vector) frame.
+
+    k=None derives the cluster count from the actual corpus size via
+    `sem_k_for`, the paper's k ~ n scaling; pass an explicit k only
+    for pinned deterministic gates.
+    """
+    if k is None:
+        k = sem_k_for(emb.count())
+    centroids = kmeans_fit(emb, vec_col, k=k, iters=iters, id_col=id_col)
+    assigned = assign_clusters(emb, vec_col, centroids).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        "cluster",
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     # pair cosine via Arrow-batched numpy (rows-gated query, so the
@@ -256,7 +296,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") > F.col("b.vec_id")),
             "inner",
         )
-        .where(cos >= SEM_TAU)
+        .where(cos >= tau)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("keep", F.lit(False))

@@ -12,9 +12,18 @@ Clustering uses `repartitionByRange` + `sortWithinPartitions`: output
 files then carry narrow, near-disjoint min/max ranges on the cluster
 columns in their parquet footers, so any engine's row-group/file
 pruning (including Spark's parquet filter pushdown) can skip most of
-the table for selective predicates — the single-dimension version of
-Z-ordering, which is the right choice when one column dominates the
-filter workload (typically event time).
+the table for selective predicates. Two layouts:
+
+- `cluster_by`: lexicographic range clustering — the right choice
+  when ONE column dominates the filter workload (typically event
+  time); trailing columns get no locality.
+- `zorder_by`: multi-column Z-order (Morton) clustering — each
+  column is min/max-normalized to a fixed-width integer and the bits
+  interleaved into one key (the Delta OPTIMIZE ZORDER layout, built
+  from plain Spark bit expressions); every clustered column then has
+  narrow footer ranges, so selective predicates on ANY of them prune
+  files. The interleave key is a pure JVM-side expression (shift/
+  and/or), computed and dropped inside the rewrite.
 
 Reference parity: the reference's ES indexes are rebuilt per run
 (`db/*Index.scala` recreate-on-start); a lakehouse engine needs the
@@ -39,23 +48,77 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(hpath).getLength()
 
 
+ZORDER_BITS = 16  # per-column resolution of the interleave key
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Morton interleave key over numeric columns as a Column.
+
+    Each column is min/max-normalized to an unsigned `bits`-wide
+    integer (one metadata-cheap agg supplies the bounds), then bit i
+    of column j lands at position i*ncols + j of the key — the
+    standard Z-order curve. Pure shift/and/or expressions: stays
+    inside whole-stage codegen, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    r = df.agg(*aggs).collect()[0]
+
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = float(r[f"mn_{c}"]), float(r[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        v = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(1 << bits)
+        ).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), v)))
+
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, v in enumerate(scaled):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
 def compact_parquet(
     spark: SparkSession,
     in_path: str,
     out_path: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     mode: str = "error",
 ) -> int:
     """Rewrite `in_path` into `out_path` as ~target-size parquet files.
 
     Returns the number of output partitions chosen. With `cluster_by`,
     rows are range-partitioned and sorted on those columns so each
-    output file covers a narrow value range (file/row-group pruning).
+    output file covers a narrow value range (file/row-group pruning);
+    with `zorder_by` (mutually exclusive), rows cluster on the Morton
+    interleave of 2-3 numeric columns so EVERY listed column prunes.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     df = spark.read.parquet(in_path)
     n = max(1, math.ceil(_dir_bytes(spark, in_path) / target_file_bytes))
-    if cluster_by:
+    if zorder_by:
+        z = zorder_key(df, zorder_by)
+        out = (
+            df.withColumn("_zorder", z)
+            .repartitionByRange(n, "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+    elif cluster_by:
         from pyspark.sql import functions as F
 
         cols = [F.col(c) for c in cluster_by]

@@ -183,7 +183,7 @@ from mvrs_dspa_spark.tables import table as _table
     "md5-derived payloads, kind image/audio/video), run the Arrow "
     "mapInPandas decode->feature stage (fake codec), project the "
     "payload away. Payloads never touch the driver.",
-    tags=("multimodal", "llm"),
+    tags=("multimodal", "llm", "rows_gate"),
 )
 def media_features(spark, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -210,7 +210,7 @@ APPROX_PCT_ACCURACY = 10_000  # KLL-style sketch accuracy knob
     "multiset — the streaming/100 TB path next to the exact "
     "event_value_percentiles baseline. tests/test_sketches.py bounds "
     "its error against the exact oracle-gated twin.",
-    tags=("relational", "sketch"),
+    tags=("relational", "sketch", "rows_gate"),
 )
 def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")

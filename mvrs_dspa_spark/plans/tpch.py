@@ -244,7 +244,7 @@ def event_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_user_counts_approx",
     oracle=None,  # HLL sketch values are engine-specific; rows-only check.
     doc="approx_count_distinct (HLL) — the 100 TB-scale path for distinct users.",
-    tags=("relational", "scale"),
+    tags=("relational", "scale", "rows_gate"),
 )
 def event_user_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

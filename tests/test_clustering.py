@@ -55,3 +55,30 @@ def test_unusual_activity_shape(spark, sf_small):
     assert {r.cluster for r in rows} <= set(range(C.UA_K))
     n_unusual = sum(r.is_unusual for r in rows)
     assert 0 <= n_unusual < len(rows) / 2  # outliers are a minority
+
+def test_ensure_k_splits_empty_clusters(spark):
+    """Adversarial init: the 8 lowest-id rows are IDENTICAL points, so
+    every point ties to cluster 0 on the first pass and clusters 1-7
+    empty. ensureK (ref KMeansClustering.scala:96-114) must refill
+    them by splitting the heaviest cluster; the fit returns 8
+    pairwise-distinct centroids on BOTH fit paths."""
+    blob_a = [(i, [5.0, 5.0]) for i in range(8)]  # identical inits
+    rest = [(i, [5.0 + (i % 3) * 1e-3, 5.0]) for i in range(8, 30)]
+    blob_b = [(i, [50.0, -20.0]) for i in range(30, 60)]
+    df = spark.createDataFrame(
+        blob_a + rest + blob_b, "vec_id long, embedding array<double>"
+    )
+    for cap in (0, 100_000):  # distributed and local paths
+        cents = C.kmeans_fit(
+            df, "embedding", k=8, iters=4, id_col="vec_id", local_cap=cap
+        )
+        assert len(cents) == 8
+        assert len({tuple(c) for c in cents}) == 8, cents
+
+
+def test_ensure_k_no_op_when_all_clusters_populated():
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    counts = [5, 5]
+    before = [list(c) for c in cents]
+    C._split_empty_clusters(cents, counts)
+    assert cents == before and counts == [5, 5]
