@@ -259,3 +259,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("source", "bin_id")
     )
+
+
+BUCKET_CHARS = 256  # length-bucket granularity (char stand-in for tokens)
+BATCH_SIZE = 32     # rows per inference/training batch
+
+
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+        SELECT doc_id, len_bucket, batch_idx, pos_in_batch
+        FROM (
+            SELECT doc_id, len_bucket,
+                   CAST((ROW_NUMBER() OVER (
+                       PARTITION BY len_bucket ORDER BY n_chars, doc_id
+                   ) - 1) // {BATCH_SIZE} AS BIGINT) AS batch_idx,
+                   CAST((ROW_NUMBER() OVER (
+                       PARTITION BY len_bucket ORDER BY n_chars, doc_id
+                   ) - 1) % {BATCH_SIZE} AS BIGINT) AS pos_in_batch
+            FROM (
+                SELECT doc_id, n_chars,
+                       CAST(n_chars // {BUCKET_CHARS} AS BIGINT) AS len_bucket
+                FROM documents
+            )
+        )
+        ORDER BY len_bucket, batch_idx, pos_in_batch
+    """,
+    doc="Length-bucketed batch assignment: documents group into "
+    "fixed-size batches of near-equal length, the standard padding-"
+    "waste reducer for batched LLM inference/training. Deterministic "
+    "(no RNG): batches are a pure function of (n_chars, doc_id).",
+    tags=("sampling", "llm"),
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on len_bucket for the window; batch/pos arithmetic
+    is a projection over the rank. At 100 TB the bucket count is
+    bounded (max_len / granularity), so per-bucket windows are the
+    skew concern — mitigated by bucketing on (len_bucket) only for
+    the rank and never collecting batches driver-side."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / BUCKET_CHARS).cast("long")
+    w = Window.partitionBy("len_bucket").orderBy("n_chars", "doc_id")
+    rank0 = F.row_number().over(w) - 1
+    return (
+        docs.select("doc_id", "n_chars", bucket.alias("len_bucket"))
+        .select(
+            "doc_id",
+            "len_bucket",
+            F.floor(rank0 / BATCH_SIZE).cast("long").alias("batch_idx"),
+            (rank0 % BATCH_SIZE).cast("long").alias("pos_in_batch"),
+        )
+        .orderBy("len_bucket", "batch_idx", "pos_in_batch")
+    )

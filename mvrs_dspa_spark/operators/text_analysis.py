@@ -332,3 +332,51 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(T.fingerprint_col(F.col("toks"), _FP_A, _FP_B))
         .alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({T.tokens_sql('lower(text)')}) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS n_w FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(n_w) AS n FROM freq)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-log2(1.0 * f.n_w / t.n)), 4) AS bits_per_token
+        FROM toks JOIN freq f USING (tok) CROSS JOIN tot t
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="CCNet-style perplexity proxy: per-document cross-entropy "
+    "(bits/token) under the corpus's own unigram distribution — high "
+    "bits/token flags rare-token gibberish, low flags boilerplate "
+    "(Wenzek et al. 2020 use a KenLM 5-gram; the unigram variant is "
+    "the SQL-expressible analog with the same pipeline role).",
+    tags=("text", "llm"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode feeds BOTH the vocabulary aggregate and the scoring
+    join; the frequency table is Zipf-headed, so at 100 TB the join
+    skews on stopwords — AQE's skew-join split handles exactly this
+    shape (one hot build row x many probe rows), and the vocabulary
+    side never needs a forced broadcast. The 1-row total-token scalar
+    is the only hinted broadcast (scale-safe)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = freq.agg(F.sum("n_w").alias("n"))
+    bits = -F.log2(F.col("n_w").cast("double") / F.col("n"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )

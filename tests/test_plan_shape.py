@@ -24,6 +24,7 @@ _SCALAR_BNLJ_OK = {
     "q15_top_supplier",  # 1-row max-revenue scalar
     "lang_mix_temperature",  # 1-row min-count scalar broadcast
     "boilerplate_ngrams",  # 1-row total-docs scalar broadcast
+    "doc_unigram_logprob",  # 1-row total-tokens scalar broadcast
 }
 
 
