@@ -110,6 +110,7 @@ def _resolver_fn():
                             None
                             if pd.isna(pdf["depth"].iloc[i])
                             else int(pdf["depth"].iloc[i]),
+                            bool(pdf["is_feedback"].iloc[i]),
                         )
                     )
         else:
@@ -119,12 +120,12 @@ def _resolver_fn():
         # mapping installs before reply processing, each in (ts, id)
         # order — deterministic regardless of Arrow batch order
         rows.sort(key=lambda r: (r[2] is None, r[0], r[1]))
-        for ts_us, cid, post, depth in rows:
+        for ts_us, cid, post, depth, is_fb in rows:
             if post is not None:
                 if map_post is None:
                     map_post, map_ts_us = post, ts_us
                     map_depth = depth or 0
-                if depth is None:  # raw first-level comment, not feedback
+                if not is_fb:  # raw first-level comment
                     out.append((cid, post, ts_us, 0, "comment"))
             else:
                 pend.append((cid, ts_us))
@@ -217,6 +218,7 @@ def run_reply_tree_resolution(
     watermark_delay: str = "30 minutes",
     timeout_s: int = 180,
     max_files_per_trigger: int | None = None,
+    final_fence: bool = True,
 ) -> DataFrame:
     """Drive the feedback-loop topology to quiescence; return results.
 
@@ -224,6 +226,13 @@ def run_reply_tree_resolution(
     in {'comment', 'resolved', 'dropped', 'dangling'}. 'dropped' and
     'dangling' are the reference's dropped-replies side output
     (`outputTagDroppedReplies`) — reported, never silently discarded.
+
+    `final_fence` emits a far-future sentinel once the feedback loop
+    quiesces — the bounded-stream analog of Flink's end-of-input
+    Long.MaxValue watermark — so every still-orphaned reply is
+    reported dangling instead of sitting in state forever. Leave it
+    on for bounded runs; an always-on deployment relies on the
+    normal watermark instead.
     """
     feedback_dir = os.path.join(work_dir, "feedback")
     out_dir = os.path.join(work_dir, "resolved")
@@ -279,6 +288,36 @@ def run_reply_tree_resolution(
             q.processAllAvailable()
             if len(os.listdir(feedback_dir)) == before:
                 break
+        if final_fence:
+            mx = (
+                spark.read.schema(
+                    "comment_id long, ts timestamp, post_id long, parent_id long"
+                )
+                .parquet(input_glob)
+                .agg(F.max("ts").alias("mx"))
+                .collect()[0]["mx"]
+            )
+            if mx is not None:
+                import datetime
+
+                fence = spark.createDataFrame(
+                    [
+                        (
+                            -999,
+                            mx + datetime.timedelta(days=366),
+                            -999,
+                            None,
+                            True,
+                            None,
+                        )
+                    ],
+                    EVENT_SCHEMA,
+                )
+                fence.write.mode("append").parquet(feedback_dir)
+                # fence batch advances the watermark; the (possibly
+                # data-less) follow-up batches fire the dangling timers
+                q.processAllAvailable()
+                q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination(30)

@@ -116,3 +116,67 @@ def test_orphans_buffer_until_parent_in_later_batch(spark, tmp_path):
     got = _run(spark, tmp_path, batches, max_files_per_trigger=1)
     assert got[502] == (4, 1, "resolved")
     assert got[503] == (4, 1, "resolved")
+
+
+def test_streaming_matches_batch_pointer_doubling(spark, tmp_path):
+    """Equivalence on a seeded random forest delivered in shuffled
+    order across several micro-batches: every reply the streaming
+    operator resolves must carry the same root the batch
+    pointer-doubling operator derives, and ONLY chains broken by a
+    missing ancestor may dangle (ref BuildReplyTreeProcessFunction
+    ITSuite: randomized arrival order, eventual completeness)."""
+    import random
+
+    from mvrs_dspa_spark.operators.reply_tree import resolve_roots
+
+    rng = random.Random(42)
+    # 40 roots (posts 1000+id), 300 replies pointing at earlier nodes;
+    # ids 1..340, a few replies point at missing ids -> dangling chains
+    rows = []
+    for i in range(1, 41):
+        rows.append((i, _t(8, 0), 1000 + i, None))
+    for i in range(41, 341):
+        if i % 97 == 0:
+            parent = 9000 + i  # never exists
+        else:
+            parent = rng.randint(1, i - 1)
+        rows.append((i, _t(8, (i % 50) + 1), None, parent))
+
+    # batch truth over the same forest (parent NULL = root)
+    nodes = spark.createDataFrame(
+        [(cid, pid) for cid, _, _, pid in rows], "id long, parent_id long"
+    )
+    truth = {
+        r["id"]: r["root_id"]
+        for r in resolve_roots(nodes, max_rounds=32).collect()
+    }
+    post_of = {cid: post for cid, _, post, _ in rows if post is not None}
+
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    batches = [shuffled[i::5] for i in range(5)]
+    # delay > the stream's 50-min disorder: no premature evictions
+    # mid-cascade; the end-of-input fence then flushes true danglings
+    got = _run(
+        spark,
+        tmp_path,
+        batches,
+        max_files_per_trigger=1,
+        watermark_delay="2 hours",
+    )
+
+    assert len(got) == len(rows)
+    for cid, _, post, parent in rows:
+        post_id, _, status = got[cid]
+        if post is not None:
+            assert status == "comment" and post_id == post
+        elif cid in truth:
+            # causality can legitimately drop replies that predate
+            # their parent (ts is id%50-based, arrival random), but a
+            # resolved reply must carry the batch-derived root's post
+            assert status in ("resolved", "dropped"), (cid, status)
+            if status == "resolved":
+                assert post_id == post_of[truth[cid]], cid
+        else:
+            # chain hits a missing ancestor: dangling or tombstoned
+            assert status in ("dangling", "dropped"), (cid, status)
