@@ -43,8 +43,22 @@ _ETYPE_IDX_SQL = (
 )
 
 
-def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (user_id, item_code): item = event_type x props.k."""
+def _items_df(
+    spark: SparkSession, sf_dir: str, dedup: bool = True
+) -> DataFrame:
+    """(user_id, item_code) rows: item = event_type x props.k.
+
+    `dedup=True` returns the distinct set (one (user,item) shuffle,
+    plus the consumer's own re-shuffle since (user,item) partitioning
+    does not satisfy a user_id groupBy). Duplicate-insensitive
+    consumers — the MinHash signature is a MIN aggregate, identical
+    with or without duplicates — pass `dedup=False`: the raw rows
+    stay hash-partitioned on user_id from the fan-out repartition, so
+    the signature groupBy reuses that single exchange (3 exchanges ->
+    1; interleaved A/B at sf0.1 is within noise because the partial
+    min-agg collapses data map-side either way, but at 100x the two
+    dropped full-stream shuffles are the posture that matters).
+    """
     # json extraction is CPU-bound; a small parquet file is one split,
     # so fan out before parsing (same rationale as dedup._doc_shingles).
     ev = table(spark, sf_dir, "events").repartition(
@@ -61,11 +75,10 @@ def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and pinning the exclusion here keeps set sizes (and therefore
     # Jaccard denominators) identical between Spark's collect_set
     # (which drops nulls) and the DuckDB oracle's COUNT(*).
-    return (
-        ev.select("user_id", code.alias("item"))
-        .where(F.col("item").isNotNull())
-        .distinct()
+    out = ev.select("user_id", code.alias("item")).where(
+        F.col("item").isNotNull()
     )
+    return out.distinct() if dedup else out
 
 
 _ITEMS_SQL = f"""
@@ -346,7 +359,11 @@ _SIG_SQL = MH.signature_sql(_ITEMS_SQL, "user_id", "item", _PARAMS)
     tags=("similarity", "bench"),
 )
 def similar_users_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items_df(spark, sf_dir)
+    # dedup=False: MIN signatures are duplicate-insensitive, and the
+    # raw rows reuse the user_id fan-out partitioning (no distinct
+    # shuffle). The DISTINCT in the oracle's _ITEMS_SQL is equally
+    # inert under MIN, so parity is unaffected.
+    items = _items_df(spark, sf_dir, dedup=False)
     sig = MH.signature_df(items, "user_id", "item", _PARAMS)
     # signatures scored inside the band join (no sig re-join / distinct)
     scored = MH.scored_candidate_pairs_df(sig, "user_id", N_HASHES, BANDS)
