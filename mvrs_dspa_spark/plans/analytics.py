@@ -313,3 +313,90 @@ def activity_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "event_cube_summary",
+    oracle="""
+        SELECT event_type,
+               dow,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(dow) AS INT) AS g_dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM (
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   value
+            FROM events
+        )
+        GROUP BY CUBE (event_type, dow)
+        ORDER BY g_type, g_dow, event_type, dow
+    """,
+    doc="Full CUBE over (type, day-of-week): all four grouping sets in "
+    "one pass — Spark expands the sets map-side before a single "
+    "shuffle, the same physical shape as ROLLUP with 4 instead of 3 "
+    "sets (the OLAP cross-tab companion to event_rollup_hierarchy).",
+    tags=("relational",),
+)
+def event_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", "dow", "g_type", "g_dow", "n_events", "total_value")
+        .orderBy("g_type", "g_dow", "event_type", "dow")
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "user_event_type_pivot",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(
+                   f"CAST(count_if(event_type = '{t}') AS BIGINT) AS n_{t}"
+                   for t in _PIVOT_TYPES
+               )},
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Long-to-wide pivot: per-user event-type count matrix via "
+    "Spark's native pivot with an EXPLICIT value list — without it "
+    "Spark runs an extra distinct-values job and the output schema "
+    "becomes data-dependent, both wrong at 100 TB. One shuffle, "
+    "map-side partial aggregation.",
+    tags=("relational",),
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    wide = counts.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+    return wide.join(totals, "user_id").orderBy("user_id")
