@@ -400,3 +400,59 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return wide.join(totals, "user_id").orderBy("user_id")
+
+
+_JOURNEY_LEN = 5
+
+
+@register(
+    "user_journey_paths",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   array_to_string(
+                       list_slice(
+                           list(event_type ORDER BY ts, event_id),
+                           1, {_JOURNEY_LEN}),
+                       '>') AS path
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT path,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM seqs
+        GROUP BY path
+        ORDER BY n_users DESC, path
+    """,
+    doc="Funnel/path mining: each user's first-5 event-type sequence "
+    "(event-time ordered, event_id tiebreak) counted across users. "
+    "The ordered collect is sort_array over (ts, event_id, type) "
+    "structs INSIDE the aggregation — deterministic under any "
+    "partitioning, no per-group sort shuffle beyond the groupBy "
+    "itself; path frequencies then partial-aggregate map-side.",
+    tags=("relational", "sessions"),
+)
+def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        ).alias("e"),
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.sort_array(F.collect_list("e")), lambda s: s["event_type"]
+            ),
+            1,
+            _JOURNEY_LEN,
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+    )
