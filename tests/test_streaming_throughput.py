@@ -43,3 +43,31 @@ def test_synthetic_stream_throughput(spark):
     assert r["rows"] == 20_000, r
     assert r["batches"] >= 3, r
     assert r["rows_per_s"] > 0, r
+
+
+def test_progress_not_truncated_by_recent_progress_cap(
+    spark, sf_medium, tmp_path
+):
+    """The summary must come from the listener, not q.recentProgress:
+    Spark caps the latter at spark.sql.streaming.numRecentProgressUpdates
+    entries, silently undercounting runs with more triggers. With the
+    cap lowered below the trigger count, the listener-based totals
+    still see every row."""
+    src = str(tmp_path / "events12")
+    expected = table(spark, sf_medium, "events").count()
+    table(spark, sf_medium, "events").repartition(12).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    try:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "3")
+        r = measure_stream_throughput(
+            spark,
+            source="parquet",
+            pipeline="stateless",
+            parquet_dir=src,
+            files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", old)
+    assert r["batches"] >= 10, r  # > the cap of 3
+    assert r["rows"] == expected, r
