@@ -240,6 +240,13 @@ def test_jaccard_only_scalar_broadcast_hint(spark, sf_small):
     assert plan.count("ResolvedHint") <= 1, plan
 
 
+def test_ngram_jaccard_no_broadcast_hint(spark, sf_small):
+    """The Jaccard denominator must ride the exploded shingle rows —
+    no forced per-doc sizes broadcast (unbounded build side)."""
+    plan = _optimized(spark, sf_small, "ngram_jaccard_pairs")
+    assert "ResolvedHint" not in plan, plan
+
+
 def test_sliding_stats_no_broadcast_hint(spark, sf_small):
     """The new-user flag must come from an analytic min over the
     aggregated rows, not a forced-broadcast per-user firsts table
