@@ -37,6 +37,7 @@ def enrich_post_stats(
     dim: DataFrame,
     on: str = "user_id",
     defaults: dict[str, str] | None = None,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Enrich windowed stats with dimension metadata.
 
@@ -47,8 +48,16 @@ def enrich_post_stats(
     per executor and every lookup is a local hash probe, no I/O on the
     hot path.  `defaults` fills misses the way the reference emits
     "<unknown content>"/"<unknown forum>" instead of dropping rows.
+
+    The forced hint assumes the dimension fits executor memory (the
+    same assumption the reference's per-worker cache makes). For a
+    dimension that grows with the user population past that bound,
+    pass `hint_broadcast=False` — the stream-static join still works,
+    shuffled — or front a real lookup store.
     """
-    enriched = stats.join(F.broadcast(dim), on, "left")
+    enriched = stats.join(
+        F.broadcast(dim) if hint_broadcast else dim, on, "left"
+    )
     for col, default in (defaults or {}).items():
         enriched = enriched.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
     return enriched
