@@ -57,6 +57,10 @@ EXTRA_QUERIES = [
     "reply_tree_stats",
     "constraint_violations",
     "latest_events_snapshot",
+    # round 3 additions: vocabulary join, grouping sets, ordered collect
+    "doc_unigram_logprob",
+    "event_cube_summary",
+    "user_journey_paths",
 ]
 
 
