@@ -28,16 +28,11 @@ def test_rows_gate_is_the_exception_not_the_rule():
     assert gated / len(specs) < 0.2, (gated, len(specs))
 
 
-def test_every_oracle_names_no_unaliased_aggregate():
-    """The driver compare is column-NAME sensitive: a bare aggregate
-    like sum(x) would hash-mismatch Spark's aliased column even with
-    identical values. Cheap lint: no 'AS'-less top-level aggregates
-    sneaking in is hard to check syntactically, but unnamed DuckDB
-    columns render with '(' in the name — assert none of the oracle
-    texts ends a SELECT list item without aliasing by checking the
-    canary characters never appear in snake_case output names is
-    done at runtime by test_oracle_parity; here we just pin that
-    every oracle is non-empty SQL mentioning a known table."""
+def test_every_oracle_is_plausible_sql():
+    """Cheap structural lint on the oracle texts: each is non-empty
+    SQL over at least one registered table. (Column-name agreement —
+    the driver hashes by name — is enforced at runtime by
+    test_oracle_parity.)"""
     tables = (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
