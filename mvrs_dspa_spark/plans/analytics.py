@@ -456,3 +456,111 @@ def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy(F.col("n_users").desc(), "path")
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(1.0 * COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+                   AS p_next
+        FROM (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LAG window (one shuffle on user_id), then transition "
+    "counts and row-normalized probabilities. The per-prev_type "
+    "normalizer is an analytic sum over the already-aggregated cells "
+    "— no second scan, no driver-side matrix.",
+    tags=("relational", "sessions"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "p_next",
+            F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6),
+        )
+        .select("prev_type", "next_type", "n", "p_next")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_HIST_WIDTH = 10.0
+_HIST_LO = 0.0
+_HIST_HI = 100.0
+
+
+@register(
+    "event_value_histogram",
+    oracle=f"""
+        SELECT bucket,
+               ({_HIST_LO} + bucket * {_HIST_WIDTH})::DOUBLE AS lo,
+               ({_HIST_LO} + (bucket + 1) * {_HIST_WIDTH})::DOUBLE AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(value), 6) AS min_v,
+               ROUND(MAX(value), 6) AS max_v
+        FROM (
+            SELECT value,
+                   CAST(LEAST(GREATEST(FLOOR((value - {_HIST_LO}) / {_HIST_WIDTH}),
+                                       0), ({_HIST_HI} - {_HIST_LO}) / {_HIST_WIDTH} - 1)
+                        AS BIGINT) AS bucket
+            FROM events
+        )
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    doc="Fixed-width value histogram with clamped edge buckets: bucket "
+    "assignment is a pure projection (scan-bound), one shuffle on the "
+    "bounded bucket id. The exact-arithmetic cousin of the "
+    "approx_percentile sketch path (10w-a).",
+    tags=("relational",),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    n_buckets = int((_HIST_HI - _HIST_LO) / _HIST_WIDTH)
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - _HIST_LO) / _HIST_WIDTH), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * _HIST_WIDTH).alias("lo"),
+            (F.lit(_HIST_LO) + (F.col("bucket") + 1) * _HIST_WIDTH).alias("hi"),
+            "n",
+            "min_v",
+            "max_v",
+        )
+        .orderBy("bucket")
+    )
