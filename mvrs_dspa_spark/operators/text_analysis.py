@@ -84,9 +84,7 @@ def _lang_pred_sql() -> str:
     return "CASE " + " ".join(conds) + " ELSE 'und' END"
 
 
-@register(
-    "lang_id",
-    oracle=f"""
+_LANG_ID_ORACLE = f"""
         WITH t AS (
             SELECT doc_id, lang, {T.tokens_sql('text')} AS toks FROM documents
         ),
@@ -100,7 +98,12 @@ def _lang_pred_sql() -> str:
                {' + '.join(f's_{lg}' for lg in T.LANG_ORDER)} AS n_stopword_hits
         FROM scored
         ORDER BY doc_id
-    """,
+"""
+
+
+@register(
+    "lang_id",
+    oracle=_LANG_ID_ORACLE,
     doc="Language-ID heuristic: per-language stopword vote, "
     "deterministic argmax (priority " + ">".join(T.LANG_ORDER) + ").",
     tags=("text",),
@@ -379,4 +382,50 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(bits), 4).alias("bits_per_token"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+        WITH pred AS ({_LANG_ID_ORACLE})
+        SELECT lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(1.0 * COUNT(*)
+                     / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS recall,
+               ROUND(1.0 * COUNT(*)
+                     / SUM(COUNT(*)) OVER (PARTITION BY pred_lang), 6)
+                   AS precision
+        FROM pred
+        GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang
+    """,
+    doc="Language-ID evaluation: confusion matrix of predicted vs "
+    "labeled language with per-cell recall (row-normalized) and "
+    "precision (column-normalized) — the quality report a pipeline "
+    "owner runs before trusting lang_id as a filter. Composes the "
+    "registered lang_id definition on BOTH engines; normalizers are "
+    "analytic sums over the aggregated cells (no second scan).",
+    tags=("text", "llm"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    by_lang = Window.partitionBy("lang")
+    by_pred = Window.partitionBy("pred_lang")
+    return (
+        cells.select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(by_lang), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(by_pred), 6
+            ).alias("precision"),
+        )
+        .orderBy("lang", "pred_lang")
     )
