@@ -564,3 +564,83 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "user_hourly_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        actual AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.user_id,
+               CAST(g.hour AS TIMESTAMP) AS hour,
+               COALESCE(a.n, 0) AS n_events,
+               ROUND(COALESCE(
+                   last_value(a.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0.0), 2) AS v_ffill
+        FROM grid g LEFT JOIN actual a
+          ON a.user_id = g.user_id AND a.hour = g.hour
+        ORDER BY g.user_id, hour
+    """,
+    doc="Hypertable-style hourly gap-fill per user (TimescaleDB "
+    "time_bucket_gapfill analog): dense hour grid from each user's "
+    "own bounds (sequence+explode, JVM-side), zero-filled counts, "
+    "forward-filled hourly value via last_value IGNORE NULLS. Grid "
+    "size is users x their own active span — bounded by the "
+    "retention window, never a global cross join.",
+    tags=("relational", "windows"),
+)
+def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.round(
+                F.coalesce(
+                    F.last("v", ignorenulls=True).over(w), F.lit(0.0)
+                ),
+                2,
+            ).alias("v_ffill"),
+        )
+        .orderBy("user_id", "hour")
+    )
