@@ -80,7 +80,7 @@ STATE_SCHEMA = (
 TOMBSTONE = -1
 
 
-def _resolver_fn():
+def _resolver_fn(map_ttl_ms: int | None = None):
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -94,6 +94,21 @@ def _resolver_fn():
             pend = []
 
         wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # optional mapping TTL (ref postMappingTtl,
+        # BuildReplyTreeProcessFunction.scala:29,241-242): expire the
+        # resolved mapping once the watermark is TTL past its event
+        # time — children arriving later dangle, exactly as the
+        # reference's retained-map eviction makes them. Bounds the
+        # otherwise-unbounded per-key mapping state.
+        if (
+            map_ttl_ms is not None
+            and map_post is not None
+            and wm_us > 0
+            and map_ts_us + map_ttl_ms * 1000 <= wm_us
+        ):
+            map_post, map_ts_us, map_depth = None, None, 0
+
         out = []
 
         rows = []
@@ -168,6 +183,12 @@ def _resolver_fn():
             if pend:
                 # wake when the watermark passes the oldest orphan
                 state.setTimeoutTimestamp(min(t for _, t in pend) // 1000 + 1)
+            elif map_ttl_ms is not None:
+                # wake at mapping expiry so the state clears without
+                # needing another event on this key
+                state.setTimeoutTimestamp(
+                    max(map_ts_us // 1000 + map_ttl_ms + 1, wm_us // 1000 + 1)
+                )
         else:
             state.remove()
 
@@ -186,11 +207,15 @@ def _resolver_fn():
 
 
 def reply_tree_stream(
-    src: DataFrame, watermark_delay: str = "30 minutes"
+    src: DataFrame,
+    watermark_delay: str = "30 minutes",
+    map_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Keyed incremental resolution over a (raw ∪ feedback) stream.
 
-    `src` must carry EVENT_SCHEMA columns.
+    `src` must carry EVENT_SCHEMA columns. `map_ttl_ms` bounds the
+    per-key mapping state (ref `postMappingTtl`); children arriving
+    after their parent's mapping expired are reported dangling.
     """
     keyed = (
         src.withColumn(
@@ -203,7 +228,7 @@ def reply_tree_stream(
         .withWatermark("ts", watermark_delay)
     )
     return keyed.groupBy("rendezvous_id").applyInPandasWithState(
-        _resolver_fn(),
+        _resolver_fn(map_ttl_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -219,6 +244,7 @@ def run_reply_tree_resolution(
     timeout_s: int = 180,
     max_files_per_trigger: int | None = None,
     final_fence: bool = True,
+    map_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Drive the feedback-loop topology to quiescence; return results.
 
@@ -250,7 +276,9 @@ def run_reply_tree_resolution(
         .withColumn("depth", F.lit(None).cast("long"))
     )
     fb = spark.readStream.schema(EVENT_SCHEMA).parquet(feedback_dir)
-    resolved = reply_tree_stream(raw.unionByName(fb), watermark_delay)
+    resolved = reply_tree_stream(
+        raw.unionByName(fb), watermark_delay, map_ttl_ms=map_ttl_ms
+    )
 
     def emit(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.persist()

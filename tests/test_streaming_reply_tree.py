@@ -180,3 +180,32 @@ def test_streaming_matches_batch_pointer_doubling(spark, tmp_path):
         else:
             # chain hits a missing ancestor: dangling or tombstoned
             assert status in ("dangling", "dropped"), (cid, status)
+
+
+def test_mapping_ttl_expires_stale_parents(spark, tmp_path):
+    """With a mapping TTL (ref postMappingTtl), a reply that arrives
+    after the watermark is TTL past its parent's timestamp finds the
+    mapping evicted and dangles; without the TTL it resolves."""
+    batches = [
+        [(601, _t(8, 0), 3, None), (700, _t(10, 30), 6, None)],  # wm -> 10:20
+        [(602, _t(11, 0), None, 601)],  # parent mapping 1h-expired by now
+    ]
+    with_ttl = _run(
+        spark,
+        tmp_path / "ttl",
+        batches,
+        max_files_per_trigger=1,
+        watermark_delay="10 minutes",
+        map_ttl_ms=3_600_000,
+    )
+    assert with_ttl[601] == (3, 0, "comment")
+    assert with_ttl[602][2] == "dangling", with_ttl
+
+    without = _run(
+        spark,
+        tmp_path / "nottl",
+        batches,
+        max_files_per_trigger=1,
+        watermark_delay="10 minutes",
+    )
+    assert without[602] == (3, 1, "resolved"), without
