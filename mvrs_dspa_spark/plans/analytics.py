@@ -644,3 +644,86 @@ def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH firstday AS (
+            SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        )
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort_day,
+               datediff('day', cohort, day) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM activity JOIN firstday USING (user_id)
+        GROUP BY cohort, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    doc="Retention cohort matrix: users grouped by first-seen day, "
+    "activity counted per day offset. Two aggregations sharing the "
+    "user_id shuffle (first-day + distinct active days), then a "
+    "cohort rollup — the analytics-team staple for engagement decay.",
+    tags=("relational", "sessions"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(firstday, "user_id")
+        .groupBy(
+            F.col("cohort").cast("timestamp").alias("cohort_day"),
+            F.datediff("day", "cohort").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "hourly_value_momentum",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY 1
+        )
+        SELECT hour, v,
+               ROUND(v - LAG(v) OVER (ORDER BY hour), 2) AS delta,
+               ROUND((v - LAG(v) OVER (ORDER BY hour))
+                     / NULLIF(LAG(v) OVER (ORDER BY hour), 0), 6) AS pct_change
+        FROM h
+        ORDER BY hour
+    """,
+    doc="Period-over-period deltas on the hourly value series (LAG "
+    "with NULLIF guard). The global-order window runs on the ALREADY "
+    "AGGREGATED series — one row per hour, bounded by the retention "
+    "window — never on raw events, so the single-partition window is "
+    "a non-issue at any scale.",
+    tags=("relational", "windows"),
+)
+def hourly_value_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.orderBy("hour")
+    prev = F.lag("v").over(w)
+    return (
+        hourly.select(
+            "hour",
+            "v",
+            F.round(F.col("v") - prev, 2).alias("delta"),
+            F.round(
+                (F.col("v") - prev) / F.nullif(prev, F.lit(0)), 6
+            ).alias("pct_change"),
+        )
+        .orderBy("hour")
+    )
