@@ -86,3 +86,95 @@ def sessionize(df: DataFrame, key: str = "user_id", gap_us: int = GAP_US) -> Dat
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_conversion",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id,
+                   epoch_us(ts) AS ts_us,
+                   event_id,
+                   event_type,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_US}
+                        THEN 1
+                        WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        numbered AS (
+            SELECT *,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_seq,
+                   MIN(ts_us) FILTER (WHERE event_type = 'click')
+                       AS first_click,
+                   MAX(ts_us) FILTER (WHERE event_type = 'purchase')
+                       AS last_purchase
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(count_if(first_click IS NOT NULL) AS BIGINT)
+                   AS n_with_click,
+               CAST(count_if(first_click IS NOT NULL
+                             AND last_purchase >= first_click) AS BIGINT)
+                   AS n_converted,
+               ROUND(1.0 * count_if(first_click IS NOT NULL
+                                    AND last_purchase >= first_click)
+                     / NULLIF(count_if(first_click IS NOT NULL), 0), 6)
+                   AS conversion_rate
+        FROM per_session
+    """,
+    doc="Within-session funnel conversion: a session converts when a "
+    "purchase occurs at/after its first click. Composes the same "
+    "gap-sessionization window as user_sessions (shared shuffle "
+    "shape), then conditional per-session aggregates and one global "
+    "rollup row — the e-commerce KPI atop the sessionizer.",
+    tags=("windows", "sessions"),
+)
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    flagged = base.withColumn(
+        "new_session",
+        (F.col("ts_us") - F.lag("ts_us").over(order) > F.lit(GAP_US)).cast(
+            "int"
+        ),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce("new_session", F.lit(1))).over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = flagged.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_us"))).alias(
+            "first_click"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("last_purchase"),
+    )
+    clicked = F.col("first_click").isNotNull()
+    converted = clicked & (F.col("last_purchase") >= F.col("first_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(clicked).alias("n_with_click"),
+        F.count_if(converted).alias("n_converted"),
+        F.round(
+            F.count_if(converted).cast("double")
+            / F.nullif(F.count_if(clicked), F.lit(0)),
+            6,
+        ).alias("conversion_rate"),
+    )
