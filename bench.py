@@ -61,6 +61,9 @@ EXTRA_QUERIES = [
     "doc_unigram_logprob",
     "event_cube_summary",
     "user_journey_paths",
+    # round 3 additions: retrieval + embedding compression
+    "bm25_search",
+    "embedding_quantize",
 ]
 
 

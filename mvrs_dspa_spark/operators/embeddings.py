@@ -1,0 +1,221 @@
+"""Embedding-column operators: distributed PCA and int8 quantization
+(SURVEY §2f).
+
+Large-scale embedding pipelines compress and re-project vectors before
+indexing: PCA for dimensionality reduction (OPQ/IVF preprocessing —
+Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011), scalar int8 quantization for 4× storage reduction ahead
+of ANN serving. Both are re-expressed Spark-first:
+
+- PCA uses the Gramian trick (as MLlib's RowMatrix.computeGramian):
+  each Arrow batch emits its partial (n, Σx, XᵀX) — a d + d² + 1
+  vector — which Spark reduces by position; only the d×d Gram reaches
+  the driver (4 KB at d=64, independent of row count), where numpy's
+  eigh finishes. The projection is then a broadcast d×k matmul inside
+  an Arrow-batched pandas_udf. Nothing driver-side ever scales with
+  the data.
+- Quantization is pure column expressions (per-vector min/max scale,
+  transform + floor) — scan-bound, shuffle-free, whole-stage codegen.
+
+The mapInPandas / pandas_udf closures are self-contained (numpy only,
+no repo imports) per the executor-import constraint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+PCA_K = 4
+
+
+def pca_fit(
+    emb: DataFrame, vec_col: str = "embedding", k: int = PCA_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over a DataFrame's vector column.
+
+    Returns ``(mean[d], components[d,k], explained_var[k])``.
+    Components are sign-pinned (largest-|coefficient| entry positive)
+    so downstream projections are deterministic up to float summation
+    order.
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # self-contained closure
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            n = float(len(x))
+            s = x.sum(axis=0)
+            g = (x.T @ x).ravel()
+            yield pd.DataFrame(
+                {"part": [np.concatenate(([n], s, g)).tolist()]}
+            )
+
+    part = emb.select(F.col(vec_col).alias("v")).mapInPandas(
+        partials, schema="part array<double>"
+    )
+    # Positional reduce: (batches × (1+d+d²)) rows shuffle down to
+    # 1+d+d² — bounded by dimension, never by row count.
+    flat = (
+        part.select(F.posexplode("part").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    vec = np.zeros(len(flat))
+    for r in flat:
+        vec[r["pos"]] = r["val"]
+    n = vec[0]
+    d = int(round((np.sqrt(4 * (len(vec) - 1) + 1) - 1) / 2))
+    mean = vec[1 : 1 + d] / n
+    gram = vec[1 + d :].reshape(d, d)
+    cov = gram / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order]
+    for j in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps, np.maximum(eigval[order], 0.0)
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: np.ndarray,
+    comps: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto fitted components: (x − mean) @ W via an
+    Arrow-batched matmul. mean/W are closure constants (d·k doubles —
+    scale-independent broadcast)."""
+    mean_l = mean.tolist()
+    comps_l = comps.tolist()
+
+    @F.pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.asarray(mean_l)
+        w = np.asarray(comps_l)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        out = (x - m) @ w
+        return pd.Series(list(out))
+
+    return emb.withColumn(out_col, proj(F.col(vec_col)))
+
+
+@register(
+    "pca_embeddings_projection",
+    oracle=None,  # eigendecomposition is not SQL-expressible
+    doc="Distributed PCA (Gramian partial-sum reduce, driver eigh, "
+    "broadcast matmul projection): top-4 principal components per "
+    "vector, sign-pinned. Rows-gated; pinned by pytest invariants "
+    "(orthonormality, variance ordering, numpy parity) in "
+    "tests/test_embeddings.py.",
+    tags=("embeddings", "llm", "rows_gate"),
+)
+def pca_embeddings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mean, comps, _ = pca_fit(emb)
+    projected = pca_project(emb, mean, comps)
+    return projected.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i + 1}")
+            for i in range(PCA_K)
+        ],
+    ).orderBy("vec_id")
+
+
+QUANT_LEVELS = 255  # uint8 code range [0, 255]
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_aggregate(embedding, 'min') AS mn,
+                   list_aggregate(embedding, 'max') AS mx,
+                   (list_aggregate(embedding, 'max')
+                    - list_aggregate(embedding, 'min')) / {QUANT_LEVELS}.0
+                       AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS n_dims,
+               ROUND(mn, 6) AS v_min,
+               ROUND(mx, 6) AS v_max,
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding, x ->
+                        CAST(least({QUANT_LEVELS}.0,
+                                   floor((x - mn) / scale + 0.5)) AS BIGINT))
+               END AS codes,
+               ROUND(CASE WHEN scale = 0 THEN 0.0
+                    ELSE list_sum(list_transform(embedding, x ->
+                        pow(x - (mn + CAST(least({QUANT_LEVELS}.0,
+                            floor((x - mn) / scale + 0.5)) AS BIGINT)
+                            * scale), 2))) / len(embedding)
+               END, 8) AS mse
+        FROM s
+        ORDER BY vec_id
+    """,
+    doc="Per-vector scalar int8 quantization (min/max affine codes) "
+    "with reconstruction MSE: pure column expressions, scan-bound, "
+    "shuffle-free — the 4x storage-reduction pass before ANN "
+    "indexing.",
+    tags=("embeddings", "llm"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_vectors(emb).orderBy("vec_id")
+
+
+def quantize_vectors(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar min/max quantization of a vector column (core of the
+    registered `embedding_quantize` query; reusable on any frame)."""
+    mn = F.array_min(vec_col)
+    mx = F.array_max(vec_col)
+    scale = (mx - mn) / float(QUANT_LEVELS)
+
+    def code(x):
+        return F.least(
+            F.lit(float(QUANT_LEVELS)), F.floor((x - mn) / scale + 0.5)
+        ).cast("long")
+
+    codes = F.when(
+        scale == 0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long")),
+    ).otherwise(F.transform(F.col(vec_col), code))
+    sq_err = F.transform(
+        F.col(vec_col),
+        lambda x: F.pow(x - (mn + code(x) * scale), F.lit(2.0)),
+    )
+    mse = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, e: acc + e)
+        / F.size(vec_col)
+    )
+    return emb.select(
+        id_col,
+        F.size(vec_col).alias("n_dims"),
+        F.round(mn, 6).alias("v_min"),
+        F.round(mx, 6).alias("v_max"),
+        codes.alias("codes"),
+        F.round(mse, 8).alias("mse"),
+    )

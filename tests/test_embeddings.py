@@ -1,0 +1,114 @@
+"""Invariants for the embedding operators (PCA rows-gate pins +
+quantization properties). PCA has no SQL oracle — these tests are its
+declared correctness gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mvrs_dspa_spark.operators.embeddings import (
+    PCA_K,
+    QUANT_LEVELS,
+    pca_embeddings_projection,
+    pca_fit,
+    pca_project,
+    quantize_vectors,
+)
+from mvrs_dspa_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, sf_small):
+    emb = table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    rows = emb.orderBy("vec_id").collect()
+    x = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mean, comps, var = pca_fit(emb)
+    return emb, x, mean, comps, var
+
+
+def test_pca_matches_numpy_reference(fitted):
+    """Distributed Gramian + driver eigh == plain numpy PCA on the
+    collected matrix (same covariance convention, 1/n)."""
+    _, x, mean, comps, var = fitted
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:PCA_K]
+    np.testing.assert_allclose(var, ev[order], rtol=1e-8, atol=1e-10)
+    for j, col in enumerate(order):
+        ref = evec[:, col]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        np.testing.assert_allclose(comps[:, j], ref, atol=1e-7)
+
+
+def test_pca_components_orthonormal_variance_desc(fitted):
+    _, _, _, comps, var = fitted
+    np.testing.assert_allclose(comps.T @ comps, np.eye(PCA_K), atol=1e-9)
+    assert all(var[i] >= var[i + 1] for i in range(len(var) - 1))
+    assert (var >= 0).all()
+    # sign pin: largest-|coefficient| entry of each component positive
+    for j in range(comps.shape[1]):
+        assert comps[np.argmax(np.abs(comps[:, j])), j] > 0
+
+
+def test_pca_projection_matches_local_matmul(fitted):
+    emb, x, mean, comps, _ = fitted
+    got = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in pca_project(emb, mean, comps).select("vec_id", "pc").collect()
+    }
+    ids = sorted(got)
+    want = (x - mean) @ comps
+    np.testing.assert_allclose(
+        np.asarray([got[i] for i in ids]), want, atol=1e-8
+    )
+
+
+def test_pca_registered_query_shape(spark, sf_small):
+    df = pca_embeddings_projection(spark, sf_small)
+    assert df.columns == ["vec_id"] + [f"pc{i + 1}" for i in range(PCA_K)]
+    rows = df.collect()
+    n = table(spark, sf_small, "embeddings").count()
+    assert len(rows) == n
+    # projections onto the top component must carry nonzero variance
+    pc1 = np.asarray([r["pc1"] for r in rows])
+    assert pc1.std() > 0
+
+
+def test_quantize_codes_bounded_and_error_within_half_step(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 2.0, 3.0]),
+            (2, [-1.5, 0.0, 1.5, 2.5]),
+            (3, [4.2, 4.2, 4.2, 4.2]),  # constant vector: scale == 0
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_vectors(df).collect()}
+    for vid, r in out.items():
+        assert all(0 <= c <= QUANT_LEVELS for c in r["codes"])
+        assert r["n_dims"] == 4
+    # constant vector: all codes 0, exact reconstruction
+    assert out[3]["codes"] == [0, 0, 0, 0]
+    assert out[3]["mse"] == 0.0
+    assert out[3]["v_min"] == out[3]["v_max"]
+    # quantization error per element is at most half a step -> mse <=
+    # (scale/2)^2
+    for vid in (1, 2):
+        r = out[vid]
+        scale = (r["v_max"] - r["v_min"]) / QUANT_LEVELS
+        assert r["mse"] <= (scale / 2) ** 2 + 1e-12
+    # endpoints map to the code range ends
+    assert out[1]["codes"][0] == 0
+    assert out[1]["codes"][-1] == QUANT_LEVELS
+
+
+def test_quantize_roundtrip_close(spark, sf_small):
+    emb = table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    out = quantize_vectors(emb).collect()
+    assert len(out) == emb.count()
+    for r in out[:20]:
+        scale = (r["v_max"] - r["v_min"]) / QUANT_LEVELS
+        assert r["mse"] <= (scale / 2) ** 2 + 1e-12
