@@ -190,3 +190,52 @@ def est_similarity_sql(n: int) -> str:
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(n)
     )
     return f"ROUND(({terms})::DOUBLE / {n}, 6)"
+
+
+def signature_array_col(codes: Column, params: list[tuple[int, int]]) -> Column:
+    """Per-ROW minhash signature from a shingle-code ARRAY column:
+    array_min of each affine hash family over the codes.
+
+    Equivalent to :func:`signature_df`'s explode+groupBy form but
+    narrow (no shuffle) — the right shape when the codes already sit
+    in one array per document, e.g. on a stream where an aggregation
+    would be stateful."""
+    def hash_fn(a: int, b: int):
+        # closure factory, NOT default-arg capture: extra lambda params
+        # would be mistaken for higher-order-function arguments
+        return lambda c: H.affine_col(c, a, b)
+
+    return F.array(
+        *[F.array_min(F.transform(codes, hash_fn(a, b))) for (a, b) in params]
+    )
+
+
+def band_hash_from_sig_col(sig: Column, band: int, rows: int) -> Column:
+    """Band hash over an ARRAY-form signature (same fold as
+    :func:`_band_hash_col` over wide m{i} columns)."""
+    acc: Column = F.lit(0).cast("long")
+    for i in range(band * rows, (band + 1) * rows):
+        acc = (acc * F.lit(31) + F.element_at(sig, i + 1)) % F.lit(H.P)
+    return acc
+
+
+def bucket_rows_from_sig_df(
+    df: DataFrame, sig_col: str, n: int, bands: int
+) -> DataFrame:
+    """Explode one (band, bh) row per band from an ARRAY-form
+    signature column, all other columns riding along."""
+    rows = n // bands
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        band_hash_from_sig_col(F.col(sig_col), j, rows).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(*df.columns, "bk.band", "bk.bh")

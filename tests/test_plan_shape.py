@@ -25,6 +25,8 @@ _SCALAR_BNLJ_OK = {
     "lang_mix_temperature",  # 1-row min-count scalar broadcast
     "boilerplate_ngrams",  # 1-row total-docs scalar broadcast
     "doc_unigram_logprob",  # 1-row total-tokens scalar broadcast
+    "bm25_search",  # 1-row corpus-stats (n_docs, avgdl) broadcast
+    "tfidf_top_terms",  # 1-row n_docs scalar broadcast
 }
 
 
@@ -267,6 +269,7 @@ def test_sliding_stats_no_broadcast_hint(spark, sf_small):
         "ann_ivf",
         "source_quota_cap",
         "latest_events_snapshot",
+        "tfidf_top_terms",
     ],
 )
 def test_topn_queries_get_window_group_limit(spark, sf_small, name):
@@ -281,3 +284,28 @@ def test_topn_queries_get_window_group_limit(spark, sf_small, name):
     df = all_queries()[name].fn(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, f"{name} lost WindowGroupLimit"
+
+
+def test_embedding_quantize_pruned_and_join_free(spark, sf_small):
+    """Quantization is a pure per-row projection: the scan must read
+    only (vec_id, embedding) — never label — and the plan must contain
+    no join and no aggregation exchange (the only exchange allowed is
+    the final global sort)."""
+    plan = _plan(spark, sf_small, "embedding_quantize")
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[: scan.index("\n\n")] if "\n\n" in scan else scan
+    assert "label" not in read_schema, "scan reads unused label column"
+    assert "Join" not in plan, "quantize must stay join-free"
+    assert plan.count("Exchange") <= 2, (  # rangepartition + its reuse line
+        "quantize must not shuffle except for the final sort"
+    )
+
+
+def test_bm25_joins_all_broadcast(spark, sf_small):
+    """BM25's df table (<= |query terms| rows) and the 1-row stats
+    scalar must both broadcast — a SortMergeJoin here would shuffle
+    the postings on term, which is pure overhead when one side is
+    constant-bounded."""
+    plan = _plan(spark, sf_small, "bm25_search")
+    assert "SortMergeJoin" not in plan, "bm25 join must broadcast"
+    assert "BroadcastHashJoin" in plan
