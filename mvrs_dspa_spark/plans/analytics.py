@@ -727,3 +727,99 @@ def hourly_value_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "event_value_regression",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(regr_slope(value, hour(ts)), 6) AS slope,
+               ROUND(regr_intercept(value, hour(ts)), 6) AS intercept,
+               ROUND(corr(value, hour(ts)), 6) AS r
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Grouped OLS via native regression aggregates: per event type, "
+    "slope/intercept of value on hour-of-day plus Pearson r. Single "
+    "partial-aggregated shuffle on event_type — regr_*/corr are "
+    "algebraic aggregates (sum/sum-of-products moments), so they "
+    "map-side combine exactly like SUM at any scale.",
+    tags=("relational", "stats"),
+)
+def event_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("value", hr), 6).alias("slope"),
+            F.round(F.regr_intercept("value", hr), 6).alias("intercept"),
+            F.round(F.corr("value", hr), 6).alias("r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_token_entropy",
+    oracle="""
+        WITH counts AS (
+            SELECT source, tok, COUNT(*) AS n
+            FROM (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY source, tok
+        ),
+        w AS (
+            SELECT source, n,
+                   SUM(n) OVER (PARTITION BY source) AS total
+            FROM counts
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               ROUND(-SUM((1.0 * n / total) * log2(1.0 * n / total)), 6)
+                   AS entropy_bits
+        FROM w
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Shannon entropy (bits) of each source's token distribution — "
+    "the diversity screen a corpus owner runs per provider (low "
+    "entropy flags templated/boilerplate sources). Token counts "
+    "aggregate to |sources| x |vocab| rows before the entropy pass; "
+    "the per-source total is an analytic sum over those aggregated "
+    "rows, so raw tokens shuffle exactly once.",
+    tags=("text", "stats", "llm"),
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.functions import text as T
+
+    counts = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("source"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.withColumn("total", total)
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
