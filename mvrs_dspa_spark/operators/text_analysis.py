@@ -165,11 +165,13 @@ _QUALITY_SCORE_SQL = """ROUND(0.5 * stopword_ratio + 0.3 * alpha_ratio
                      + 0.2 * (CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END) / 100.0, 6)"""
 
 
-def _quality_metrics(df: DataFrame) -> DataFrame:
+def _quality_metrics(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Raw (unrounded) quality metrics per doc; Spark twin of the
-    ``m`` CTE in :data:`_QUALITY_CTES`."""
+    ``m`` CTE in :data:`_QUALITY_CTES`. ``extra_cols`` ride along
+    unchanged (e.g. ``ts`` for the streaming curation job)."""
     t = df.select(
-        "doc_id", "lang", "text", T.tokens_col(F.col("text")).alias("toks")
+        "doc_id", "lang", "text", *extra_cols,
+        T.tokens_col(F.col("text")).alias("toks"),
     )
     n_tokens = F.size("toks")
     tok_len_sum = F.aggregate(
@@ -190,6 +192,7 @@ def _quality_metrics(df: DataFrame) -> DataFrame:
     return t.select(
         "doc_id",
         "lang",
+        *extra_cols,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         avg_token_len.alias("_atl"),

@@ -245,3 +245,50 @@ def conversion_attribution_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_curation(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest curation: quality gate + exact dedup on a
+    document stream — the always-on front door of the batch curation
+    pipeline (operators/export.py `training_corpus_manifest`).
+
+    Reuses the BATCH `doc_quality` column expressions verbatim
+    (text_analysis._quality_metrics / _quality_score_col): the same
+    cross-engine-verified definition scores both modes, so a doc is
+    kept or dropped identically whether it arrives in a nightly batch
+    or on the stream. The dedup key is the batch `dedup_exact`
+    normalization (whitespace/case-collapsed text, md5). Both stages
+    are scan-bound: the gate is stateless column math; dedup state is
+    bounded by the watermark horizon, not corpus history — the
+    full-history complement is the streaming MinHash operator
+    (dedup_stream.py).
+
+    Input: (doc_id, ts, lang, text) stream. Output (append): doc_id,
+    ts, lang, quality_score, content_key of the kept docs.
+    """
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _quality_metrics,
+        _quality_score_col,
+    )
+
+    content_key = F.md5(
+        F.encode(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "),
+            "UTF-8",
+        )
+    )
+    metrics = _quality_metrics(
+        docs.withColumn("content_key", content_key),
+        extra_cols=("ts", "content_key"),
+    )
+    return (
+        metrics.withColumn("quality_score", _quality_score_col())
+        .where(F.col("quality_score") >= min_quality)
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .select("doc_id", "ts", "lang", "quality_score", "content_key")
+    )

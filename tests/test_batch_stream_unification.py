@@ -70,3 +70,97 @@ def test_same_definition_batch_and_stream_agree(spark, tmp_path):
     wm = _t(14, 30).replace(tzinfo=None)
     for (ws, et) in set(batch_rows) - set(stream_rows):
         assert ws + timedelta(hours=1) > wm, (ws, et)
+
+
+def test_streaming_curation_matches_batch_semantics(spark, tmp_path):
+    """The curation job keeps exactly the docs the BATCH definitions
+    would keep: quality_score >= threshold (doc_quality expressions)
+    and first occurrence per normalized text (dedup_exact key) — with
+    the streaming run split across micro-batches."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _quality_metrics,
+        _quality_score_col,
+    )
+    from mvrs_dspa_spark.streaming.jobs import streaming_curation
+
+    def t(m):
+        return datetime(2026, 4, 1, 9, m, tzinfo=timezone.utc)
+
+    good = (
+        "the cat and the dog walked to the park and it was a good day "
+        "in the sun with a friend of a friend"
+    )
+    rows = [
+        (1, t(0), "en", good),
+        (2, t(1), "en", "zzzz qqqq xxxx"),            # low quality
+        (3, t(2), "en", good.upper()),                # dup of 1 after normalize? no: case-folded == 1
+        (4, t(3), "en", "  " + good + "  "),          # whitespace dup of 1
+        (5, t(4), "en", good + " extra tail words here the a of and to in is it"),
+        (6, t(5), "en", good),                        # exact dup of 1
+    ]
+    schema = "doc_id long, ts timestamp, lang string, text string"
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    # batch truth from the registered definitions
+    batch_docs = spark.read.parquet(src)
+    scored = _quality_metrics(batch_docs, extra_cols=("ts",)).withColumn(
+        "quality_score", _quality_score_col()
+    )
+    gated = scored.where(F.col("quality_score") >= 0.3)
+    key = F.md5(
+        F.encode(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "),
+            "UTF-8",
+        )
+    )
+    from pyspark.sql import Window
+
+    # dedup runs AFTER the gate in the stream, so "first occurrence"
+    # is first among the quality-passing docs
+    first = (
+        batch_docs.join(gated.select("doc_id"), "doc_id", "semi")
+        .withColumn("k", key)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy("ts", "doc_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    want = {
+        r["doc_id"]
+        for r in gated.join(first, "doc_id", "semi").select("doc_id").collect()
+    }
+
+    stream = streaming_curation(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("curation_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("curation_out").collect()
+    got = {r["doc_id"] for r in out}
+
+    assert got == want
+    assert 2 not in got          # quality-gated
+    assert 6 not in got          # exact dup
+    assert 4 not in got          # whitespace-normalized dup
+    assert 1 in got and 5 in got
+    # scores on the stream equal the registered batch scores
+    batch_scores = {
+        r["doc_id"]: round(r["quality_score"], 6)
+        for r in gated.collect()
+    }
+    for r in out:
+        assert round(r["quality_score"], 6) == batch_scores[r["doc_id"]]
