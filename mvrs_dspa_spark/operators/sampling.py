@@ -311,3 +311,46 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket", "batch_idx", "pos_in_batch")
     )
+
+
+WEIGHTED_SALT = "wsample-v1"
+WEIGHTED_K = 50
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   ROUND(pow(
+                       (1.0 + {_code_sql('doc_id', WEIGHTED_SALT)}) / {H.P + 1}.0,
+                       1.0 / GREATEST(n_chars, 1)
+                   ), 9) AS sample_key
+            FROM documents
+        )
+        SELECT doc_id, n_chars, sample_key
+        FROM keyed
+        ORDER BY sample_key DESC, doc_id
+        LIMIT {WEIGHTED_K}
+    """,
+    doc="Efraimidis-Spirakis weighted sampling (IPL 2006): key = "
+    "u^(1/w) with u a deterministic hash uniform and w = n_chars; the "
+    "global top-K by key IS a weighted sample without replacement. "
+    "RNG-free (pure function of doc_id, like the rest of the sampling "
+    "family), single narrow pass + global top-K — TakeOrderedAndProject, "
+    "per-partition heaps, no full sort at any scale. Keys are ordered "
+    "ROUNDED (9 dp, doc_id tiebreak) so both engines select the same "
+    "set despite last-ulp pow() differences.",
+    tags=("sampling", "llm"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (1.0 + _code(F.col("doc_id"), WEIGHTED_SALT)) / float(H.P + 1)
+    key = F.round(
+        F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1))), 9
+    )
+    return (
+        d.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WEIGHTED_K)
+    )

@@ -309,3 +309,12 @@ def test_bm25_joins_all_broadcast(spark, sf_small):
     plan = _plan(spark, sf_small, "bm25_search")
     assert "SortMergeJoin" not in plan, "bm25 join must broadcast"
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_is_take_ordered_not_full_sort(spark, sf_small):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-K heaps + single merge), never a global Sort —
+    the difference between O(k) and O(n log n) memory at scale."""
+    df = all_queries()["weighted_sample_topk"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
