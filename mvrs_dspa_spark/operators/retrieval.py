@@ -217,3 +217,70 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+COVERAGE_TOP_K = 25
+
+
+@register(
+    "token_coverage_curve",
+    oracle=f"""
+        WITH counts AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest({T.tokens_sql('lower(text)')}) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        ),
+        tot AS (SELECT SUM(n) AS total FROM counts),
+        ranked AS (
+            SELECT tok, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER)
+                       AS rank
+            FROM counts
+        )
+        SELECT rank, tok, CAST(n AS BIGINT) AS n,
+               ROUND(1.0 * SUM(n) OVER (
+                   ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / t.total, 6) AS cum_share
+        FROM ranked CROSS JOIN tot t
+        WHERE rank <= {COVERAGE_TOP_K}
+        ORDER BY rank
+    """,
+    doc="Zipf coverage curve: cumulative corpus share of the top-K "
+    "vocabulary tokens — the 'how big must the tokenizer vocab be' "
+    "diagnostic. One token shuffle to vocabulary-sized counts; the "
+    "rank window and running sum operate on the aggregated vocab "
+    "only (bounded), with the corpus total a 1-row broadcast.",
+    tags=("text", "retrieval", "llm"),
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+    ).where(F.col("rank") <= COVERAGE_TOP_K)
+    cum = (
+        F.sum("n")
+        .over(Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "tok",
+            "n",
+            F.round(cum / F.col("total"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
