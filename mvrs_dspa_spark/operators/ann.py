@@ -330,6 +330,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(v, "embedding", k=IVF_NLIST, iters=IVF_ITERS, id_col="vec_id")
+    if not cents:  # empty slice in -> empty result out
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double"
+        )
     C = np.asarray(cents)  # (nlist, dim)
     c_sq = (C * C).sum(axis=1)
 

@@ -133,9 +133,13 @@ def kmeans_fit(
     order_col = id_col or vec_col
     if local_cap:
         sample = df.select(order_col, vec_col).limit(local_cap + 1).collect()
+        if not sample:
+            return []  # empty input -> no centroids; callers emit empty
         if len(sample) <= local_cap:
             return _kmeans_fit_local(sample, k, iters)
     init_rows = df.orderBy(order_col).limit(k).select(vec_col).collect()
+    if not init_rows:
+        return []
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     dim = len(centroids[0])
     # dim-wise sum columns instead of posexplode: no row amplification
@@ -179,6 +183,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     centroids = kmeans_fit(emb, "embedding", k=K, iters=ITERS, id_col="vec_id")
+    if not centroids:  # empty slice in -> empty result out
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, dist double"
+        )
     return (
         assign_clusters(emb, "embedding", centroids)
         .select("vec_id", "cluster", F.round(F.sqrt("sq_dist"), 6).alias("dist"))
@@ -226,6 +234,10 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unusual_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = user_activity_features(spark, sf_dir)
     centroids = kmeans_fit(feats, "features", k=UA_K, iters=ITERS, id_col="user_id")
+    if not centroids:  # empty slice in -> empty result out
+        return spark.createDataFrame(
+            [], "user_id long, cluster int, dist double, is_unusual boolean"
+        )
     assigned = assign_clusters(feats, "features", centroids).select(
         "user_id", "cluster", F.sqrt("sq_dist").alias("dist")
     )

@@ -38,10 +38,11 @@ PCA_K = 4
 
 def pca_fit(
     emb: DataFrame, vec_col: str = "embedding", k: int = PCA_K
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Fit PCA over a DataFrame's vector column.
 
-    Returns ``(mean[d], components[d,k], explained_var[k])``.
+    Returns ``(mean[d], components[d,k], explained_var[k])``, or
+    ``None`` when the input is empty (no model is definable).
     Components are sign-pinned (largest-|coefficient| entry positive)
     so downstream projections are deterministic up to float summation
     order.
@@ -74,6 +75,8 @@ def pca_fit(
         .agg(F.sum("val").alias("val"))
         .collect()
     )
+    if not flat:
+        return None  # empty input: no model; callers emit empty
     vec = np.zeros(len(flat))
     for r in flat:
         vec[r["pos"]] = r["val"]
@@ -129,7 +132,11 @@ def pca_project(
 )
 def pca_embeddings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mean, comps, _ = pca_fit(emb)
+    fitted = pca_fit(emb)
+    if fitted is None:  # empty slice in -> empty result out
+        cols = ", ".join(f"pc{i + 1} double" for i in range(PCA_K))
+        return spark.createDataFrame([], f"vec_id long, {cols}")
+    mean, comps, _ = fitted
     projected = pca_project(emb, mean, comps)
     return projected.select(
         "vec_id",

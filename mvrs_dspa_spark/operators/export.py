@@ -276,6 +276,10 @@ def semantic_dedup_op(
     if k is None:
         k = sem_k_for(emb.count())
     centroids = kmeans_fit(emb, vec_col, k=k, iters=iters, id_col=id_col)
+    if not centroids:  # empty slice in -> empty result out
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cluster int, keep boolean"
+        )
     assigned = assign_clusters(emb, vec_col, centroids).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),

@@ -1,0 +1,43 @@
+"""Degenerate-slice behavior: every registered query must run on
+EMPTY input tables — a time/partition filter that matches nothing is
+routine at scale, and an operator that crashes on it (rather than
+producing its empty or zero-valued result) is broken in production
+even if every populated-data gate is green.
+
+Scalar-aggregate queries legitimately emit their single summary row
+(zeros/NULLs) on empty input; everything else must emit zero rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mvrs_dspa_spark.plans.registry import all_queries
+from mvrs_dspa_spark.tables import TABLE_NAMES
+
+# queries whose result on empty input is a non-empty summary/report
+# (scalar aggregates over zero rows, or fixed validation-check rows)
+_NONEMPTY_ON_EMPTY = {
+    "constraint_violations": 7,   # one row per declared check, all zero
+    "session_conversion": 1,      # single funnel summary row
+    "q14_promo_revenue_share": 1,
+    "q6_forecast_revenue": 1,
+    "q19_disjunctive_revenue": 1,
+    "q17_small_quantity_revenue": 1,
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLE_NAMES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        df.limit(0).write.parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_runs_on_empty_input(spark, empty_sf, name):
+    df = all_queries()[name].fn(spark, empty_sf)
+    n = len(df.collect())
+    assert n == _NONEMPTY_ON_EMPTY.get(name, 0), (name, n)
