@@ -1,0 +1,87 @@
+"""Cross-modal dedup agreement (SURVEY §2f): how the text-side
+MinHash near-dup pair set and the embedding-cosine near-dup pair set
+agree — the calibration report a pipeline owner reads before choosing
+thresholds or trusting one modality alone (doc_id and vec_id share an
+id space in the synthetic corpus).
+
+Composes the two REGISTERED definitions on both engines: the Spark
+side calls the registered query functions, the oracle embeds the
+registered oracle texts as CTEs — so this report is definitionally in
+sync with the queries it evaluates.
+
+Scale: both inputs are already-bounded near-dup PAIR sets (linear in
+true duplicates, not corpus size); the full outer join and the
+3-group aggregate are negligible next to producing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# importing registers the composed queries' dependencies first
+from mvrs_dspa_spark.operators import ann as _ann  # noqa: F401
+from mvrs_dspa_spark.operators import dedup as _dedup  # noqa: F401
+from mvrs_dspa_spark.operators.ann import embedding_near_dup
+from mvrs_dspa_spark.operators.dedup import dedup_minhash_lsh
+from mvrs_dspa_spark.plans.registry import _REGISTRY, register
+
+_TEXT_SQL = _REGISTRY["dedup_minhash_lsh"].oracle
+_EMB_SQL = _REGISTRY["embedding_near_dup"].oracle
+
+
+@register(
+    "dedup_modality_agreement",
+    oracle=f"""
+        WITH t AS ({_TEXT_SQL}),
+        e AS ({_EMB_SQL}),
+        j AS (
+            SELECT COALESCE(t.doc_a, e.vec_a) AS id_a,
+                   COALESCE(t.doc_b, e.vec_b) AS id_b,
+                   t.est_sim, e.cos_sim
+            FROM t FULL JOIN e
+              ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+        )
+        SELECT CASE WHEN est_sim IS NOT NULL AND cos_sim IS NOT NULL
+                        THEN 'both'
+                    WHEN est_sim IS NOT NULL THEN 'text_only'
+                    ELSE 'embedding_only' END AS verdict,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(est_sim), 6) AS avg_text_sim,
+               ROUND(AVG(cos_sim), 6) AS avg_cos_sim
+        FROM j
+        GROUP BY 1
+        ORDER BY verdict
+    """,
+    doc="Agreement matrix between MinHash text near-dups and "
+    "embedding-cosine near-dups: pairs found by both, text only, or "
+    "embeddings only, with mean similarity per cell. Composed from "
+    "the registered definitions on BOTH engines.",
+    tags=("dedup", "ann", "llm"),
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_sim")
+    e = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b", "cos_sim")
+    j = t.join(
+        e,
+        (t["doc_a"] == e["vec_a"]) & (t["doc_b"] == e["vec_b"]),
+        "full_outer",
+    )
+    verdict = (
+        F.when(
+            F.col("est_sim").isNotNull() & F.col("cos_sim").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("est_sim").isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("embedding_only"))
+    )
+    return (
+        j.select(verdict.alias("verdict"), "est_sim", "cos_sim")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_sim"), 6).alias("avg_text_sim"),
+            F.round(F.avg("cos_sim"), 6).alias("avg_cos_sim"),
+        )
+        .orderBy("verdict")
+    )

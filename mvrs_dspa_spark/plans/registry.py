@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         decontam,
         dedup,
         embeddings,
+        ensemble,
         retrieval,
     )
     from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
