@@ -43,3 +43,38 @@ def test_lsh_candidates_subset_scored_correctly(spark, sf_small):
     for r in ann.ann_lsh(spark, sf_small).collect():
         if (r.vec_a, r.vec_b) in brute:
             assert abs(r.cos_sim - brute[(r.vec_a, r.vec_b)]) < 1e-9
+
+
+def test_ann_quality_report_bounds(spark, sf_small):
+    """The evaluation harness's own invariants, and floor bounds on
+    the measured recalls (theory at cos~0.45: banded 8x4 ~ 0.79,
+    full-signature 12-bit ~ 0.005 — the report exists precisely to
+    make that gap visible)."""
+    from mvrs_dspa_spark.operators.ann import ann_quality_report
+
+    rows = {r["method"]: r for r in ann_quality_report(spark, sf_small).collect()}
+    assert set(rows) == {"ivf_top10", "lsh_fullsig", "lsh_banded"}
+    # LSH methods verify candidates with exact cosine -> precision 1.0
+    for m in ("lsh_fullsig", "lsh_banded"):
+        assert rows[m]["n_hits"] == rows[m]["n_retrieved"], m
+    assert rows["lsh_banded"]["recall"] >= 0.7
+    assert rows["ivf_top10"]["recall"] >= 0.5
+    # the banded OR-construction must dominate the single table
+    assert rows["lsh_banded"]["recall"] > rows["lsh_fullsig"]["recall"]
+
+
+def test_banded_lsh_subset_of_exact_pairs(spark, sf_small):
+    """Every banded-LSH pair is a true >=threshold pair (exact cosine
+    verification): the candidate stage can only lose pairs, never
+    invent them."""
+    from mvrs_dspa_spark.operators.ann import ann_lsh_banded, embedding_near_dup
+
+    got = {
+        (r["vec_a"], r["vec_b"]) for r in ann_lsh_banded(spark, sf_small).collect()
+    }
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(spark, sf_small).collect()
+    }
+    assert got <= truth
+    assert got  # and it finds a nonempty subset

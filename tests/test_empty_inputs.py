@@ -20,6 +20,7 @@ from mvrs_dspa_spark.tables import TABLE_NAMES
 _NONEMPTY_ON_EMPTY = {
     "constraint_violations": 7,   # one row per declared check, all zero
     "session_conversion": 1,      # single funnel summary row
+    "ann_quality_report": 3,      # one row per evaluated method, zeros
     "q14_promo_revenue_share": 1,
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,
