@@ -85,3 +85,76 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+from mvrs_dspa_spark.operators.similarity import (  # noqa: E402
+    similar_users_jaccard,
+    similar_users_minhash_lsh,
+)
+
+_JAC_SQL = _REGISTRY["similar_users_jaccard"].oracle
+_MH_SQL = _REGISTRY["similar_users_minhash_lsh"].oracle
+
+
+@register(
+    "recommendation_agreement",
+    oracle=f"""
+        WITH jac AS ({_JAC_SQL}),
+        mh AS ({_MH_SQL}),
+        j AS (
+            SELECT COALESCE(jac.user_id, mh.user_id) AS user_id,
+                   jac.similarity, mh.est_sim
+            FROM jac FULL JOIN mh
+              ON jac.user_id = mh.user_id
+             AND jac.rec_user_id = mh.rec_user_id
+        )
+        SELECT user_id,
+               CAST(COUNT(similarity) AS BIGINT) AS n_exact,
+               CAST(COUNT(est_sim) AS BIGINT) AS n_approx,
+               CAST(COUNT(CASE WHEN similarity IS NOT NULL
+                                AND est_sim IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_both,
+               CASE WHEN COUNT(similarity) > 0
+                    THEN ROUND(1.0 * COUNT(CASE WHEN similarity IS NOT NULL
+                                 AND est_sim IS NOT NULL THEN 1 END)
+                               / COUNT(similarity), 4)
+               END AS exact_overlap
+        FROM j
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Exact-vs-approximate recommender agreement: per user, top-N "
+    "sets from exact Jaccard and MinHash+LSH, their intersection, and "
+    "the overlap fraction of the exact set the approximation retains. "
+    "Differences also surface the PIPELINE asymmetry (the exact path "
+    "applies known-pair and active-user filters the LSH path does "
+    "not) — which is the point of publishing the report. Composed "
+    "from the registered definitions on BOTH engines.",
+    tags=("similarity", "llm"),
+)
+def recommendation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = similar_users_jaccard(spark, sf_dir).select(
+        "user_id", "rec_user_id", "similarity"
+    )
+    m = similar_users_minhash_lsh(spark, sf_dir).select(
+        "user_id", "rec_user_id", "est_sim"
+    )
+    joined = j.join(m, ["user_id", "rec_user_id"], "full_outer")
+    n_both = F.count(
+        F.when(
+            F.col("similarity").isNotNull() & F.col("est_sim").isNotNull(), 1
+        )
+    )
+    n_exact = F.count("similarity")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            n_exact.alias("n_exact"),
+            F.count("est_sim").alias("n_approx"),
+            n_both.alias("n_both"),
+            F.when(
+                n_exact > 0, F.round(n_both.cast("double") / n_exact, 4)
+            ).alias("exact_overlap"),
+        )
+        .orderBy("user_id")
+    )
