@@ -172,3 +172,61 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "top_word_share", "dup_bigram_ratio")
         .orderBy("doc_id")
     )
+
+
+FUZZY_MAX_DIST = 4
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        toks AS (
+            SELECT p_name, unnest(string_split(p_name, ' ')) AS tok
+            FROM names
+        ),
+        cand AS (
+            SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+            FROM toks a JOIN toks b
+              ON a.tok = b.tok AND a.p_name < b.p_name
+        )
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+        ORDER BY name_a, name_b
+    """,
+    doc="Edit-distance similarity join over part names (entity "
+    "resolution / catalog matching): DISTINCT names first — the "
+    "candidate space is the bounded name VOCABULARY, not the row "
+    "count, so the one corpus-sized operation is the distinct's "
+    "shuffle. Blocking on shared tokens keeps the verify step off "
+    "the full vocab cross product; Levenshtein verification is exact "
+    "and integer (engine-identical).",
+    tags=("cleaning", "similarity"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    toks = names.select(
+        "p_name", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.where(dist <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", dist.cast("int").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
