@@ -410,3 +410,74 @@ def user_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- item co-occurrence graph triangles ------------------------------------
+
+TRI_SUPPORT_FRAC = 0.05  # edge kept if co-occurring in >= 5% of users
+
+
+@register(
+    "item_cooccurrence_triangles",
+    oracle=f"""
+        WITH items AS ({_ITEMS_SQL}),
+        u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM items),
+        edges AS (
+            SELECT a.item AS i, b.item AS j, COUNT(*) AS support
+            FROM items a
+            JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= (SELECT {TRI_SUPPORT_FRAC} * n_users FROM u)
+        )
+        SELECT e1.i AS item_a, e1.j AS item_b, e2.j AS item_c,
+               CAST(LEAST(e1.support, e2.support, e3.support) AS BIGINT)
+                   AS min_support
+        FROM edges e1
+        JOIN edges e2 ON e2.i = e1.j
+        JOIN edges e3 ON e3.i = e1.i AND e3.j = e2.j
+        ORDER BY item_a, item_b, item_c
+    """,
+    doc="Triangle enumeration on the item co-occurrence graph (edges = "
+    "item pairs co-occurring in >= 5% of users; i<j<k ordered-edge "
+    "join, the canonical distributed triangle algorithm). The graph "
+    "is VOCABULARY-sized after one aggregation of per-user item "
+    "pairs, so the triangle join never touches corpus-scale data; "
+    "the support threshold scales with the user count, keeping edge "
+    "density stable as data grows.",
+    tags=("similarity", "graph"),
+)
+def item_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    n_users = items.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_users))
+        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
+        .select("i", "j", "support")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.i") == F.col("e1.j"))
+        .join(
+            e3,
+            (F.col("e3.i") == F.col("e1.i")) & (F.col("e3.j") == F.col("e2.j")),
+        )
+        .select(
+            F.col("e1.i").alias("item_a"),
+            F.col("e1.j").alias("item_b"),
+            F.col("e2.j").alias("item_c"),
+            F.least(
+                F.col("e1.support"), F.col("e2.support"), F.col("e3.support")
+            ).alias("min_support"),
+        )
+        .orderBy("item_a", "item_b", "item_c")
+    )
