@@ -123,3 +123,88 @@ def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.orderBy("rule")
+
+
+
+
+@register(
+    "events_profile",
+    oracle="""
+        SELECT col_name, n_rows, n_null, n_distinct, min_num, max_num
+        FROM (
+            SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   MIN(event_id)::DOUBLE AS min_num,
+                   MAX(event_id)::DOUBLE AS max_num
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+                   CAST(COUNT(DISTINCT ts) AS BIGINT),
+                   epoch_us(MIN(ts))::DOUBLE, epoch_us(MAX(ts))::DOUBLE
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   MIN(user_id)::DOUBLE, MAX(user_id)::DOUBLE
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT),
+                   ROUND(MIN(value), 6), ROUND(MAX(value), 6)
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(props) AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   NULL, NULL
+            FROM events
+        )
+        ORDER BY col_name
+    """,
+    doc="Deequ/dbt-style column profile of the events table: row/null/"
+    "exact-distinct counts per column, numeric min/max (timestamps as "
+    "unix micros; strings skip min/max — cross-engine string "
+    "formatting is not canonical). One logical pass per column, each "
+    "scan-bound and narrow; Catalyst shares the scan across the "
+    "unioned aggregates.",
+    tags=("validation",),
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def prof(col: str, min_num, max_num) -> DataFrame:
+        return ev.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            min_num.alias("min_num"),
+            max_num.alias("max_num"),
+        )
+
+    null_d = F.lit(None).cast("double")
+    parts = [
+        prof("event_id", F.min("event_id").cast("double"),
+             F.max("event_id").cast("double")),
+        prof("ts", F.unix_micros(F.min("ts")).cast("double"),
+             F.unix_micros(F.max("ts")).cast("double")),
+        prof("user_id", F.min("user_id").cast("double"),
+             F.max("user_id").cast("double")),
+        prof("event_type", null_d, null_d),
+        prof("value", F.round(F.min("value"), 6), F.round(F.max("value"), 6)),
+        prof("props", null_d, null_d),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")
