@@ -21,6 +21,7 @@ _NONEMPTY_ON_EMPTY = {
     "constraint_violations": 7,   # one row per declared check, all zero
     "session_conversion": 1,      # single funnel summary row
     "ann_quality_report": 3,      # one row per evaluated method, zeros
+    "events_profile": 6,          # one row per profiled column, zeros
     "q14_promo_revenue_share": 1,
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,

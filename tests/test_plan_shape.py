@@ -28,6 +28,10 @@ _SCALAR_BNLJ_OK = {
     "bm25_search",  # 1-row corpus-stats (n_docs, avgdl) broadcast
     "tfidf_top_terms",  # 1-row n_docs scalar broadcast
     "token_coverage_curve",  # 1-row corpus-total scalar broadcast
+    "item_cooccurrence_triangles",  # 1-row n_users scalar broadcast
+    # compositions inherit their components' allowlisted joins:
+    "dedup_modality_agreement",  # embedding_near_dup's theta baseline
+    "recommendation_agreement",  # jaccard's 1-row cutoff scalar
 }
 
 
