@@ -94,20 +94,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_hourly_gapfill",
     "retention_cohorts",
     "hourly_value_momentum",
-    # -- first registered in round 3, cont. (4) --
+    # -- first registered in round 3, cont. (12) --
     "bm25_search",
     "tfidf_top_terms",
     "embedding_quantize",
     "pca_embeddings_projection",
-    # -- implementation changed in round 3; re-verify (8) --
-    "ngram_jaccard_pairs",
-    "ann_lsh",
-    "ann_ivf",
-    "kmeans_embeddings",
-    "unusual_activity",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_clusters",
+    "event_value_regression",
+    "source_token_entropy",
+    "weighted_sample_topk",
+    "token_coverage_curve",
+    "dedup_modality_agreement",
+    "recommendation_agreement",
+    "fuzzy_name_pairs",
+    "item_cooccurrence_triangles",
 )
 
 
