@@ -313,6 +313,61 @@ IVF_NPROBE = 4   # cells probed per query
 IVF_ITERS = 4
 
 
+def ivf_cell_udf(cents: list[list[float]]):
+    """pandas_udf assigning each vector its nearest coarse cell.
+
+    ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; the ||x||^2 term is
+    constant per row, so argmin/argsort need only the last two."""
+    C = np.asarray(cents)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
+        d = c_sq - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell_udf
+
+
+def ivf_probe_udf(cents: list[list[float]], nprobe: int = IVF_NPROBE):
+    """pandas_udf returning each query's nprobe nearest cell ids."""
+    C = np.asarray(cents)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
+        d = c_sq - 2.0 * (X @ C.T)
+        # stable sort: equidistant cells resolve to the lowest id in
+        # every batch, keeping output partitioning-independent
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe_udf
+
+
+def build_ivf_index(
+    v: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+) -> tuple[DataFrame | None, list[list[float]]]:
+    """Coarse-quantize a vector table: returns (inverted lists with a
+    `cluster` column, centroids). (None, []) on empty input."""
+    from mvrs_dspa_spark.operators.clustering import kmeans_fit
+
+    cents = kmeans_fit(v, vec_col, k=nlist, iters=iters, id_col=id_col)
+    if not cents:
+        return None, []
+    lists = v.select(
+        id_col, vec_col, ivf_cell_udf(cents)(vec_col).alias("cluster")
+    )
+    return lists, cents
+
+
+
 @register(
     "ann_ivf",
     oracle=None,  # probed recall is approximate by design; rows-only gate
@@ -326,41 +381,18 @@ IVF_ITERS = 4
     tags=("ann", "scale", "rows_gate"),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mvrs_dspa_spark.operators.clustering import kmeans_fit
-
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(v, "embedding", k=IVF_NLIST, iters=IVF_ITERS, id_col="vec_id")
-    if not cents:  # empty slice in -> empty result out
+    lists, cents = build_ivf_index(v)
+    if lists is None:  # empty slice in -> empty result out
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double"
         )
-    C = np.asarray(cents)  # (nlist, dim)
-    c_sq = (C * C).sum(axis=1)
-
-    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; the ||x||^2 term is
-    # constant per row, so argmin/argsort need only the last two.
-    @F.pandas_udf("int")
-    def cell_udf(emb: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
-        d = c_sq - 2.0 * (X @ C.T)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-    @F.pandas_udf("array<int>")
-    def probe_udf(emb: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
-        d = c_sq - 2.0 * (X @ C.T)
-        # stable sort: equidistant cells resolve to the lowest id in
-        # every batch, keeping output partitioning-independent
-        order = np.argsort(d, axis=1, kind="stable")[:, :IVF_NPROBE]
-        return pd.Series(list(order.astype(np.int32)))
-
-    lists = v.select("vec_id", "embedding", cell_udf("embedding").alias("cluster"))
     probes = (
         v.where(F.col("vec_id") % QUERY_MOD == 0)
         .select(
             "vec_id",
             "embedding",
-            F.explode(probe_udf("embedding")).alias("cluster"),
+            F.explode(ivf_probe_udf(cents)("embedding")).alias("cluster"),
         )
     )
 
