@@ -64,6 +64,10 @@ EXTRA_QUERIES = [
     # round 3 additions: retrieval + embedding compression
     "bm25_search",
     "embedding_quantize",
+    # round 3 additions: banded LSH (the moderate-cosine scale path)
+    # and the salted hot-key aggregation
+    "ann_lsh_banded",
+    "salted_event_rollup",
 ]
 
 
