@@ -823,3 +823,47 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+N_DEPTH_BUCKETS = 10
+
+
+@register(
+    "event_value_equidepth_histogram",
+    oracle=f"""
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(value), 2) AS lo,
+               ROUND(MAX(value), 2) AS hi
+        FROM (
+            SELECT value,
+                   CAST(ntile({N_DEPTH_BUCKETS}) OVER (
+                       ORDER BY value, event_id) AS INTEGER) AS bucket
+            FROM events
+        )
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    doc="Equi-depth histogram of event values (NTILE over a "
+    "deterministic total order — event_id breaks value ties so both "
+    "engines assign identical buckets): the histogram form query "
+    "optimizers keep as column statistics, complementing the "
+    "fixed-width twin (10ae). The global sort is the cost — the "
+    "production form at scale computes bounds via approx_percentile "
+    "and buckets map-side; this exact form is the oracle-checkable "
+    "ground truth for that.",
+    tags=("relational", "stats"),
+)
+def event_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.withColumn("bucket", F.ntile(N_DEPTH_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
