@@ -54,8 +54,9 @@ OUTPUT_SCHEMA = (
     "doc_id long, dup_of long, band int, bh long, est_sim double"
 )
 # ids: docs retained in this bucket (insertion order = arrival order);
-# sigs: their signatures, flattened row-major (len = len(ids) * n)
-STATE_SCHEMA = "ids array<long>, sigs array<long>"
+# sigs: their signatures, flattened row-major (len = len(ids) * n);
+# tss: event-time ms per stored doc (drives the optional TTL eviction)
+STATE_SCHEMA = "ids array<long>, sigs array<long>, tss array<long>"
 
 
 def shingle_codes_col(text: Column) -> Column:
@@ -74,7 +75,12 @@ def shingle_codes_col(text: Column) -> Column:
     )
 
 
-def _dedup_fn(n_hashes: int, threshold: float, max_bucket_docs: int):
+def _dedup_fn(
+    n_hashes: int,
+    threshold: float,
+    max_bucket_docs: int,
+    ttl_ms: int | None = None,
+):
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -83,21 +89,47 @@ def _dedup_fn(n_hashes: int, threshold: float, max_bucket_docs: int):
         import numpy as np  # self-contained closure
 
         if state.exists:
-            ids_l, sigs_l = state.get
+            ids_l, sigs_l, tss_l = state.get
             ids = list(ids_l)
             flat = list(sigs_l)
+            tss = list(tss_l)
         else:
-            ids, flat = [], []
+            ids, flat, tss = [], [], []
+
+        # event-time TTL: drop stored docs whose ts is TTL past the
+        # watermark BEFORE comparing — a dup of an expired doc is no
+        # longer reported (the retention contract), and bucket state
+        # is bounded by the retention horizon, not corpus history.
+        # getCurrentWatermarkMs raises unless a watermark is set, so
+        # only consult it on the TTL path (which always sets one)
+        wm_ms = state.getCurrentWatermarkMs() if ttl_ms is not None else 0
+        if ttl_ms is not None and wm_ms > 0 and ids:
+            keep = [
+                i for i, t in enumerate(tss) if t + ttl_ms > wm_ms
+            ]
+            if len(keep) < len(ids):
+                ids = [ids[i] for i in keep]
+                tss = [tss[i] for i in keep]
+                flat = [
+                    x
+                    for i in keep
+                    for x in flat[i * n_hashes : (i + 1) * n_hashes]
+                ]
 
         rows = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(["ts", "doc_id"]).iterrows():
-                rows.append((int(r["doc_id"]), list(r["sg"])))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for _, r in pdf.sort_values(["ts", "doc_id"]).iterrows():
+                    ts_ms = int(r["ts"].value // 1_000_000)
+                    rows.append((int(r["doc_id"]), list(r["sg"]), ts_ms))
+        else:
+            for _ in pdfs:  # release Arrow batches
+                pass
 
         out = []
         band, bh = int(key[0]), int(key[1])
         min_match = threshold * n_hashes
-        for doc_id, sg in rows:
+        for doc_id, sg, ts_ms in rows:
             if ids:
                 prev = np.asarray(flat, dtype=np.int64).reshape(
                     len(ids), n_hashes
@@ -116,9 +148,17 @@ def _dedup_fn(n_hashes: int, threshold: float, max_bucket_docs: int):
             if len(ids) < max_bucket_docs:
                 ids.append(doc_id)
                 flat.extend(int(x) for x in sg)
+                tss.append(ts_ms)
 
         if ids:
-            state.update((ids, flat))
+            state.update((ids, flat, tss))
+            if ttl_ms is not None:
+                # wake when the oldest stored doc can expire
+                state.setTimeoutTimestamp(
+                    max(min(tss) + ttl_ms + 1, wm_ms + 1)
+                )
+        else:
+            state.remove()
         if out:
             yield pd.DataFrame(out)
 
@@ -132,14 +172,32 @@ def streaming_near_dup(
     threshold: float = NEAR_DUP_SIM,
     max_bucket_docs: int = MAX_BUCKET_DOCS,
     params: list[tuple[int, int]] | None = None,
+    state_ttl: str | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Per-band near-dup match stream over (doc_id, ts, text).
 
     Returns append-mode rows (doc_id, dup_of, band, bh, est_sim):
     one row per shared band per matching earlier doc. Collapse to
     per-pair verdicts with ``groupBy(doc_id, dup_of).max(est_sim)``
-    in the consumer (e.g. a foreachBatch upsert)."""
+    in the consumer (e.g. a foreachBatch upsert).
+
+    ``state_ttl`` (e.g. ``"1 hour"``) bounds bucket state by an
+    event-time retention horizon: stored docs expire once the
+    watermark passes their ts + TTL (watermark-driven, like the
+    reply-tree mapping TTL), so dups are only reported against the
+    retained window. Without it, state is the full (capped) corpus."""
     params = params if params is not None else H.hash_params(n_hashes, seed=SEED)
+    ttl_ms: int | None = None
+    if state_ttl is not None:
+        qty, unit = state_ttl.split()
+        ttl_ms = int(qty) * {
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit]
+        docs = docs.withWatermark("ts", watermark_delay)
     sig = docs.select(
         "doc_id",
         "ts",
@@ -152,11 +210,15 @@ def streaming_near_dup(
         sig.select("doc_id", "ts", "sg"), "sg", n_hashes, bands
     )
     return banded.groupBy("band", "bh").applyInPandasWithState(
-        _dedup_fn(n_hashes, threshold, max_bucket_docs),
+        _dedup_fn(n_hashes, threshold, max_bucket_docs, ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -142,3 +142,21 @@ def test_threshold_filters_weak_pairs(spark, tmp_path):
     got = _run_stream(spark, tmp_path, DOCS, n_files=2, threshold=0.99)
     # only the exact duplicates survive a 0.99 threshold
     assert set(got) == {(6, 1), (8, 5)}
+
+
+def test_event_time_ttl_expires_stored_docs(spark, tmp_path):
+    """With a 1-hour state TTL, a duplicate arriving after the
+    watermark passes the original's ts + TTL is NOT attributed (the
+    original expired from bucket state); without the TTL it is."""
+    rows = [
+        (1, _t(0), _doc(1)),                      # 9:00 original
+        (50, datetime(2026, 2, 1, 12, 0, tzinfo=timezone.utc),
+         "watermark driver completely different"),  # advances wm to ~11:50
+        (60, datetime(2026, 2, 1, 12, 1, tzinfo=timezone.utc), _doc(60)),
+    ]
+    with_ttl = _run_stream(
+        spark, tmp_path / "ttl", rows, n_files=3, state_ttl="1 hour"
+    )
+    assert (60, 1) not in with_ttl
+    without = _run_stream(spark, tmp_path / "nottl", rows, n_files=3)
+    assert (60, 1) in without
