@@ -464,6 +464,11 @@ def item_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
         .select("i", "j", "support")
     )
+    # the triangle join references edges three times; materialize the
+    # (vocabulary-bounded) edge list once instead of re-running the
+    # corpus-sized pair aggregation per alias (same idiom as
+    # dedup_clusters' per-round localCheckpoint)
+    edges = edges.localCheckpoint(eager=False)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
         e1.join(e2, F.col("e2.i") == F.col("e1.j"))
