@@ -311,3 +311,96 @@ def semantic_dedup_op(
         .select("vec_id", "cluster", F.coalesce("keep", F.lit(True)).alias("keep"))
         .orderBy("vec_id")
     )
+
+
+from mvrs_dspa_spark.operators.text_analysis import (  # noqa: E402
+    _QUALITY_CTES,
+    _QUALITY_SCORE_SQL,
+    QUALITY_DROP_FRAC,
+)
+
+
+@register(
+    "corpus_mixture_report",
+    oracle=f"""
+        WITH {_QUALITY_CTES},
+        s AS (
+            SELECT m.doc_id, m.lang, d.source,
+                   {_QUALITY_SCORE_SQL} AS q
+            FROM m JOIN documents d USING (doc_id)
+        ),
+        gated AS (
+            SELECT doc_id, lang, source,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY lang ORDER BY q, doc_id
+                   ) >= {QUALITY_DROP_FRAC} AS kept
+            FROM s
+        ),
+        cells AS (
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT)
+                       AS n_kept
+            FROM gated GROUP BY lang, source
+        )
+        SELECT lang, source, n_docs, n_kept,
+               ROUND(1.0 * n_docs
+                     / SUM(n_docs) OVER (), 6) AS share_before,
+               ROUND(1.0 * n_kept
+                     / SUM(n_kept) OVER (), 6) AS share_after
+        FROM cells
+        ORDER BY lang, source
+    """,
+    doc="Corpus mixture report: per (lang, source) document counts and "
+    "corpus shares BEFORE and AFTER the registered per-language "
+    "quality gate — the drift check a pipeline owner reads before "
+    "shipping a filtered corpus (a gate that silently reweights "
+    "sources is a training-distribution change, not just a cleanup). "
+    "Composes the published quality-score + percentile-gate "
+    "definitions on both engines; normalizers are analytic sums over "
+    "the bounded (lang, source) cells.",
+    tags=("export", "llm"),
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mvrs_dspa_spark.operators.text_analysis import (
+        QUALITY_DROP_FRAC as DROP,
+    )
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _quality_metrics,
+        _quality_score_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    s = (
+        _quality_metrics(docs)
+        .withColumn("q", _quality_score_col())
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    gate_w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    gated = s.select(
+        "lang",
+        "source",
+        (F.percent_rank().over(gate_w) >= DROP).alias("kept"),
+    )
+    cells = gated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+    )
+    all_w = Window.partitionBy()
+    return (
+        cells.select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(all_w), 6
+            ).alias("share_before"),
+            F.round(
+                F.col("n_kept").cast("double") / F.sum("n_kept").over(all_w), 6
+            ).alias("share_after"),
+        )
+        .orderBy("lang", "source")
+    )
