@@ -158,3 +158,65 @@ def recommendation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DEDUP_SQL = _REGISTRY["dedup_minhash_lsh"].oracle
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+        WITH pairs AS ({_DEDUP_SQL})
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(p.est_sim), 6) AS avg_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """,
+    doc="Cross-source duplication matrix: near-dup pair counts per "
+    "unordered source pair (the provenance report behind 'how much "
+    "of source X is already in source Y' decisions when assembling a "
+    "corpus from overlapping crawls). Composes the registered "
+    "MinHash pair set; the doc->source joins are dimension lookups "
+    "on the bounded pair list, and sources are LEAST/GREATEST-"
+    "canonicalized so the matrix is unordered on both engines.",
+    tags=("dedup", "llm"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.tables import table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_sim"
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "est_sim",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_sim"), 6).alias("avg_sim"),
+        )
+        .orderBy("source_a", "source_b")
+    )
