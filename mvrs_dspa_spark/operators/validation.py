@@ -208,3 +208,51 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("col_name")
+
+
+@register(
+    "props_key_profile",
+    oracle="""
+        WITH kv AS (
+            SELECT k, json_extract_string(props, '$.' || k) AS v
+            FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        )
+        SELECT k AS key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(COUNT(TRY_CAST(v AS BIGINT)) AS BIGINT) AS n_numeric,
+               MIN(TRY_CAST(v AS BIGINT)) AS min_num,
+               MAX(TRY_CAST(v AS BIGINT)) AS max_num
+        FROM kv
+        GROUP BY k
+        ORDER BY k
+    """,
+    doc="Semi-structured profiling of the props JSON column: per key, "
+    "occurrence count, distinct values, numeric-parse rate, and "
+    "numeric range — the schema-inference report for a column whose "
+    "schema lives in the data. Spark side explodes "
+    "from_json(map<string,string>) (one JSON parse per row, "
+    "JVM-side); one shuffle on the bounded key vocabulary.",
+    tags=("validation",),
+)
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.explode(
+                F.from_json("props", "map<string,string>")
+            ).alias("key", "v")
+        )
+    )
+    num = F.expr("try_cast(v AS bigint)")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.count(num).alias("n_numeric"),
+            F.min(num).alias("min_num"),
+            F.max(num).alias("max_num"),
+        )
+        .orderBy("key")
+    )
