@@ -867,3 +867,57 @@ def event_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("bucket")
     )
+
+
+AC_LAGS = (1, 24)
+
+
+@register(
+    "hourly_value_autocorrelation",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   SUM(value) AS v
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT v,
+                   {', '.join(f'LAG(v, {k}) OVER (ORDER BY hour) AS v_lag{k}' for k in AC_LAGS)}
+            FROM h
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n, ROUND(r, 6) AS autocorr
+        FROM (
+            {' UNION ALL '.join(
+                f"SELECT {k} AS lag, COUNT(v_lag{k}) AS n, corr(v, v_lag{k}) AS r FROM lagged"
+                for k in AC_LAGS)}
+        )
+        ORDER BY lag
+    """,
+    doc="Seasonality check on the hourly value series: autocorrelation "
+    "at lag 1 (momentum) and lag 24 (daily cycle). LAG + corr run on "
+    "the ALREADY AGGREGATED hourly series — one row per hour, bounded "
+    "by retention — so the global-order window never touches raw "
+    "events.",
+    tags=("relational", "stats", "windows"),
+)
+def hourly_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.orderBy("hour")
+    lagged = hourly.select(
+        "v", *[F.lag("v", k).over(w).alias(f"v_lag{k}") for k in AC_LAGS]
+    )
+    parts = [
+        lagged.agg(
+            F.lit(k).alias("lag"),
+            F.count(f"v_lag{k}").alias("n"),
+            F.round(F.corr("v", f"v_lag{k}"), 6).alias("autocorr"),
+        )
+        for k in AC_LAGS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("lag")
