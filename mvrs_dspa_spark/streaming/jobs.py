@@ -292,3 +292,53 @@ def streaming_curation(
         .dropDuplicatesWithinWatermark(["content_key"])
         .select("doc_id", "ts", "lang", "quality_score", "content_key")
     )
+
+
+def streaming_curation_with_decontam(
+    docs: DataFrame,
+    benchmark_docs: DataFrame,
+    min_quality: float = 0.3,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """`streaming_curation` plus the benchmark-decontamination stage:
+    docs sharing any 8-token n-gram with the (static) benchmark set
+    are dropped before the quality gate.
+
+    The benchmark gram set is bounded by the benchmark suite size
+    (structurally small, like the batch decontaminate's broadcast
+    side), so it is collected once at job build and evaluated as a
+    pure array-intersect projection on the stream — no join, no
+    state. At larger benchmark sizes the same stage becomes a
+    stream-static broadcast join or a bloom filter; the gram
+    definition (`decontam.gram8_codes`) is shared either way, so
+    stream and batch flag identical documents.
+    """
+    from mvrs_dspa_spark.functions import text as T
+    from mvrs_dspa_spark.operators.decontam import gram8_codes
+
+    bench_rows = (
+        benchmark_docs.select(
+            F.explode(
+                gram8_codes(T.tokens_col(F.col("text")))
+            ).alias("code")
+        )
+        .distinct()
+        .collect()
+    )
+    bench_codes = sorted(int(r["code"]) for r in bench_rows)
+    bench_arr = F.array(*[F.lit(c).cast("long") for c in bench_codes])
+
+    contaminated = (
+        F.size(
+            F.array_intersect(
+                gram8_codes(T.tokens_col(F.col("text"))), bench_arr
+            )
+        )
+        > 0
+        if bench_codes
+        else F.lit(False)
+    )
+    clean = docs.where(~contaminated)
+    return streaming_curation(
+        clean, min_quality=min_quality, watermark_delay=watermark_delay
+    )

@@ -164,3 +164,47 @@ def test_streaming_curation_matches_batch_semantics(spark, tmp_path):
     }
     for r in out:
         assert round(r["quality_score"], 6) == batch_scores[r["doc_id"]]
+
+
+def test_streaming_curation_decontaminates_against_benchmark(spark, tmp_path):
+    """Docs sharing an 8-token n-gram with the static benchmark set
+    are dropped on the stream, using the SAME gram definition as the
+    batch decontaminate operator; gram-free docs pass through."""
+    from datetime import datetime, timezone
+
+    from mvrs_dspa_spark.streaming.jobs import streaming_curation_with_decontam
+
+    def t(m):
+        return datetime(2026, 4, 2, 9, m, tzinfo=timezone.utc)
+
+    bench_phrase = "the quick brown fox jumps over the lazy dog tonight"
+    filler = (
+        "a day in the park with a friend and the sun it is a good time "
+        "to walk and talk of this and that"
+    )
+    schema = "doc_id long, ts timestamp, lang string, text string"
+    bench = spark.createDataFrame(
+        [(1000, t(0), "en", bench_phrase)], schema
+    )
+    rows = [
+        (1, t(1), "en", filler),                              # clean, kept
+        (2, t(2), "en", filler + " " + bench_phrase),          # contaminated
+        (3, t(3), "en", filler + " quick brown fox jumps"),    # <8-gram: kept
+    ]
+    src = str(tmp_path / "dc_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = streaming_curation_with_decontam(
+        spark.readStream.schema(schema).parquet(src), bench
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("dc_out").collect()}
+    assert got == {1, 3}
