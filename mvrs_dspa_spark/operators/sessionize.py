@@ -178,3 +178,105 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "session_attribution",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id,
+                   epoch_us(ts) AS ts_us,
+                   event_id,
+                   event_type,
+                   value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_US}
+                        THEN 1
+                        WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        numbered AS (
+            SELECT *,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM flagged
+        ),
+        touched AS (
+            SELECT *,
+                   FIRST_VALUE(event_type) OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts_us, event_id
+                   ) AS first_touch
+            FROM numbered
+        ),
+        per_session AS (
+            SELECT user_id, session_seq,
+                   ANY_VALUE(first_touch) AS first_touch,
+                   SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END) AS revenue
+            FROM touched GROUP BY 1, 2
+        )
+        SELECT first_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               ROUND(SUM(revenue), 2) AS attributed_revenue
+        FROM per_session
+        GROUP BY first_touch
+        ORDER BY first_touch
+    """,
+    doc="First-touch attribution: every session's purchase revenue is "
+    "credited to the event type that OPENED the session (the "
+    "acquisition-channel question). Composes the shared gap-session "
+    "numbering, adds a first_value window over the derived session "
+    "key — all three window passes and the session aggregate share "
+    "the one user_id exchange — then a 5-row channel rollup.",
+    tags=("windows", "sessions"),
+)
+def session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    numbered = base.withColumn(
+        "new_session",
+        (F.col("ts_us") - F.lag("ts_us").over(order) > F.lit(GAP_US)).cast(
+            "int"
+        ),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce("new_session", F.lit(1))).over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess_order = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts_us", "event_id"
+    )
+    per_session = (
+        numbered.withColumn(
+            "first_touch", F.first("event_type").over(sess_order)
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.any_value("first_touch").alias("first_touch"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("revenue"),
+        )
+    )
+    return (
+        per_session.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.sum("revenue"), 2).alias("attributed_revenue"),
+        )
+        .orderBy("first_touch")
+    )

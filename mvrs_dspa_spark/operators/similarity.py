@@ -486,3 +486,120 @@ def item_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b", "item_c")
     )
+
+
+# --- PageRank over the item co-occurrence graph ----------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+        r{i} AS (
+            SELECT nm.dst AS node,
+                   (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                     + {PR_DAMPING} * SUM(p.r * nm.w) AS r
+            FROM {prev} p JOIN norm nm ON nm.src = p.node
+            GROUP BY nm.dst
+        )"""
+
+
+@register(
+    "item_pagerank",
+    oracle=f"""
+        WITH items AS ({_ITEMS_SQL}),
+        u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM items),
+        e0 AS (
+            SELECT a.item AS i, b.item AS j, COUNT(*) AS support
+            FROM items a
+            JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= (SELECT {TRI_SUPPORT_FRAC} * n_users FROM u)
+        ),
+        edges AS (
+            SELECT i AS src, j AS dst, support FROM e0
+            UNION ALL
+            SELECT j AS src, i AS dst, support FROM e0
+        ),
+        norm AS (
+            SELECT src, dst,
+                   support::DOUBLE
+                     / SUM(support) OVER (PARTITION BY src) AS w
+            FROM edges
+        ),
+        nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+        r0 AS (
+            SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r
+            FROM (SELECT DISTINCT src FROM edges)
+        ),
+        {','.join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))}
+        SELECT node AS item, ROUND(r, 6) AS pagerank
+        FROM r{PR_ITERS}
+        ORDER BY pagerank DESC, item
+    """,
+    doc=f"PageRank (damping {PR_DAMPING}, {PR_ITERS} fixed iterations) "
+    "over the item co-occurrence graph (same support-thresholded, "
+    "vocabulary-sized edge list as the triangle query). The ONE "
+    "corpus-sized operation is the per-user pair aggregation; every "
+    "power-iteration join then touches only the bounded edge list, "
+    "with per-round localCheckpoint to cut lineage — same iterative "
+    "idiom as dedup_clusters' label propagation. The undirected graph "
+    "has no dangling nodes, so rank mass is conserved without a "
+    "dangling-redistribution term and the unrolled-CTE DuckDB oracle "
+    "is exact (full hash gate on an iterative algorithm).",
+    tags=("similarity", "graph"),
+)
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = items.alias("a"), items.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_users))
+        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
+        .select("i", "j", "support")
+    )
+    edges = e0.selectExpr("i AS src", "j AS dst", "support").unionAll(
+        e0.selectExpr("j AS src", "i AS dst", "support")
+    )
+    norm = edges.select(
+        "src",
+        "dst",
+        (
+            F.col("support").cast("double")
+            / F.sum("support").over(Window.partitionBy("src"))
+        ).alias("w"),
+    ).localCheckpoint(eager=False)  # vocabulary-bounded; reused x10
+
+    # bounded scalar pull (same class as the k-means model pulls)
+    n = norm.select("src").distinct().count()
+    if n == 0:
+        return spark.createDataFrame([], "item bigint, pagerank double")
+
+    ranks = norm.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        ranks = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (
+                    F.lit((1 - PR_DAMPING) / n)
+                    + F.lit(PR_DAMPING) * F.sum(F.col("r") * F.col("w"))
+                ).alias("r")
+            )
+            .withColumnRenamed("node2", "node")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("node").alias("item"), F.round("r", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "item")

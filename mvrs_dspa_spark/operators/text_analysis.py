@@ -432,3 +432,68 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+# --- BPE merge-candidate statistics ----------------------------------------
+
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({T.tokens_sql('text')}) AS w FROM documents
+        ),
+        vocab AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+        pairs AS (
+            SELECT unnest(
+                       CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(
+                                generate_series(1, len(w) - 1),
+                                i -> substr(w, i, 2))
+                       END
+                   ) AS pair,
+                   freq
+            FROM vocab
+        )
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_count
+        FROM pairs
+        GROUP BY pair
+        ORDER BY weighted_count DESC, pair
+        LIMIT {BPE_TOP_PAIRS}
+    """,
+    doc="First-round BPE merge candidates (tokenizer training, "
+    "Sennrich et al. 2016 step 1): adjacent character-pair counts "
+    "weighted by word frequency, top pairs = the merges BPE would "
+    "make first. The corpus-sized work is ONE token aggregation to "
+    "the vocabulary; pair explosion then runs on the vocabulary only "
+    "(bounded by |vocab| * word length), the shape that lets "
+    "tokenizer training run at 100 TB — char pairs via substr on "
+    "both engines (split-on-empty-regex disagrees between them).",
+    tags=("llm", "text"),
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    vocab = (
+        d.select(F.explode(T.tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n = F.length("w") - 1
+    pairs = F.when(
+        F.length("w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(F.col("w"), i, 2)
+        )
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("weighted_count"))
+        .orderBy(F.desc("weighted_count"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

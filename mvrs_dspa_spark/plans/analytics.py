@@ -921,3 +921,138 @@ def hourly_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("lag")
+
+
+# --- dyadic-rational exponential decay score -------------------------------
+
+DECAY_HALF_LIFE_HOURS = 24
+_DECAY_MAX_K = 62  # beyond 62 halvings the weight underflows anyway
+
+
+@register(
+    "user_decayed_activity",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(epoch_us(ts)) AS t_ref FROM events),
+        w AS (
+            SELECT user_id, value,
+                   LEAST(
+                       ((SELECT t_ref FROM mx) - epoch_us(ts))
+                         // {DECAY_HALF_LIFE_HOURS * 3_600_000_000},
+                       {_DECAY_MAX_K}
+                   ) AS k
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value / (1::BIGINT << k)), 6) AS decayed_score
+        FROM w
+        GROUP BY user_id
+        ORDER BY decayed_score DESC, user_id
+    """,
+    doc=f"Time-decayed per-user activity score (recommender recency "
+    f"weighting): exponential decay with a {DECAY_HALF_LIFE_HOURS}h "
+    "half-life, quantized to whole half-lives so every weight is the "
+    "dyadic rational 1/2^k (integer shift — bit-identical across "
+    "engines, honoring the no-transcendentals oracle rule; cf. the "
+    "streaming k-means decay which runs driver-side). Scan-bound: "
+    "one shuffle on user_id, weights computed in the projection.",
+    tags=("analytics", "windows"),
+)
+def user_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    t_ref = ev.agg(F.max(F.unix_micros("ts")).alias("t_ref"))
+    half_us = DECAY_HALF_LIFE_HOURS * 3_600_000_000
+    # floor division in exact int64 on both engines (// in the oracle,
+    # `div` here; double division + CAST would round in DuckDB)
+    k = F.least(
+        F.expr(f"(t_ref - unix_micros(ts)) div {half_us}"),
+        F.lit(_DECAY_MAX_K),
+    )
+    return (
+        ev.crossJoin(F.broadcast(t_ref))
+        .select(
+            "user_id",
+            "value",
+            k.cast("int").alias("k"),
+        )
+        # 1/2^k as an exact int64 shift (shiftleft takes a column only
+        # through the SQL-function form)
+        .withColumn(
+            "wv", F.col("value") / F.expr("shiftleft(1L, k)").cast("double")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wv"), 6).alias("decayed_score"),
+        )
+        .select("user_id", "n_events", "decayed_score")
+        .orderBy(F.desc("decayed_score"), "user_id")
+    )
+
+
+# --- robust (median/MAD) outlier detection ---------------------------------
+
+MAD_Z_CUTOFF = 3.5
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): MAD -> sigma-equivalent
+
+
+@register(
+    "mad_value_outliers",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, MEDIAN(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   ABS(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, MEDIAN(ad) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type,
+               ROUND(d.value, 6) AS value,
+               ROUND({MAD_CONSISTENCY} * (d.value - d.med) / m.mad, 6)
+                   AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0
+          AND ABS({MAD_CONSISTENCY} * (d.value - d.med) / m.mad)
+                > {MAD_Z_CUTOFF}
+        ORDER BY d.event_id
+    """,
+    doc=f"Robust statistical outliers per event type: modified z-score "
+    f"{MAD_CONSISTENCY}*(x-median)/MAD, flagged beyond "
+    f"{MAD_Z_CUTOFF} (Iglewicz-Hoaglin). The distribution-free "
+    "complement of the k-means distance classifier (task-3 analog "
+    "'unusual_activity'): medians resist the very outliers being "
+    "hunted, where mean/stddev are dragged by them. Exact interpolated "
+    "medians via the same cross-engine percentile machinery as 10w; "
+    "the per-type median/MAD tables are GROUP-BY-CARDINALITY-bounded "
+    "(5 rows) -> broadcast back over the scan, two passes, no "
+    "corpus-sized shuffle.",
+    tags=("analytics", "clustering"),
+)
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    z = F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > MAD_Z_CUTOFF))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )

@@ -135,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         embeddings,
         ensemble,
         retrieval,
+        sketches,
     )
     from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
 
