@@ -68,6 +68,11 @@ EXTRA_QUERIES = [
     # and the salted hot-key aggregation
     "ann_lsh_banded",
     "salted_event_rollup",
+    # round 3 additions: iterative graph, bounded-grid sketch,
+    # vocabulary-explode tokenizer statistics
+    "item_pagerank",
+    "cms_heavy_hitters",
+    "bpe_merge_pairs",
 ]
 
 

@@ -182,3 +182,61 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@register(
+    "incremental_hourly_rollup",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance: the hourly rollup "
+    "is computed as BASE (events before the last day) + DELTA (the "
+    "newest day) partial aggregates, merged by summing the mergeable "
+    "state (count, sum) and deriving avg at the end — the "
+    "incremental-ETL pattern where yesterday's aggregate is reused "
+    "instead of rescanning the corpus. The oracle is the plain FULL "
+    "recompute, so the hash gate IS the proof that the merge is "
+    "lossless. Distinct counts are deliberately absent: they are not "
+    "mergeable from (count,sum) state — the incremental form of #8 "
+    "needs an HLL sketch column (see event_user_counts_approx). At "
+    "100 TB the base aggregate would be a stored table; here both "
+    "sides derive from one scan split by a cutoff predicate, which "
+    "also exercises partition pruning on the date filter.",
+    tags=("windows", "incremental"),
+)
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("cutoff")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("value").alias("ps"),
+        )
+
+    with_cut = ev.crossJoin(F.broadcast(cutoff))
+    base = partial(with_cut.where(F.col("ts") < F.col("cutoff")))
+    delta = partial(with_cut.where(F.col("ts") >= F.col("cutoff")))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("pc").alias("n_events"), F.sum("ps").alias("sv"))
+    )
+    return merged.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round("sv", 2).alias("total_value"),
+        F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+    ).orderBy("hour", "event_type")

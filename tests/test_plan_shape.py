@@ -32,6 +32,9 @@ _SCALAR_BNLJ_OK = {
     # compositions inherit their components' allowlisted joins:
     "dedup_modality_agreement",  # embedding_near_dup's theta baseline
     "recommendation_agreement",  # jaccard's 1-row cutoff scalar
+    "item_pagerank",  # 1-row n_users scalar broadcast (as triangles)
+    "user_decayed_activity",  # 1-row t_ref scalar broadcast
+    "incremental_hourly_rollup",  # 1-row cutoff scalar broadcast
 }
 
 
@@ -323,3 +326,31 @@ def test_weighted_sample_is_take_ordered_not_full_sort(spark, sf_small):
     df = all_queries()["weighted_sample_topk"].fn(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cms_grid_is_broadcast_equi_join(spark, sf_small):
+    """The probe->cells join must be a broadcast HASH join (the grid is
+    structurally bounded at D*W rows) — never a shuffle of the vocab."""
+    plan = _plan(spark, sf_small, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_stats_broadcast(spark, sf_small):
+    """Both per-type stat tables (median, MAD) are group-cardinality-
+    bounded and must broadcast back over the scan."""
+    plan = _plan(spark, sf_small, "mad_value_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_decayed_activity_single_shuffle(spark, sf_small):
+    """Weights are projection-only; the single exchange is the user_id
+    aggregation (plus the 1-row scalar broadcast)."""
+    plan = _plan(spark, sf_small, "user_decayed_activity")
+    agg_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(agg_exchanges) <= 1, agg_exchanges
