@@ -354,3 +354,94 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(WEIGHTED_K)
     )
+
+
+# --- temporal (leakage-free) split -----------------------------------------
+
+TEMPORAL_TRAIN_PCT = 80  # train on the first 80% of the time range
+
+
+@register(
+    "temporal_split",
+    oracle=f"""
+        WITH rng AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        labeled AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) <
+                            (SELECT mn + ((mx - mn) * {TEMPORAL_TRAIN_PCT})
+                                       // 100
+                             FROM rng)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM events
+        ),
+        train_users AS (
+            SELECT DISTINCT user_id FROM labeled WHERE split = 'train'
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT l.user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT CASE WHEN tu.user_id IS NOT NULL
+                                        THEN l.user_id END) AS BIGINT)
+                   AS warm_users,
+               make_timestamp(MIN(ts_us)) AS first_ts,
+               make_timestamp(MAX(ts_us)) AS last_ts
+        FROM labeled l LEFT JOIN train_users tu ON l.user_id = tu.user_id
+        GROUP BY split
+        ORDER BY split
+    """,
+    doc=f"Temporal train/test split (train = first {TEMPORAL_TRAIN_PCT}% "
+    "of the event-time range, integer micros arithmetic): the "
+    "leakage-free complement of the hash-bucket split — evaluation "
+    "data is strictly FUTURE relative to training data, the split "
+    "every forecasting/recsys eval needs. Reports per-split event and "
+    "user counts plus warm_users (test users already seen in train — "
+    "the warm-start rate that determines whether the eval measures "
+    "generalization to new users or new time). One scan + a "
+    "user-level semi-join against the bounded train-user set.",
+    tags=("llm", "sampling"),
+)
+def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    labeled = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(
+                F.unix_micros("ts")
+                < F.col("mn")
+                + F.expr(f"((mx - mn) * {TEMPORAL_TRAIN_PCT}) div 100"),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    train_users = labeled.where(F.col("split") == "train").select(
+        "user_id"
+    ).distinct()
+    tu = train_users.withColumnRenamed("user_id", "tu_user")
+    return (
+        labeled.join(
+            tu, labeled["user_id"] == tu["tu_user"], "left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("tu_user").isNotNull(), F.col("user_id"))
+            ).alias("warm_users"),
+            F.timestamp_micros(F.min("ts_us")).alias("first_ts"),
+            F.timestamp_micros(F.max("ts_us")).alias("last_ts"),
+        )
+        .orderBy("split")
+    )

@@ -603,3 +603,123 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("item"), F.round("r", 6).alias("pagerank")
     ).orderBy(F.desc("pagerank"), "item")
+
+
+# --- deterministic negative sampling ---------------------------------------
+
+NEG_K = 5  # negatives per user
+NEG_OVERSAMPLE = 4  # slots drawn per user = NEG_K * NEG_OVERSAMPLE
+_NEG_A, _NEG_B = H.hash_params(1, seed=77)[0]
+
+
+@register(
+    "negative_samples",
+    oracle=f"""
+        WITH items AS ({_ITEMS_SQL}),
+        vocab AS (
+            SELECT item,
+                   ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx
+            FROM (SELECT DISTINCT item FROM items)
+        ),
+        nv AS (SELECT NULLIF(COUNT(*), 0) AS n FROM vocab),
+        slots AS (
+            SELECT u.user_id, s.slot,
+                   {H.affine_sql(
+                       f"u.user_id * {NEG_K * NEG_OVERSAMPLE} + s.slot",
+                       _NEG_A, _NEG_B)}
+                     % (SELECT n FROM nv) AS idx
+            FROM (SELECT DISTINCT user_id FROM items) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(0,
+                    {NEG_K * NEG_OVERSAMPLE - 1})) AS slot
+            ) s
+        ),
+        cand AS (
+            SELECT sl.user_id, sl.slot, v.item
+            FROM slots sl JOIN vocab v ON sl.idx = v.idx
+            WHERE NOT EXISTS (
+                SELECT 1 FROM items i
+                WHERE i.user_id = sl.user_id AND i.item = v.item
+            )
+        ),
+        dedup AS (
+            SELECT user_id, item, MIN(slot) AS slot
+            FROM cand GROUP BY user_id, item
+        ),
+        ranked AS (
+            SELECT user_id, item, slot,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY slot
+                   ) AS rk
+            FROM dedup
+        )
+        SELECT user_id, item AS neg_item, CAST(rk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rk <= {NEG_K}
+        ORDER BY user_id, rank
+    """,
+    doc=f"Deterministic negative sampling for recommender/contrastive "
+    f"training: {NEG_K} non-interacted items per user, drawn by "
+    "hashing (user, slot) to a dense vocabulary index — the scalable "
+    "form of 'sample k random negatives': per-user work is a FIXED "
+    f"{NEG_K * NEG_OVERSAMPLE}-slot fan-out equi-joined to the "
+    "vocabulary (never a user x vocab cross product; plan-gated), "
+    "known positives removed by anti join, oversampling absorbs "
+    "collisions/positives. RNG-free: the affine hash makes the draw "
+    "reproducible across engines, retries, and partitionings.",
+    tags=("similarity", "llm", "sampling"),
+)
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    n_slots = NEG_K * NEG_OVERSAMPLE
+    vocab = (
+        items.select("item")
+        .distinct()
+        .select(
+            "item",
+            (F.row_number().over(Window.orderBy("item")) - 1).alias("idx"),
+        )
+    )
+    nv = vocab.agg(F.nullif(F.count(F.lit(1)), F.lit(0)).alias("n"))
+    users = items.select("user_id").distinct()
+    slots = (
+        users.crossJoin(F.broadcast(nv))
+        .select(
+            "user_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias(
+                "slot"
+            ),
+        )
+        .select(
+            "user_id",
+            "slot",
+            (
+                H.affine_col(
+                    F.col("user_id") * n_slots + F.col("slot"),
+                    _NEG_A,
+                    _NEG_B,
+                )
+                % F.col("n")
+            ).alias("idx"),
+        )
+    )
+    cand = (
+        slots.join(vocab, "idx")
+        .join(items, ["user_id", "item"], "left_anti")
+        .groupBy("user_id", "item")
+        .agg(F.min("slot").alias("slot"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("slot")
+    )
+    return (
+        cand.select("user_id", "item", rk.alias("rank"))
+        .where(F.col("rank") <= NEG_K)
+        .select(
+            "user_id",
+            F.col("item").alias("neg_item"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("user_id", "rank")
+    )

@@ -35,6 +35,8 @@ _SCALAR_BNLJ_OK = {
     "item_pagerank",  # 1-row n_users scalar broadcast (as triangles)
     "user_decayed_activity",  # 1-row t_ref scalar broadcast
     "incremental_hourly_rollup",  # 1-row cutoff scalar broadcast
+    "negative_samples",  # 1-row vocab-size scalar broadcast
+    "temporal_split",  # 1-row time-range scalar broadcast
 }
 
 
