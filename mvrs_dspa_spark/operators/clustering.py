@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.registry import register
-from mvrs_dspa_spark.tables import table
+from mvrs_dspa_spark.tables import props_k_col, table
 
 K = 8
 ITERS = 8
@@ -208,7 +208,7 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *kind_fracs,
         (F.avg("value") / 50.0).alias("f_value"),
         (
-            F.countDistinct(F.get_json_object("props", "$.k")) / 100.0
+            F.countDistinct(props_k_col()) / 100.0
         ).alias("f_keys"),
     )
     total = agg.select(F.max("n").alias("max_n"))

@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.registry import register
-from mvrs_dspa_spark.tables import table
+from mvrs_dspa_spark.tables import props_k_col, props_k_sql, table
 
 HOUR_US = 3_600_000_000
 
@@ -64,7 +64,7 @@ def sliding_window_stats(
         F.unix_micros("ts").alias("ts_us"),
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").alias("k"),
+        props_k_col().alias("k"),  # regex k-extraction: tables.PROPS_K_PATTERN
     )
     exploded = base.withColumn(
         "ws_us", F.explode(slide_windows(F.col("ts_us"), size_us, slide_us))
@@ -107,7 +107,7 @@ _SLIDING_ORACLE = f"""
                epoch_us(ts) AS ts_us,
                event_type,
                value,
-               json_extract_string(props, '$.k') AS k
+               {props_k_sql()} AS k
         FROM events
     ),
     firsts AS (

@@ -98,7 +98,9 @@ def _batch_items(batch: DataFrame) -> DataFrame:
     etype_idx = F.lit(None)
     for i, t in enumerate(EVENT_TYPES):
         etype_idx = F.when(F.col("event_type") == t, F.lit(i)).otherwise(etype_idx)
-    code = etype_idx.cast("long") * 1000 + F.get_json_object("props", "$.k").cast("long")
+    from mvrs_dspa_spark.tables import props_k_col
+
+    code = etype_idx.cast("long") * 1000 + props_k_col().cast("long")
     return batch.select("user_id", code.alias("item")).where(
         F.col("item").isNotNull()
     ).distinct()
