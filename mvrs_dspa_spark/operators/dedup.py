@@ -153,6 +153,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- minhash LSH near-dup ---------------------------------------------------
 
+def _doc_array_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sg) ARRAY-form signatures straight from the per-doc
+    shingle arrays — array_min per hash family, no explode/groupBy:
+    the signature stage is projection-only (zero shuffles)."""
+    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    return sh.select(
+        "doc_id", MH.signature_array_col(F.col("sh"), _PARAMS).alias("sg")
+    )
+
+
 _SIG_SQL = MH.signature_sql(_DOC_SHINGLE_ITEMS_SQL, "doc_id", "code", _PARAMS)
 
 
@@ -174,11 +184,11 @@ _SIG_SQL = MH.signature_sql(_DOC_SHINGLE_ITEMS_SQL, "doc_id", "code", _PARAMS)
     tags=("dedup", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _doc_shingle_items(spark, sf_dir)
-    sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
     # signatures scored inside the band join (no sig re-join / distinct)
     return (
-        MH.scored_candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
+        MH.scored_candidate_pairs_from_array_sig_df(
+            _doc_array_sigs(spark, sf_dir), "doc_id", N_HASHES, BANDS
+        )
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -231,9 +241,9 @@ _INCR_BUCKETS_SQL = "\n            UNION ALL ".join(
     tags=("dedup", "llm"),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _doc_shingle_items(spark, sf_dir)
-    sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
-    buckets = MH.bucket_rows_df(sig, "doc_id", N_HASHES, BANDS)
+    buckets = MH.bucket_rows_from_sig_df(
+        _doc_array_sigs(spark, sf_dir), "sg", N_HASHES, BANDS
+    )
     inc = buckets.where(F.col("doc_id") % INCR_MOD == 0).alias("a")
     corp = buckets.where(F.col("doc_id") % INCR_MOD != 0).alias("b")
     matches = MH.sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
@@ -495,10 +505,10 @@ def cluster_components(
     tags=("dedup",),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _doc_shingle_items(spark, sf_dir)
-    sig = MH.signature_df(items, "doc_id", "code", _PARAMS)
     pairs = (
-        MH.scored_candidate_pairs_df(sig, "doc_id", N_HASHES, BANDS)
+        MH.scored_candidate_pairs_from_array_sig_df(
+            _doc_array_sigs(spark, sf_dir), "doc_id", N_HASHES, BANDS
+        )
         .where(F.col("est_sim") >= NEAR_DUP_SIM)
         .select("id_a", "id_b")
     )

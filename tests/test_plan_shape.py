@@ -37,6 +37,7 @@ _SCALAR_BNLJ_OK = {
     "incremental_hourly_rollup",  # 1-row cutoff scalar broadcast
     "negative_samples",  # 1-row vocab-size scalar broadcast
     "temporal_split",  # 1-row time-range scalar broadcast
+    "value_drift_psi",  # 1-row time-range scalar broadcast
 }
 
 
