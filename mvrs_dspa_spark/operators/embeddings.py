@@ -226,3 +226,104 @@ def quantize_vectors(
         codes.alias("codes"),
         F.round(mse, 8).alias("mse"),
     )
+
+
+# --- product quantization ---------------------------------------------------
+
+PQ_M = 4   # subvectors per vector
+PQ_K = 16  # centroids per sub-codebook -> one byte-packable code each
+
+
+def pq_fit(
+    emb: DataFrame, vec_col: str = "embedding", m: int = PQ_M, k: int = PQ_K
+) -> list[list[list[float]]] | None:
+    """Fit m per-subspace k-means codebooks (Jégou et al. 2011 PQ).
+
+    Each codebook is a separate distributed k-means over the sliced
+    subvectors (reusing `clustering.kmeans_fit`, fixed seed +
+    ensureK); driver state is m*k*(d/m) = k*d floats — dimension-
+    bounded, never row-bounded. Returns None on empty input."""
+    from mvrs_dspa_spark.operators.clustering import kmeans_fit
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return None
+    d = first["d"]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    books = []
+    for j in range(m):
+        sv = emb.select(
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv")
+        )
+        books.append(kmeans_fit(sv, "sv", k=k))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """codes[m] (argmin centroid per subspace) + reconstruction MSE via
+    one Arrow-batched matmul per subspace; the codebooks are closure
+    constants (k*d doubles — scale-independent broadcast)."""
+    books_l = [[list(c) for c in b] for b in books]
+
+    @F.pandas_udf("struct<codes: array<int>, mse: double>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        bs = [np.asarray(b) for b in books_l]
+        m = len(bs)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        sub = x.shape[1] // m
+        codes = np.empty((len(x), m), dtype=np.int32)
+        err = np.zeros(len(x))
+        for j, cb in enumerate(bs):
+            xs = x[:, j * sub : (j + 1) * sub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * xs @ cb.T
+                + (cb * cb).sum(axis=1)
+            )
+            codes[:, j] = d2.argmin(axis=1)
+            err += d2[np.arange(len(x)), codes[:, j]]
+        mse = err / x.shape[1]
+        return pd.DataFrame(
+            {"codes": list(codes), "mse": np.maximum(mse, 0.0)}
+        )
+
+    return emb.withColumn("_pq", enc(F.col(vec_col)))
+
+
+@register(
+    "embedding_pq",
+    oracle=None,  # k-means codebooks are not SQL-expressible
+    doc=f"Product quantization (PQ{PQ_M}x{PQ_K}, Jégou et al. TPAMI "
+    "2011): each vector compressed to m sub-codebook codes "
+    f"({PQ_M} bytes vs d*4 — 64x at d=64, vs int8's 4x in "
+    "embedding_quantize #65). Codebooks are m distributed k-means "
+    "fits on the subvector slices; encoding is a broadcast matmul "
+    "argmin per subspace. Rows-gated; invariants (code range, "
+    "determinism, MSE vs global-centroid bound, numpy parity) in "
+    "tests/test_embeddings.py.",
+    tags=("llm", "embeddings", "rows_gate"),
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb)
+    if books is None:
+        return spark.createDataFrame(
+            [], "vec_id long, codes array<int>, recon_mse double"
+        )
+    return (
+        pq_encode(emb, books)
+        .select(
+            "vec_id",
+            F.col("_pq.codes").alias("codes"),
+            F.round(F.col("_pq.mse"), 6).alias("recon_mse"),
+        )
+        .orderBy("vec_id")
+    )

@@ -127,3 +127,31 @@ def compact_parquet(
         out = df.repartition(n)
     out.write.mode(mode).parquet(out_path)
     return n
+
+
+def backfill_partition_overwrite(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Idempotent partition backfill: INSERT-OVERWRITE semantics for a
+    Hive-partitioned parquet directory via dynamic partitionOverwriteMode
+    — ONLY the partitions present in `df` are replaced; all other
+    partitions are untouched.
+
+    This is the reprocessing pattern behind every daily-batch pipeline
+    fix ("re-run 2026-03-14"): the rewrite is a directory swap per
+    touched partition, so re-running the same backfill is a no-op in
+    effect (same content replaces same content), and a crashed backfill
+    never corrupts untouched days. Static mode (the Spark default)
+    would instead DELETE every partition in the table — the classic
+    footgun this helper exists to pin down.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

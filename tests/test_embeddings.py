@@ -112,3 +112,62 @@ def test_quantize_roundtrip_close(spark, sf_small):
     for r in out[:20]:
         scale = (r["v_max"] - r["v_min"]) / QUANT_LEVELS
         assert r["mse"] <= (scale / 2) ** 2 + 1e-12
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def test_pq_codes_valid_and_deterministic(spark):
+    from mvrs_dspa_spark.operators.embeddings import PQ_K, PQ_M, embedding_pq
+
+    a = embedding_pq(spark, "/root/testdata/sf0.001").collect()
+    b = embedding_pq(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+    for r in a:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.recon_mse >= 0.0
+
+
+def test_pq_beats_single_centroid_and_matches_numpy(spark):
+    import numpy as np
+
+    from mvrs_dspa_spark.operators.embeddings import (
+        pq_encode,
+        pq_fit,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_fit(emb)
+    out = pq_encode(emb, books).select("vec_id", "_pq").collect()
+    x = np.asarray(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.orderBy("vec_id").collect()
+        ]
+    )
+    d = x.shape[1]
+    # PQ must beat quantizing every vector to the global mean
+    global_mse = ((x - x.mean(axis=0)) ** 2).sum(axis=1).mean() / d
+    pq_mse = float(np.mean([r["_pq"]["mse"] for r in out]))
+    assert pq_mse < global_mse, (pq_mse, global_mse)
+
+    # numpy parity on the first few vectors
+    bs = [np.asarray(b) for b in books]
+    sub = d // len(bs)
+    by_id = {r.vec_id: r["_pq"] for r in out}
+    for r, xv in zip(
+        emb.orderBy("vec_id").limit(5).collect(), x[:5]
+    ):
+        want = []
+        err = 0.0
+        for j, cb in enumerate(bs):
+            xs = xv[j * sub : (j + 1) * sub]
+            d2 = ((cb - xs) ** 2).sum(axis=1)
+            want.append(int(d2.argmin()))
+            err += float(d2.min())
+        got = by_id[r.vec_id]
+        assert list(got["codes"]) == want
+        assert abs(got["mse"] - err / d) < 1e-9

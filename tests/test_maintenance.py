@@ -145,3 +145,40 @@ def test_zorder_lossless_and_exclusive(spark, tmp_path):
             spark, src, str(tmp_path / "nope"),
             cluster_by=["x"], zorder_by=["y"],
         )
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    from mvrs_dspa_spark.operators.maintenance import (
+        backfill_partition_overwrite,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 11.0), (3, "d2", 20.0), (4, "d3", 30.0)],
+        "id long, day string, v double",
+    )
+    backfill_partition_overwrite(base, path, "day")
+
+    # reprocess ONLY d2 with corrected values
+    fix = spark.createDataFrame(
+        [(3, "d2", 99.0), (5, "d2", 98.0)], "id long, day string, v double"
+    )
+    backfill_partition_overwrite(fix, path, "day")
+
+    got = {
+        (r.id, r.day): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "d1"): 10.0,  # untouched
+        (2, "d1"): 11.0,  # untouched
+        (3, "d2"): 99.0,  # replaced
+        (5, "d2"): 98.0,  # replaced
+        (4, "d3"): 30.0,  # untouched
+    }
+
+    # idempotence: re-running the same backfill changes nothing
+    backfill_partition_overwrite(fix, path, "day")
+    again = {
+        (r.id, r.day): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
