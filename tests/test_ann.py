@@ -78,3 +78,47 @@ def test_banded_lsh_subset_of_exact_pairs(spark, sf_small):
     }
     assert got <= truth
     assert got  # and it finds a nonempty subset
+
+
+# --- IVF-PQ with exact refine ----------------------------------------------
+
+
+def test_ivf_pq_recall_and_determinism(spark):
+    import numpy as np
+
+    from mvrs_dspa_spark.operators.ann import TOP_K, ann_ivf_pq
+    from mvrs_dspa_spark.tables import table
+
+    SF = "/root/testdata/sf0.01"
+    out = ann_ivf_pq(spark, SF).collect()
+    assert len(out) > 0
+    by_q: dict[int, list[int]] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid, ns in by_q.items():
+        assert len(ns) <= TOP_K
+        assert qid not in ns  # self excluded
+        assert len(set(ns)) == len(ns)
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    x = np.asarray([emb[i] for i in ids])
+    recalls = []
+    for qid, got in by_q.items():
+        d = ((x - emb[qid]) ** 2).sum(axis=1)
+        truth = [
+            ids[i]
+            for i in np.argsort(d, kind="stable")
+            if ids[i] != qid
+        ][:TOP_K]
+        recalls.append(len(set(got) & set(truth)) / TOP_K)
+    # measured 0.60 mean at sf0.01 (vs 0.63 for IVF-flat — the probe
+    # ceiling, not the compression, is the limiter); pin a floor with
+    # headroom for future testdata regenerations
+    assert float(np.mean(recalls)) >= 0.45, recalls
+
+    again = ann_ivf_pq(spark, SF).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
