@@ -73,6 +73,10 @@ EXTRA_QUERIES = [
     "item_pagerank",
     "cms_heavy_hitters",
     "bpe_merge_pairs",
+    # round 3 additions: prefix-filter exact similarity join and the
+    # compressed-domain ANN serving path
+    "prefix_jaccard_join",
+    "ann_ivf_pq",
 ]
 
 

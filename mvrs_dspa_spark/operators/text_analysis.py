@@ -497,3 +497,127 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weighted_count"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --- chunk-level language consistency (code-switch detection) ---------------
+
+CS_CHUNK = 64  # disjoint sections (chunk == stride; no overlap)
+
+
+@register(
+    "code_switch_report",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, t[s : s + {CS_CHUNK} - 1] AS ctoks
+            FROM (
+                SELECT doc_id, toks AS t,
+                       unnest(generate_series(1, len(toks), {CS_CHUNK}))
+                           AS s
+                FROM t WHERE len(toks) > 0
+            )
+        ),
+        scored AS (
+            SELECT doc_id,
+                   {', '.join(f"{T.stopword_hits_sql('ctoks', lg)} AS s_{lg}" for lg in T.LANG_ORDER)}
+            FROM chunks
+        ),
+        preds AS (
+            SELECT doc_id, {_lang_pred_sql()} AS pred FROM scored
+        ),
+        counts AS (
+            SELECT doc_id, pred, COUNT(*) AS c
+            FROM preds GROUP BY doc_id, pred
+        ),
+        ranked AS (
+            SELECT doc_id, pred, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, pred
+                   ) AS rk
+            FROM counts
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM counts GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_chunks, p.n_langs,
+               r.pred AS majority_lang,
+               p.n_langs > 1 AS is_code_switched
+        FROM per_doc p JOIN ranked r ON r.doc_id = p.doc_id AND r.rk = 1
+        ORDER BY p.doc_id
+    """,
+    doc=f"Code-switching / mixed-language detection: every document is "
+    f"language-identified SECTION by section (disjoint {CS_CHUNK}-token "
+    "chunks, the chunking definition with stride=chunk) using the "
+    "published lang_id stopword-vote argmax; a document whose chunks "
+    "disagree is flagged. The doc-level filter every multilingual "
+    "corpus pipeline needs on top of doc-level lang-ID — mixed "
+    "documents pollute per-language training splits. Composes two "
+    "registered definitions on both engines; chunk votes are narrow "
+    "array expressions, the one shuffle is the per-doc rollup.",
+    tags=("text", "llm"),
+)
+def code_switch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", T.tokens_col(F.col("text")).alias("t")
+    ).where(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t"), F.lit(CS_CHUNK)),
+                lambda s: F.slice(F.col("t"), s, CS_CHUNK),
+            )
+        ).alias("ctoks"),
+    )
+    scored = chunks.select(
+        "doc_id",
+        *[
+            T.stopword_hits_col(F.col("ctoks"), lg).alias(f"s_{lg}")
+            for lg in T.LANG_ORDER
+        ],
+    )
+    pred: Column = F.lit("und")
+    for lang in reversed(T.LANG_ORDER):
+        cond = None
+        for other in T.LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    counts = (
+        scored.select("doc_id", pred.alias("pred"))
+        .groupBy("doc_id", "pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("c"), "pred")
+    )
+    majority = (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("pred").alias("majority_lang"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        per_doc.join(majority, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_langs",
+            "majority_lang",
+            (F.col("n_langs") > 1).alias("is_code_switched"),
+        )
+        .orderBy("doc_id")
+    )
