@@ -621,3 +621,103 @@ def code_switch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- bigram LM quality proxy (stupid backoff) -------------------------------
+
+BACKOFF_ALPHA = 0.4  # Brants et al. 2007 "stupid backoff" constant
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {T.tokens_sql('lower(text)')} AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   toks[i] AS w1,
+                   toks[i + 1] AS w2
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t WHERE len(toks) >= 2
+            )
+        ),
+        uni AS (
+            SELECT tok, COUNT(*) AS c FROM (
+                SELECT unnest(toks) AS tok FROM t
+            ) GROUP BY tok
+        ),
+        tot AS (SELECT SUM(c) AS n FROM uni),
+        bi AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               ROUND(AVG(-log2(
+                   CASE WHEN b.c12 IS NOT NULL
+                        THEN 1.0 * b.c12 / u1.c
+                        ELSE {BACKOFF_ALPHA} * u2.c / t.n END
+               )), 4) AS bits_per_token
+        FROM pairs p
+        LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        JOIN uni u1 ON u1.tok = p.w1
+        JOIN uni u2 ON u2.tok = p.w2
+        CROSS JOIN tot t
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+    """,
+    doc=f"Bigram-LM perplexity proxy with stupid backoff (Brants et "
+    f"al. 2007, alpha={BACKOFF_ALPHA}): per-document bits/token under "
+    "the corpus's own bigram model, backing off to the scaled unigram "
+    "for unseen pairs — one step closer to the KenLM stage of the "
+    "CCNet pipeline than the unigram proxy (#59), and the bigram "
+    "count join is the genuinely n-gram-LM-shaped workload: the count "
+    "table scales with the PAIR vocabulary, its Zipf head is exactly "
+    "what AQE skew-split handles, and the backoff is a LEFT-join miss "
+    "— no OOV special-casing. The 1-row token-total scalar is the "
+    "only hinted broadcast.",
+    tags=("text", "llm"),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    n = F.greatest(F.size("toks") - 1, F.lit(0))
+    pair_arr = F.zip_with(
+        F.slice("toks", F.lit(1), n),
+        F.slice("toks", F.lit(2), n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        t.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(pair_arr).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    uni = t.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    score = F.when(
+        F.col("c12").isNotNull(),
+        F.col("c12").cast("double") / F.col("c1"),
+    ).otherwise(
+        F.lit(BACKOFF_ALPHA) * F.col("c2") / F.col("n")
+    )
+    return (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(-F.log2(score)), 4).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )

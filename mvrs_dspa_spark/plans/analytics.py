@@ -1192,3 +1192,118 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term"), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+# --- CUSUM changepoint detection -------------------------------------------
+
+
+@register(
+    "hourly_changepoint_cusum",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   SUM(value) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT *,
+                   AVG(x) OVER (PARTITION BY event_type) AS mu,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM hourly
+        ),
+        cusum AS (
+            SELECT event_type, hour, n,
+                   SUM(x - mu) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cs
+            FROM stats
+        ),
+        ranked AS (
+            SELECT event_type, hour, n, cs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ABS(cs) DESC, hour
+                   ) AS rk
+            FROM cusum
+        ),
+        cp AS (
+            SELECT event_type, hour AS changepoint_hour,
+                   CAST(n AS BIGINT) AS n_hours,
+                   ROUND(ABS(cs), 6) AS max_abs_cusum
+            FROM ranked WHERE rk = 1
+        )
+        SELECT c.event_type, c.changepoint_hour, c.n_hours,
+               c.max_abs_cusum,
+               ROUND(AVG(h.x) FILTER (
+                   WHERE h.hour <= c.changepoint_hour), 6) AS mean_before,
+               ROUND(AVG(h.x) FILTER (
+                   WHERE h.hour > c.changepoint_hour), 6) AS mean_after
+        FROM cp c JOIN hourly h ON h.event_type = c.event_type
+        GROUP BY 1, 2, 3, 4
+        ORDER BY c.event_type
+    """,
+    doc="CUSUM changepoint detection per event type: the hour where "
+    "the cumulative deviation from the series mean peaks (the classic "
+    "single-changepoint estimator), with before/after level means — "
+    "the monitoring question behind 'when did this metric shift'. "
+    "The corpus-sized work is the hourly rollup; every window pass "
+    "then runs on the BOUNDED aggregated series (hours x types), the "
+    "same bounded-series discipline as momentum/autocorrelation.",
+    tags=("analytics", "temporal"),
+)
+def hourly_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum("value").alias("x"))
+    wp = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "*",
+        F.avg("x").over(wp).alias("mu"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    cs = F.sum(F.col("x") - F.col("mu")).over(
+        wp.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = stats.select(
+        "event_type", "hour", "n", cs.alias("cs")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            wp.orderBy(F.abs(F.col("cs")).desc(), F.col("hour"))
+        ),
+    )
+    cp = ranked.where(F.col("rk") == 1).select(
+        "event_type",
+        F.col("hour").alias("changepoint_hour"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(F.abs("cs"), 6).alias("max_abs_cusum"),
+    )
+    return (
+        cp.join(hourly, "event_type")
+        .groupBy(
+            "event_type", "changepoint_hour", "n_hours", "max_abs_cusum"
+        )
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("hour") <= F.col("changepoint_hour"),
+                        F.col("x"),
+                    )
+                ),
+                6,
+            ).alias("mean_before"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("hour") > F.col("changepoint_hour"),
+                        F.col("x"),
+                    )
+                ),
+                6,
+            ).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )

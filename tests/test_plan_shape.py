@@ -25,6 +25,7 @@ _SCALAR_BNLJ_OK = {
     "lang_mix_temperature",  # 1-row min-count scalar broadcast
     "boilerplate_ngrams",  # 1-row total-docs scalar broadcast
     "doc_unigram_logprob",  # 1-row total-tokens scalar broadcast
+    "doc_bigram_logprob",  # 1-row total-tokens scalar broadcast
     "bm25_search",  # 1-row corpus-stats (n_docs, avgdl) broadcast
     "tfidf_top_terms",  # 1-row n_docs scalar broadcast
     "token_coverage_curve",  # 1-row corpus-total scalar broadcast
