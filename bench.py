@@ -73,9 +73,13 @@ EXTRA_QUERIES = [
     "item_pagerank",
     "cms_heavy_hitters",
     "bpe_merge_pairs",
-    # round 3 additions: prefix-filter exact similarity join and the
-    # compressed-domain ANN serving path
-    "prefix_jaccard_join",
+    # round 3 addition: the compressed-domain ANN serving path.
+    # prefix_jaccard_join is deliberately NOT benched at sf0.1: the
+    # synthetic corpus has a ~40-word vocabulary, so at tau=0.6 nearly
+    # every doc pair genuinely qualifies — the OUTPUT is Theta(n^2)
+    # (DuckDB's brute force also runs minutes) and no algorithm can
+    # beat its own result size; the operator's asymptotics are
+    # vocabulary-driven and only meaningful on realistic text.
     "ann_ivf_pq",
 ]
 

@@ -256,3 +256,44 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+K_ANON = 5
+_LEN_BUCKET = 100  # n_chars quantized to 100-char buckets
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+        SELECT lang, source,
+               CAST(n_chars // {_LEN_BUCKET} AS BIGINT) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM documents
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) < {K_ANON}
+        ORDER BY lang, source, len_bucket
+    """,
+    doc=f"k-anonymity audit (k={K_ANON}) over the quasi-identifier "
+    f"tuple (lang, source, {_LEN_BUCKET}-char length bucket): groups "
+    "smaller than k are re-identification risks — releasing or "
+    "training on them can expose individual documents' provenance. "
+    "The data-governance check run before publishing corpus "
+    "statistics (Sweeney 2002). One scan, one bounded-key shuffle; "
+    "the HAVING filter is evaluated post-aggregation on the "
+    "group-cardinality-bounded result.",
+    tags=("validation", "llm"),
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {_LEN_BUCKET}").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < K_ANON)
+        .orderBy("lang", "source", "len_bucket")
+    )
