@@ -280,3 +280,135 @@ def session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch")
     )
+
+
+FUNNEL_HORIZON_US = 7 * 86_400_000_000  # 7 days between steps
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@register(
+    "multi_step_funnel",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        ),
+        s1 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM base
+        ),
+        s2 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'click' AND ts_us >= t1
+                             AND ts_us <= t1 + {FUNNEL_HORIZON_US}
+                            THEN ts_us END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts_us >= t2
+                             AND ts_us <= t2 + {FUNNEL_HORIZON_US}
+                            THEN ts_us END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM s2
+        ),
+        per_user AS (
+            SELECT user_id, ANY_VALUE(t1) AS t1, ANY_VALUE(t2) AS t2,
+                   ANY_VALUE(t3) AS t3
+            FROM s3 GROUP BY user_id
+        ),
+        counts AS (
+            SELECT CAST(count_if(t1 IS NOT NULL) AS BIGINT) AS n1,
+                   CAST(count_if(t2 IS NOT NULL) AS BIGINT) AS n2,
+                   CAST(count_if(t3 IS NOT NULL) AS BIGINT) AS n3
+            FROM per_user
+        )
+        SELECT step, n_users, ROUND(conversion, 6) AS conversion
+        FROM (
+            SELECT 1 AS ord, 'signup' AS step, n1 AS n_users,
+                   CAST(NULL AS DOUBLE) AS conversion FROM counts
+            UNION ALL
+            SELECT 2, 'click', n2, 1.0 * n2 / NULLIF(n1, 0) FROM counts
+            UNION ALL
+            SELECT 3, 'purchase', n3, 1.0 * n3 / NULLIF(n2, 0) FROM counts
+        )
+        ORDER BY ord
+    """,
+    doc="Multi-step ordered funnel: signup -> first click within 7 "
+    "days -> first purchase within 7 days of that click, with "
+    "step-over-step conversion rates — the product-analytics funnel "
+    "proper (ordered, time-bounded steps), vs session_conversion's "
+    "within-session variant and user_journey_paths' unordered "
+    "frequencies. Three chained MIN windows share ONE user_id "
+    "exchange; each step's window references the previous step's "
+    "result, so ordering constraints never become joins.",
+    tags=("windows", "sessions", "analytics"),
+)
+def multi_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(wu)
+    s1 = base.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") >= F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + FUNNEL_HORIZON_US),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") >= F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + FUNNEL_HORIZON_US),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    per_user = (
+        s2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.any_value("t1").alias("t1"),
+            F.any_value("t2").alias("t2"),
+            F.any_value("t3").alias("t3"),
+        )
+    )
+    counts = per_user.agg(
+        F.count_if(F.col("t1").isNotNull()).alias("n1"),
+        F.count_if(F.col("t2").isNotNull()).alias("n2"),
+        F.count_if(F.col("t3").isNotNull()).alias("n3"),
+    )
+    rows = []
+    for ord_, step, n, prev in (
+        (1, "signup", "n1", None),
+        (2, "click", "n2", "n1"),
+        (3, "purchase", "n3", "n2"),
+    ):
+        conv = (
+            F.lit(None).cast("double")
+            if prev is None
+            else F.round(
+                F.col(n).cast("double") / F.nullif(F.col(prev), F.lit(0)), 6
+            )
+        )
+        rows.append(
+            counts.select(
+                F.lit(ord_).alias("ord"),
+                F.lit(step).alias("step"),
+                F.col(n).alias("n_users"),
+                conv.alias("conversion"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("ord").select("step", "n_users", "conversion")

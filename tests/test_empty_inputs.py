@@ -23,6 +23,7 @@ _NONEMPTY_ON_EMPTY = {
     "ann_quality_report": 3,      # one row per evaluated method, zeros
     "events_profile": 6,          # one row per profiled column, zeros
     "hourly_value_autocorrelation": 2,  # one row per lag, n=0/NULL r
+    "multi_step_funnel": 3,  # one zero-count row per funnel step
     "q14_promo_revenue_share": 1,
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,
