@@ -710,3 +710,110 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     ).orderBy("doc_a", "doc_b")
+
+
+# --- MinHash estimator calibration ------------------------------------------
+
+
+@register(
+    "minhash_calibration",
+    oracle=f"""
+        WITH items AS ({_DOC_SHINGLE_ITEMS_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS k
+            FROM items a JOIN items b
+              ON a.code = b.code AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT doc_a, doc_b,
+                   1.0 * k / (sa.n + sb.n - k) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 1.0 * k / (sa.n + sb.n - k) >= {JACCARD_THRESHOLD}
+        ),
+        cand AS ({MH.candidate_pairs_sql(_SIG_SQL, "doc_id", N_HASHES, BANDS)}),
+        sig AS ({_SIG_SQL}),
+        est AS (
+            SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+                   {MH.est_similarity_sql(N_HASHES)} AS est_sim
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+        )
+        SELECT CAST(FLOOR(e.jaccard * 10) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(e.jaccard), 6) AS mean_exact,
+               ROUND(AVG(m.est_sim), 6) AS mean_est,
+               ROUND(AVG(ABS(m.est_sim - e.jaccard)), 6) AS mean_abs_err
+        FROM exact e JOIN est m USING (doc_a, doc_b)
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    doc=f"MinHash estimator calibration: for every LSH-candidate pair "
+    f"that also has exact shingle Jaccard >= {JACCARD_THRESHOLD}, "
+    "compare the 32-hash signature estimate against the exact value, "
+    "bucketed by exact-Jaccard decile — mean_est should track "
+    "mean_exact within the binomial sd sqrt(J(1-J)/32) ~= 0.09 "
+    "(E[est] = J is the MMDS ch.3 guarantee this table makes "
+    "visible). The report that justifies the production thresholds: "
+    "it shows directly what est>=0.5 admits at each true similarity. "
+    "Composes the registered exact-pair and signature definitions on "
+    "both engines; both sides stay bucketed joins, never all-pairs.",
+    tags=("dedup", "llm"),
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    items = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("code")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("k").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("k"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    est = MH.scored_candidate_pairs_from_array_sig_df(
+        _doc_array_sigs(spark, sf_dir), "doc_id", N_HASHES, BANDS
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "est_sim",
+    )
+    return (
+        exact.join(est, ["doc_a", "doc_b"])
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_exact"),
+            F.round(F.avg("est_sim"), 6).alias("mean_est"),
+            F.round(
+                F.avg(F.abs(F.col("est_sim") - F.col("jaccard"))), 6
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("bucket")
+    )

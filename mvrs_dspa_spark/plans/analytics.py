@@ -1307,3 +1307,99 @@ def hourly_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- per-source token-distribution divergence ------------------------------
+
+
+@register(
+    "source_token_divergence",
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text),
+                       '\\s+'), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        sw AS (
+            SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        vocab AS (
+            SELECT tok, SUM(c) AS cq FROM sw GROUP BY tok
+        ),
+        totals AS (
+            SELECT source, SUM(c) AS n FROM sw GROUP BY source
+        ),
+        corpus AS (SELECT SUM(cq) AS t, COUNT(*) AS v FROM vocab),
+        grid AS (
+            SELECT s.source, w.tok,
+                   (COALESCE(x.c, 0) + 1)
+                       / (s.n + c.v)::DOUBLE AS p,
+                   (w.cq + 1) / (c.t + c.v)::DOUBLE AS q
+            FROM totals s
+            CROSS JOIN vocab w
+            CROSS JOIN corpus c
+            LEFT JOIN sw x ON x.source = s.source AND x.tok = w.tok
+        )
+        SELECT source,
+               ROUND(SUM(0.5 * p * ln(2 * p / (p + q))
+                         + 0.5 * q * ln(2 * q / (p + q))), 6)
+                   AS js_divergence
+        FROM grid
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Per-source token-distribution drift: Jensen-Shannon "
+    "divergence of each source's (Laplace-smoothed) unigram "
+    "distribution from the whole-corpus distribution — the screen "
+    "that catches a crawl source whose vocabulary shifted before it "
+    "contaminates the mixture (complements source_token_entropy's "
+    "within-source diversity and corpus_mixture_report's share "
+    "drift). The corpus-sized work is one token aggregation; the "
+    "smoothing grid is |sources| x |vocab| (both bounded), built by "
+    "broadcasting the per-source totals over the vocabulary.",
+    tags=("analytics", "llm", "text"),
+)
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    sw = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = sw.groupBy("tok").agg(F.sum("c").alias("cq"))
+    totals = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = vocab.agg(
+        F.sum("cq").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(corpus))
+        .join(sw, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                (F.coalesce("c", F.lit(0)) + 1)
+                / (F.col("n") + F.col("v")).cast("double")
+            ).alias("p"),
+            (
+                (F.col("cq") + 1) / (F.col("t") + F.col("v")).cast("double")
+            ).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    term = 0.5 * p * F.log(2 * p / (p + q)) + 0.5 * q * F.log(
+        2 * q / (p + q)
+    )
+    return (
+        grid.groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("js_divergence"))
+        .orderBy("source")
+    )

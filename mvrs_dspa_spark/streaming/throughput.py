@@ -5,7 +5,7 @@ The reference reports its pipeline health through per-operator counts
 progress events already carry rows/sec, so this module packages a
 repeatable micro-benchmark around them instead of a custom counter:
 drive a BOUNDED stream through a representative pipeline into the
-no-op sink and summarize `recentProgress`.
+no-op sink and summarize listener-collected progress.
 
 Two source modes, because they measure different things:
 - `parquet`: a file stream over pre-split parquet (JVM-side scan,

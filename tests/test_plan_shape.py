@@ -39,6 +39,7 @@ _SCALAR_BNLJ_OK = {
     "negative_samples",  # 1-row vocab-size scalar broadcast
     "temporal_split",  # 1-row time-range scalar broadcast
     "value_drift_psi",  # 1-row time-range scalar broadcast
+    "source_token_divergence",  # bounded |sources| x vocab smoothing grid
 }
 
 
