@@ -284,3 +284,156 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- hybrid lexical + semantic retrieval (RRF fusion) -----------------------
+
+RRF_K = 60  # Cormack et al. 2009 reciprocal-rank-fusion constant
+HYBRID_TOP_N = 10
+HYBRID_QUERY_VEC = 0  # pinned query: the embedding of vec_id 0
+
+# ranked BM25 list (the bm25_search definition, rank instead of score)
+_BM25_RANKED_SQL = f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+    FROM (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+               ), 4) AS bm25
+        FROM tf JOIN df USING (tok) CROSS JOIN stats s
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {TOP_N}
+    )
+"""
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(q.embedding)), "
+    "i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+_COS_RANKED_SQL = f"""
+    SELECT neighbor_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, neighbor_id) AS r_sem
+    FROM (
+        SELECT v.vec_id AS neighbor_id,
+               ROUND({_DOT_SQL} / (q.nrm * v.nrm), 6) AS cos_sim
+        FROM nv q JOIN nv v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id = {HYBRID_QUERY_VEC}
+        ORDER BY cos_sim DESC, neighbor_id
+        LIMIT {TOP_N}
+    )
+"""
+
+
+@register(
+    "hybrid_search",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {T.tokens_sql('lower(text)')} AS toks
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, dl, tok, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, dl,
+                       unnest(list_filter(toks,
+                           t -> t IN ({_TERMS_IN}))) AS tok
+                FROM dl
+            )
+            GROUP BY doc_id, dl, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        lex AS ({_BM25_RANKED_SQL}),
+        nv AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                       (x, y) -> x + y)) AS nrm
+            FROM embeddings
+        ),
+        sem AS ({_COS_RANKED_SQL}),
+        fused AS (
+            SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                   l.r_lex, s.r_sem,
+                   ROUND(COALESCE(1.0 / ({RRF_K} + l.r_lex), 0)
+                         + COALESCE(1.0 / ({RRF_K} + s.r_sem), 0), 6)
+                       AS rrf_score
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+               CAST(r_sem AS BIGINT) AS r_sem, rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {HYBRID_TOP_N}
+    """,
+    doc=f"Hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    f"2009, k={RRF_K}): the BM25 top-{TOP_N} lexical list fused with "
+    f"the exact-cosine top-{TOP_N} semantic list for a pinned query "
+    "(terms + the vec_id-0 embedding), 1/(k+rank) summed over the "
+    "lists a document appears in — the standard first stage of a "
+    "modern RAG/search stack, where neither signal alone suffices. "
+    "Both lists are the already-registered definitions; the fusion "
+    "join touches only the two top-N lists (bounded), so the hybrid "
+    "layer adds zero corpus-scale work. Docs without an embedding "
+    "simply never enter the semantic list (partial vector coverage, "
+    "the production norm).",
+    tags=("text", "retrieval", "llm", "ann"),
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.operators.ann import _with_norm_df, dot_col
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r_lex"),
+    )
+    nv = _with_norm_df(table(spark, sf_dir, "embeddings"))
+    q = nv.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    sem = (
+        nv.where(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(TOP_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), "doc_id"))
+            .alias("r_sem"),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("r_sem").cast("long").alias("r_sem"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(HYBRID_TOP_N)
+    )

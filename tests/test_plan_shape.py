@@ -40,6 +40,7 @@ _SCALAR_BNLJ_OK = {
     "temporal_split",  # 1-row time-range scalar broadcast
     "value_drift_psi",  # 1-row time-range scalar broadcast
     "source_token_divergence",  # bounded |sources| x vocab smoothing grid
+    "hybrid_search",  # 1-row pinned query-vector broadcast
 }
 
 
