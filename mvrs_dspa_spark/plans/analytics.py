@@ -1403,3 +1403,63 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("js_divergence"))
         .orderBy("source")
     )
+
+
+# --- winsorized robust mean -------------------------------------------------
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(e.value), 6) AS raw_mean,
+               ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 6)
+                   AS winsorized_mean,
+               ROUND(b.lo, 6) AS p05,
+               ROUND(b.hi, 6) AS p95
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY e.event_type, b.lo, b.hi
+        ORDER BY e.event_type
+    """,
+    doc="Winsorized mean per event type (values clipped to the exact "
+    "interpolated p05/p95 before averaging) next to the raw mean — "
+    "the robust location estimate that, with the MAD outlier table, "
+    "completes the robust-stats family: MAD flags the outliers, "
+    "winsorization bounds their influence on reported aggregates. "
+    "Per-type bounds are group-cardinality-bounded (5 rows) and "
+    "broadcast back over the scan; two passes, no corpus-sized "
+    "shuffle beyond the percentile aggregation itself.",
+    tags=("analytics",),
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "raw_mean",
+            "winsorized_mean",
+            F.round("lo", 6).alias("p05"),
+            F.round("hi", 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
