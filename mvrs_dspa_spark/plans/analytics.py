@@ -1463,3 +1463,144 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- A/B experiment analysis ------------------------------------------------
+
+_AB_A, _AB_B = 2_654_435_761 % 2_147_483_647, 0  # Knuth multiplicative
+
+
+@register(
+    "ab_test_report",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   (({_AB_A}::BIGINT * (user_id % 2147483647))
+                        % 2147483647) % 2 AS arm,
+                   SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END) AS revenue,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS converted
+            FROM events
+            GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm,
+                   COUNT(*) AS n,
+                   AVG(revenue) AS mean_rev,
+                   VAR_SAMP(revenue) AS var_rev,
+                   AVG(converted::DOUBLE) AS conv
+            FROM per_user GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+                MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+                MAX(CASE WHEN arm = 0 THEN mean_rev END) AS mean_rev_a,
+                MAX(CASE WHEN arm = 1 THEN mean_rev END) AS mean_rev_b,
+                MAX(CASE WHEN arm = 0 THEN var_rev END) AS var_a,
+                MAX(CASE WHEN arm = 1 THEN var_rev END) AS var_b,
+                MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+                MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+            FROM arms
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(mean_rev_a, 6) AS mean_rev_a,
+               ROUND(mean_rev_b, 6) AS mean_rev_b,
+               ROUND((mean_rev_a - mean_rev_b)
+                     / NULLIF(sqrt(var_a / n_a + var_b / n_b), 0), 6)
+                   AS t_welch,
+               ROUND(conv_a, 6) AS conv_a,
+               ROUND(conv_b, 6) AS conv_b,
+               ROUND((conv_a - conv_b) / NULLIF(sqrt(
+                   ((conv_a * n_a + conv_b * n_b) / (n_a + n_b))
+                   * (1 - (conv_a * n_a + conv_b * n_b) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_conversion
+        FROM wide
+    """,
+    doc="A/B experiment analysis: users deterministically hash-bucketed "
+    "into two arms (multiplicative hash — the same RNG-free assignment "
+    "discipline as the train/test split), then revenue-per-user "
+    "compared with Welch's t statistic and purchase conversion with "
+    "the pooled two-proportion z statistic — the experimentation "
+    "readout every product analytics stack ships. Under the null "
+    "(hash arms are exchangeable) both statistics should be small; "
+    "pinned by pytest. One user_id shuffle to per-user metrics, then "
+    "a 2-row arm aggregate; sqrt is IEEE-exact so the oracle "
+    "hash-matches.",
+    tags=("analytics",),
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        (F.lit(_AB_A) * (F.col("user_id") % F.lit(2_147_483_647)))
+        % F.lit(2_147_483_647)
+    ) % 2
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+        ).alias("revenue"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("converted"),
+    ).withColumn("arm", arm)
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("revenue").alias("mean_rev"),
+        F.var_samp("revenue").alias("var_rev"),
+        F.avg(F.col("converted").cast("double")).alias("conv"),
+    )
+
+    def pick(col, a):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = arms.agg(
+        pick("n", 0).alias("n_a"),
+        pick("n", 1).alias("n_b"),
+        pick("mean_rev", 0).alias("mean_rev_a"),
+        pick("mean_rev", 1).alias("mean_rev_b"),
+        pick("var_rev", 0).alias("var_a"),
+        pick("var_rev", 1).alias("var_b"),
+        pick("conv", 0).alias("conv_a"),
+        pick("conv", 1).alias("conv_b"),
+    )
+    pooled = (
+        F.col("conv_a") * F.col("n_a") + F.col("conv_b") * F.col("n_b")
+    ) / (F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_rev_a", 6).alias("mean_rev_a"),
+        F.round("mean_rev_b", 6).alias("mean_rev_b"),
+        # NULLIF guards: a degenerate arm (zero variance / pooled
+        # conversion of exactly 0 or 1) makes the statistic undefined —
+        # NULL on both engines, never a divide-by-zero (ANSI throws)
+        F.round(
+            (F.col("mean_rev_a") - F.col("mean_rev_b"))
+            / F.nullif(
+                F.sqrt(
+                    F.col("var_a") / F.col("n_a")
+                    + F.col("var_b") / F.col("n_b")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("t_welch"),
+        F.round("conv_a", 6).alias("conv_a"),
+        F.round("conv_b", 6).alias("conv_b"),
+        F.round(
+            (F.col("conv_a") - F.col("conv_b"))
+            / F.nullif(
+                F.sqrt(
+                    pooled
+                    * (1 - pooled)
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z_conversion"),
+    )
