@@ -1604,3 +1604,87 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_conversion"),
     )
+
+
+# --- shuffle-key skew advisor ----------------------------------------------
+
+_SKEW_KEYS = ("user_id", "event_type", "props_k")
+
+
+def _skew_branch_sql(key: str, expr: str) -> str:
+    return f"""
+        SELECT '{key}' AS key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_key_rows,
+               ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_share,
+               ROUND(quantile_cont(c::DOUBLE, 0.99)
+                     / NULLIF(MEDIAN(c::DOUBLE), 0), 6) AS p99_over_med
+        FROM (
+            SELECT {expr} AS k, COUNT(*) AS c
+            FROM events WHERE {expr} IS NOT NULL GROUP BY 1
+        )
+    """
+
+
+@register(
+    "join_key_skew_report",
+    oracle="\nUNION ALL\n".join(
+        _skew_branch_sql(k, e)
+        for k, e in (
+            ("user_id", "user_id::VARCHAR"),
+            ("event_type", "event_type"),
+            (
+                "props_k",
+                "NULLIF(regexp_extract(props,"
+                " '\"k\":\\s*\"?([^,}\"]+)\"?', 1), '')",
+            ),
+        )
+    )
+    + "\nORDER BY key_col",
+    doc="Shuffle-key skew advisor: for each candidate join/aggregation "
+    "key on events — distinct count, heaviest key's row count and "
+    "share, and the p99/median frequency ratio. This is the "
+    "diagnostic that DECIDES the scale strategy the engine already "
+    "implements: near-uniform keys (ratio ~1) shuffle plainly, a fat "
+    "head (high top_share) routes to salted aggregation/join "
+    "(operators/skew.py) or AQE skew-split. Per-key branches are "
+    "group-cardinality-bounded aggregates unioned into one report.",
+    tags=("analytics", "validation", "scale"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.tables import props_k_col
+
+    ev = table(spark, sf_dir, "events")
+    branches = []
+    for key, col in (
+        ("user_id", F.col("user_id").cast("string")),
+        ("event_type", F.col("event_type")),
+        ("props_k", props_k_col()),
+    ):
+        counts = (
+            ev.select(col.alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        branches.append(
+            counts.agg(
+                F.lit(key).alias("key_col"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_key_rows"),
+                F.round(
+                    F.max("c").cast("double") / F.sum("c"), 6
+                ).alias("top_share"),
+                F.round(
+                    F.percentile(F.col("c").cast("double"), F.lit(0.99))
+                    / F.nullif(
+                        F.median(F.col("c").cast("double")), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("p99_over_med"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("key_col")

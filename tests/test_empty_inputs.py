@@ -25,6 +25,7 @@ _NONEMPTY_ON_EMPTY = {
     "hourly_value_autocorrelation": 2,  # one row per lag, n=0/NULL r
     "multi_step_funnel": 3,  # one zero-count row per funnel step
     "ab_test_report": 1,  # scalar aggregate: one all-NULL summary row
+    "join_key_skew_report": 3,  # one scalar summary row per key column
     "q14_promo_revenue_share": 1,
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,
