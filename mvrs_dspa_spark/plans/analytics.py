@@ -1688,3 +1688,56 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionAll(b)
     return out.orderBy("key_col")
+
+
+# --- activity concentration (Gini) -----------------------------------------
+
+
+@register(
+    "activity_gini",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT c,
+                   ROW_NUMBER() OVER (ORDER BY c, user_id) AS i,
+                   COUNT(*) OVER () AS n,
+                   SUM(c) OVER () AS tot
+            FROM per_user
+        )
+        SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_users,
+               CAST(ANY_VALUE(tot) AS BIGINT) AS n_events,
+               ROUND(2.0 * SUM(i * c) / (ANY_VALUE(n) * ANY_VALUE(tot))
+                     - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+        FROM ranked
+    """,
+    doc="Gini coefficient of per-user event-count concentration (the "
+    "sorted-rank identity G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n): 0 = "
+    "perfectly even activity, ->1 = a few users generate everything. "
+    "The population-level companion of the per-key skew advisor — "
+    "skew tells you the heaviest KEY, Gini tells you how heavy the "
+    "whole tail is (whether salting one key suffices or the "
+    "distribution itself is pathological). The corpus-sized work is "
+    "one user_id aggregation; ranking runs on the bounded per-user "
+    "counts.",
+    tags=("analytics", "scale"),
+)
+def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_user.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "user_id")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("n_events"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("c"))
+            / (F.count(F.lit(1)) * F.sum("c"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

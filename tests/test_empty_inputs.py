@@ -26,6 +26,7 @@ _NONEMPTY_ON_EMPTY = {
     "multi_step_funnel": 3,  # one zero-count row per funnel step
     "ab_test_report": 1,  # scalar aggregate: one all-NULL summary row
     "join_key_skew_report": 3,  # one scalar summary row per key column
+    "activity_gini": 1,  # scalar aggregate: one summary row
     "q14_promo_revenue_share": 1,
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,
