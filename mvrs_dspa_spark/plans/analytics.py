@@ -1741,3 +1741,65 @@ def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- inter-arrival time profile --------------------------------------------
+
+
+@register(
+    "interarrival_profile",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id
+                   )) / 1000000.0 AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               ROUND(MEDIAN(gap_s), 6) AS p50_s,
+               ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+               ROUND(AVG(gap_s), 6) AS mean_s
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Inter-arrival time profile: per event type, the distribution "
+    "(p50/p90/mean seconds) of gaps between a user's consecutive "
+    "events of that type — the cadence diagnostic behind session-gap "
+    "and window-size choices (a 30 min session gap or 6 h window is "
+    "only right relative to these numbers). One (user,type) window "
+    "pass for LAG, then an exact-percentile aggregate per type; the "
+    "same cross-engine interpolation contract as 10w.",
+    tags=("analytics", "temporal", "windows"),
+)
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    ).select(
+        "event_type",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w)) / 1_000_000.0
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.where(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.median("gap_s"), 6).alias("p50_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_s"),
+            F.round(F.avg("gap_s"), 6).alias("mean_s"),
+        )
+        .orderBy("event_type")
+    )
