@@ -1,0 +1,104 @@
+"""Streaming heavy hitters over the count-min sketch (SURVEY §2e 29v).
+
+The readout layer on top of the streaming CMS (29s): a foreachBatch
+job that maintains the D x W counter grid incrementally — each
+micro-batch contributes its own (j, bucket) partial grid, computed
+distributed and merged cell-wise into the running sketch (the
+mergeability property the batch==stream grid test already pins) —
+plus the running candidate set (tokens seen so far, vocabulary-
+bounded). The final top-K by sketch estimate must equal the batch
+`cms_heavy_hitters` estimates exactly: same hashes, same grid, same
+candidates.
+
+Why foreachBatch rather than a second streaming aggregate: the
+heavy-hitter readout needs the candidates joined against the FINAL
+grid, which is a batch computation over two bounded artifacts — the
+same pattern as the streaming k-means model update (kmeans.py) and
+the trending top-K job (trending.py). Driver state is the D*W grid
+(a few KiB) and the candidate vocabulary — never the stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.functions import text as T
+from mvrs_dspa_spark.operators.sketches import (
+    CMS_D,
+    CMS_PARAMS,
+    CMS_TOPK,
+    CMS_W,
+    _bucket_cols,
+)
+
+
+class HeavyHitterMonitor:
+    """Accumulates the CMS grid + candidate set across micro-batches."""
+
+    def __init__(self) -> None:
+        self.grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        self.seen: set[str] = set()
+        self.n_batches = 0
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(T.tokens_col(F.col("text"))).alias("t")
+        )
+        code = H.str_code_col(F.col("t"))
+        cells = (
+            toks.select(
+                F.posexplode(F.array(*_bucket_cols(code))).alias(
+                    "j", "bucket"
+                )
+            )
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # bounded: <= D*W rows per batch
+        )
+        for r in cells:
+            self.grid[r.j, r.bucket] += r.c
+        # candidate set: vocabulary-bounded
+        for r in toks.select("t").distinct().collect():
+            self.seen.add(r.t)
+        self.n_batches += 1
+
+    def estimate(self, token: str) -> int:
+        code = (
+            int.from_bytes(
+                __import__("hashlib")
+                .md5(token.encode("utf-8"))
+                .digest()[:4],
+                "big",
+            )
+            % H.P
+        )
+        return int(
+            min(
+                self.grid[j, (a * (code % H.P) + b) % H.P % CMS_W]
+                for j, (a, b) in enumerate(CMS_PARAMS)
+            )
+        )
+
+    def top_k(self, k: int = CMS_TOPK) -> list[tuple[str, int]]:
+        scored = [(t, self.estimate(t)) for t in sorted(self.seen)]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+
+def run_heavy_hitter_stream(
+    spark: SparkSession, source: DataFrame, checkpoint: str
+) -> HeavyHitterMonitor:
+    """Drive a bounded document stream to completion, returning the
+    monitor with the final grid + candidates."""
+    mon = HeavyHitterMonitor()
+    q = (
+        source.writeStream.foreachBatch(mon.update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return mon
