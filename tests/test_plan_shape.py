@@ -41,6 +41,7 @@ _SCALAR_BNLJ_OK = {
     "value_drift_psi",  # 1-row time-range scalar broadcast
     "source_token_divergence",  # bounded |sources| x vocab smoothing grid
     "hybrid_search",  # 1-row pinned query-vector broadcast
+    "value_drift_ks",  # 1-row time-range scalar broadcast
 }
 
 
