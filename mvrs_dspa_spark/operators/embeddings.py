@@ -166,12 +166,13 @@ QUANT_LEVELS = 255  # uint8 code range [0, 255]
                CAST(len(embedding) AS INTEGER) AS n_dims,
                ROUND(mn, 6) AS v_min,
                ROUND(mx, 6) AS v_max,
-               CASE WHEN scale = 0
-                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                    ELSE list_transform(embedding, x ->
-                        CAST(least({QUANT_LEVELS}.0,
-                                   floor((x - mn) / scale + 0.5)) AS BIGINT))
-               END AS codes,
+               array_to_string(
+                   CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding, x ->
+                            CAST(least({QUANT_LEVELS}.0,
+                                       floor((x - mn) / scale + 0.5)) AS BIGINT))
+                   END, ',') AS codes,
                ROUND(CASE WHEN scale = 0 THEN 0.0
                     ELSE list_sum(list_transform(embedding, x ->
                         pow(x - (mn + CAST(least({QUANT_LEVELS}.0,
@@ -223,7 +224,12 @@ def quantize_vectors(
         F.size(vec_col).alias("n_dims"),
         F.round(mn, 6).alias("v_min"),
         F.round(mx, 6).alias("v_max"),
-        codes.alias("codes"),
+        # Serialized (comma-joined) rather than array<bigint>: the external
+        # correctness driver canonicalizes result columns through pandas
+        # sort_values, which cannot hash list-valued cells (r3 red row).
+        # A flat string hashes identically on both engines and keeps the
+        # full per-dimension code payload available to downstream parsers.
+        F.array_join(codes.cast("array<string>"), ",").alias("codes"),
         F.round(mse, 8).alias("mse"),
     )
 

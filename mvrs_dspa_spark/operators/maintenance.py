@@ -145,13 +145,14 @@ def backfill_partition_overwrite(
     would instead DELETE every partition in the table — the classic
     footgun this helper exists to pin down.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Write-scoped option (Spark 2.4+), NOT the session-global conf:
+    # mutating spark.sql.sources.partitionOverwriteMode around the write
+    # would leak dynamic mode into concurrent writers in the same
+    # session and race on the save/restore. The per-write option has
+    # identical semantics with no shared-state window.
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1044,7 +1044,15 @@ def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("ad"),
     )
     mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
-    z = F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad")
+    # NULLIF the denominator so a constant-valued type (MAD = 0) yields
+    # NULL z instead of an ANSI DIVIDE_BY_ZERO: the mad>0 guard below
+    # shares a conjunct with the division, and predicate reordering
+    # must not be able to evaluate the division first.
+    z = (
+        F.lit(MAD_CONSISTENCY)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .where((F.col("mad") > 0) & (F.abs(z) > MAD_Z_CUTOFF))
@@ -1836,11 +1844,11 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(p.c0) OVER (
                        PARTITION BY p.event_type ORDER BY p.value
                        ROWS UNBOUNDED PRECEDING
-                   )::DOUBLE / t.n0 AS f0,
+                   )::DOUBLE / NULLIF(t.n0, 0) AS f0,
                    SUM(p.c1) OVER (
                        PARTITION BY p.event_type ORDER BY p.value
                        ROWS UNBOUNDED PRECEDING
-                   )::DOUBLE / t.n1 AS f1,
+                   )::DOUBLE / NULLIF(t.n1, 0) AS f1,
                    t.n0, t.n1
             FROM pts p JOIN totals t USING (event_type)
         )
@@ -1850,7 +1858,7 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(MAX(ABS(f0 - f1)), 6) AS ks_stat,
                ROUND(MAX(ABS(f0 - f1))
                      / sqrt((ANY_VALUE(n0) + ANY_VALUE(n1))::DOUBLE
-                            / (ANY_VALUE(n0) * ANY_VALUE(n1))), 6)
+                            / NULLIF(ANY_VALUE(n0) * ANY_VALUE(n1), 0)), 6)
                    AS ks_scaled
         FROM ecdf
         GROUP BY event_type
@@ -1895,10 +1903,21 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULLIF every denominator: a type whose values fall entirely in one
+    # half of the time range (a newly-appearing or vanished type — the
+    # core drift scenario) has n0 or n1 = 0, and ANSI mode would throw
+    # DIVIDE_BY_ZERO. NULL ECDF terms are skipped by MAX, matching the
+    # oracle's NULLIF exactly: the one-sided type yields NULL ks columns.
     ecdf = pts.join(totals, "event_type").select(
         "event_type",
-        (F.sum("c0").over(w).cast("double") / F.col("n0")).alias("f0"),
-        (F.sum("c1").over(w).cast("double") / F.col("n1")).alias("f1"),
+        (
+            F.sum("c0").over(w).cast("double")
+            / F.nullif(F.col("n0"), F.lit(0))
+        ).alias("f0"),
+        (
+            F.sum("c1").over(w).cast("double")
+            / F.nullif(F.col("n1"), F.lit(0))
+        ).alias("f1"),
         "n0",
         "n1",
     )
@@ -1913,7 +1932,7 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d
                 / F.sqrt(
                     (F.any_value("n0") + F.any_value("n1")).cast("double")
-                    / (F.any_value("n0") * F.any_value("n1"))
+                    / F.nullif(F.any_value("n0") * F.any_value("n1"), F.lit(0))
                 ),
                 6,
             ).alias("ks_scaled"),

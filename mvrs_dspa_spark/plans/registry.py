@@ -54,59 +54,48 @@ def register(
 # and queries first registered this round go first; stable r2-green queries
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified in rounds 1-2 (26) --
-    "similar_users_jaccard",
-    "similar_users_minhash_lsh",
-    "user_item_sets",
-    "user_sessions",
-    "sliding_activity_stats",
-    "hourly_event_rollup",
-    "text_features",
-    "lang_id",
-    "doc_quality",
-    "token_counts",
-    "doc_fingerprint",
-    "quality_percentile_filter",
-    "pack_sequences",
-    "train_test_split",
-    "stratified_sample",
-    "source_quota_cap",
-    "lang_mix_temperature",
-    "shard_manifest",
-    "training_corpus_manifest",
-    "semantic_dedup",
-    "constraint_violations",
-    "reply_tree_roots",
-    "reply_tree_stats",
-    "salted_event_rollup",
-    "error_purchase_precursor_join",
-    "media_features",
-    # -- first registered in round 3 (12) --
-    "length_bucketed_batches",
-    "doc_unigram_logprob",
-    "lang_id_confusion",
-    "session_conversion",
-    "event_cube_summary",
-    "user_event_type_pivot",
-    "user_journey_paths",
-    "event_type_transitions",
-    "event_value_histogram",
-    "user_hourly_gapfill",
-    "retention_cohorts",
-    "hourly_value_momentum",
-    # -- first registered in round 3, cont. (12) --
-    "bm25_search",
-    "tfidf_top_terms",
+    # -- round-4 rotation: the 35 queries never driver-verified in
+    # r1-r3 (all late round-3 additions), plus embedding_quantize
+    # whose codes column was re-serialized this round after the r3
+    # driver FAIL. Stable hash-green queries rotate to the back. --
     "embedding_quantize",
-    "pca_embeddings_projection",
-    "event_value_regression",
-    "source_token_entropy",
-    "weighted_sample_topk",
-    "token_coverage_curve",
-    "dedup_modality_agreement",
-    "recommendation_agreement",
-    "fuzzy_name_pairs",
-    "item_cooccurrence_triangles",
+    "ab_test_report",
+    "activity_gini",
+    "ann_ivf_pq",
+    "ann_lsh_banded",
+    "ann_quality_report",
+    "bpe_merge_pairs",
+    "cms_heavy_hitters",
+    "code_switch_report",
+    "corpus_mixture_report",
+    "cross_source_dup_matrix",
+    "doc_bigram_logprob",
+    "embedding_pq",
+    "event_value_equidepth_histogram",
+    "events_profile",
+    "hourly_changepoint_cusum",
+    "hourly_value_autocorrelation",
+    "hybrid_search",
+    "incremental_hourly_rollup",
+    "interarrival_profile",
+    "item_pagerank",
+    "join_key_skew_report",
+    "k_anonymity_report",
+    "mad_value_outliers",
+    "minhash_calibration",
+    "multi_step_funnel",
+    "negative_samples",
+    "prefix_jaccard_join",
+    "props_key_profile",
+    "session_attribution",
+    "source_token_divergence",
+    "temporal_split",
+    "user_decayed_activity",
+    "value_drift_ks",
+    "value_drift_psi",
+    "winsorized_value_stats",
+    # -- round-4 new registrations fill the remaining slots (added as
+    # they land, keeping the first-50 window on first-time names) --
 )
 
 

@@ -17,11 +17,16 @@ from mvrs_dspa_spark.tables import TABLE_NAMES
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     conn = duckdb.connect()
     for name in TABLE_NAMES:
-        conn.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        # tolerate partial directories: scenario tests synthesize only
+        # the table(s) a query reads (e.g. a degenerate events table)
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            conn.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
     return conn
 
 

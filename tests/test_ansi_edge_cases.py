@@ -1,0 +1,97 @@
+"""ANSI-mode divide-by-zero edge cases (r3 ADVICE).
+
+Spark 4.x runs ANSI mode by default, so any unguarded division whose
+denominator CAN be zero on real data is a latent crash. These tests
+construct exactly those degenerate inputs:
+
+- `value_drift_ks`: an event type whose values fall entirely in one
+  half of the time range (a newly-appearing type — the core drift
+  scenario) -> n0 or n1 = 0 for that type. The query must return NULL
+  ks columns for it, matching the DuckDB oracle, not throw.
+- `mad_value_outliers`: an event type with constant values -> MAD = 0.
+  The guard must not depend on conjunct evaluation order.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from mvrs_dspa_spark.plans.analytics import mad_value_outliers, value_drift_ks
+from tests.oracle_harness import compare
+
+
+def _write_events(spark, tmp_path, rows):
+    # single-file parquet (pyarrow) so the DuckDB side of the harness
+    # can read the same path the Spark side does
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _ts(hour: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, hour, 0, 0)
+
+
+@pytest.fixture()
+def one_sided_events(spark, tmp_path):
+    """'click' spans both halves; 'purchase' exists ONLY in the second
+    half of the time range (n0 = 0 for it)."""
+    rows = [(i, _ts(h), 1, "click", float(10 + i), "{}")
+            for i, h in enumerate([0, 2, 4, 20, 22, 23])]
+    rows += [(100 + i, _ts(h), 2, "purchase", float(50 + i), "{}")
+             for i, h in enumerate([18, 21, 23])]
+    return _write_events(spark, tmp_path, rows)
+
+
+def test_value_drift_ks_one_sided_type_yields_null(spark, one_sided_events):
+    out = {r.event_type: r for r in
+           value_drift_ks(spark, one_sided_events).collect()}
+    assert out["purchase"].n_ref == 0
+    assert out["purchase"].ks_stat is None
+    assert out["purchase"].ks_scaled is None
+    assert out["click"].ks_stat is not None
+
+
+def test_value_drift_ks_one_sided_oracle_parity(spark, one_sided_events):
+    compare(spark, one_sided_events, "value_drift_ks")
+
+
+@pytest.fixture()
+def constant_value_events(spark, tmp_path):
+    """'ping' has constant values (MAD = 0); 'click' has one extreme
+    outlier against a tight cluster."""
+    rows = [(i, _ts(i % 24), 1, "ping", 7.0, "{}") for i in range(20)]
+    rows += [(200 + i, _ts(i % 24), 2, "click", v, "{}")
+             for i, v in enumerate([10.0, 10.1, 9.9, 10.0, 10.05,
+                                    9.95, 10.0, 500.0])]
+    return _write_events(spark, tmp_path, rows)
+
+
+def test_mad_outliers_constant_type_does_not_throw(
+    spark, constant_value_events
+):
+    rows = mad_value_outliers(spark, constant_value_events).collect()
+    # constant 'ping' contributes nothing; the click outlier is flagged
+    assert all(r.event_type == "click" for r in rows)
+    assert any(r.value == 500.0 for r in rows)
+
+
+def test_mad_outliers_constant_type_oracle_parity(
+    spark, constant_value_events
+):
+    compare(spark, constant_value_events, "mad_value_outliers")

@@ -87,11 +87,13 @@ def test_quantize_codes_bounded_and_error_within_half_step(spark):
         "vec_id int, embedding array<double>",
     )
     out = {r["vec_id"]: r for r in quantize_vectors(df).collect()}
+    # codes are serialized comma-joined (driver-hashable flat column)
+    codes = {v: [int(c) for c in r["codes"].split(",")] for v, r in out.items()}
     for vid, r in out.items():
-        assert all(0 <= c <= QUANT_LEVELS for c in r["codes"])
+        assert all(0 <= c <= QUANT_LEVELS for c in codes[vid])
         assert r["n_dims"] == 4
     # constant vector: all codes 0, exact reconstruction
-    assert out[3]["codes"] == [0, 0, 0, 0]
+    assert codes[3] == [0, 0, 0, 0]
     assert out[3]["mse"] == 0.0
     assert out[3]["v_min"] == out[3]["v_max"]
     # quantization error per element is at most half a step -> mse <=
@@ -101,8 +103,8 @@ def test_quantize_codes_bounded_and_error_within_half_step(spark):
         scale = (r["v_max"] - r["v_min"]) / QUANT_LEVELS
         assert r["mse"] <= (scale / 2) ** 2 + 1e-12
     # endpoints map to the code range ends
-    assert out[1]["codes"][0] == 0
-    assert out[1]["codes"][-1] == QUANT_LEVELS
+    assert codes[1][0] == 0
+    assert codes[1][-1] == QUANT_LEVELS
 
 
 def test_quantize_roundtrip_close(spark, sf_small):

@@ -31,6 +31,26 @@ def duck():
     return conn
 
 
+def test_no_nested_oracle_columns(duck):
+    """The driver canonicalizes results through pandas sort_values,
+    which cannot hash list/struct/map cells (round-3 lost
+    embedding_quantize to a `codes array<bigint>` column). Gate the
+    whole class: every oracle-checked query must emit flat scalar
+    columns only — serialize nested payloads (array_join / to_json)
+    on BOTH engines instead."""
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        desc = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) q").fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if "[]" in typ or typ.upper().startswith(("STRUCT", "MAP", "LIST"))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles emit nested (unhashable) columns: {offenders}"
+
+
 def test_no_hugeint_oracle_columns(duck):
     offenders = {}
     for name, sql in entry.oracle_sql().items():

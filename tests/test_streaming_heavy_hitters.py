@@ -53,3 +53,24 @@ def test_streaming_heavy_hitters_match_batch(spark, tmp_path):
     batch = S.cms_heavy_hitters(spark, SF).collect()
     want = [(r.token, r.est_count) for r in batch]
     assert mon.top_k(S.CMS_TOPK) == want
+
+
+def test_candidate_set_bounded_on_large_vocabulary(spark, tmp_path):
+    """A batch with a vocabulary far larger than CAND_CAP must not
+    collect the whole vocabulary to the driver: candidates per batch
+    are capped, and the per-batch top tokens still make the cut."""
+    from mvrs_dspa_spark.streaming.heavy_hitters_stream import (
+        CAND_CAP,
+        HeavyHitterMonitor,
+    )
+
+    # 4000 distinct singleton tokens + 5 genuinely heavy tokens
+    docs = [(i, f"tok{i:05d}") for i in range(4000)]
+    docs += [(4000 + i, " ".join(["heavy%d" % (i % 5)] * 3)) for i in range(50)]
+    batch = spark.createDataFrame(docs, DOC_SCHEMA)
+
+    mon = HeavyHitterMonitor()
+    mon.update(batch, 0)
+    assert len(mon.seen) <= CAND_CAP
+    for h in range(5):
+        assert f"heavy{h}" in mon.seen
