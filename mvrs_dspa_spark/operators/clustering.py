@@ -24,12 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.config import settings
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import props_k_col, table
 
-K = 8
-ITERS = 8
-UA_K = 4
+K = settings.clustering.embedding_k
+ITERS = settings.clustering.kmeans_iters
+UA_K = settings.clustering.default_k  # ref: activity-detection.default-k
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 # Below this many rows the Lloyd loop runs driver-side on a collected

@@ -20,17 +20,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.config import settings
 from mvrs_dspa_spark.functions import hashing as H
 from mvrs_dspa_spark.functions import minhash as MH
 from mvrs_dspa_spark.functions import text as T
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table
 
-N_HASHES = 32
-BANDS = 16
+# Thresholds from the typed settings object (Settings.scala analog);
+# oracle SQL strings below bake the same values -> override-safe.
+N_HASHES = settings.dedup.minhash_num_hashes
+BANDS = settings.dedup.lsh_bands
 SEED = 2719
-NEAR_DUP_SIM = 0.5
-JACCARD_THRESHOLD = 0.3
+NEAR_DUP_SIM = settings.dedup.near_dup_similarity
+JACCARD_THRESHOLD = settings.dedup.ngram_jaccard_threshold
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 HAMMING_MAX = 3  # 4 bands over 32 bits: any pair with ham<=3 shares a band

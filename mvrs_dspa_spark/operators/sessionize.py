@@ -13,10 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.config import settings
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table
 
-GAP_MINUTES = 30
+GAP_MINUTES = settings.sessions.gap_minutes  # ref-analog tunable
 GAP_US = GAP_MINUTES * 60_000_000
 
 

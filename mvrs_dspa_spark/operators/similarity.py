@@ -23,17 +23,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.config import settings
 from mvrs_dspa_spark.functions import hashing as H
 from mvrs_dspa_spark.functions import minhash as MH
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import PROPS_K_PATTERN, table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-TOP_N = 5          # ref: max-recommendation-count = 5
-MIN_SIM = 0.1      # ref: min-recommendation-similarity = 0.1
-ACTIVE_DAYS = 7    # ref: active-users-timeout = 14 days (scaled to 30-day data)
-N_HASHES = 32
-BANDS = 16
+# All five from the typed settings object (Settings.scala analog);
+# the oracle SQL below bakes the same values, so overrides keep the
+# two engines in lockstep.
+TOP_N = settings.recommendation.max_recommendation_count
+MIN_SIM = settings.recommendation.min_recommendation_similarity
+ACTIVE_DAYS = settings.recommendation.active_users_timeout_days
+N_HASHES = settings.recommendation.minhash_num_hashes
+BANDS = settings.recommendation.lsh_bands
 SEED = 1913
 
 _ETYPE_IDX_SQL = (

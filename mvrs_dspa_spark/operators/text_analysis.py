@@ -721,3 +721,179 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- collocation extraction: adjacent-bigram PMI ----------------------------
+
+PMI_MIN_COUNT = 5   # bigram support floor (Church & Hanks 1990 practice)
+PMI_TOP = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT {T.tokens_sql('lower(text)')} AS toks FROM documents
+        ),
+        big AS (
+            SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM toks WHERE len(toks) >= 2
+        ),
+        uni AS (
+            SELECT unnest(toks) AS tok FROM toks
+        ),
+        uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+        n_uni AS (SELECT COUNT(*) AS nu FROM uni),
+        bc AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+            HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        ),
+        n_big AS (SELECT COUNT(*) AS nb FROM (SELECT * FROM big))
+        SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS pair_count,
+               ROUND(log2((b.c12::DOUBLE / nb)
+                          / ((u1.c::DOUBLE / nu) * (u2.c::DOUBLE / nu))), 6)
+                   AS pmi
+        FROM bc b
+        JOIN uc u1 ON b.w1 = u1.tok
+        JOIN uc u2 ON b.w2 = u2.tok
+        CROSS JOIN n_uni CROSS JOIN n_big
+        ORDER BY pmi DESC, w1, w2
+        LIMIT {PMI_TOP}
+    """,
+    doc="Adjacent-bigram pointwise mutual information (Church & Hanks "
+    "1990 collocation extraction): PMI = log2(p(w1,w2)/(p(w1)p(w2))) "
+    f"over consecutive token pairs with support >= {PMI_MIN_COUNT}, "
+    f"top {PMI_TOP}. Scale posture: bigrams come from one LINEAR "
+    "zip_with(slice, slice) pass (the dedup shingle pattern — never "
+    "the O(tokens^2) element_at form); both count tables are "
+    "vocabulary-bounded, and the support filter runs BEFORE the "
+    "unigram joins so the Zipf tail never reaches the shuffle. The "
+    "first step of phrase-vocabulary induction (word2vec phrases, "
+    "tokenizer merge seeding).",
+    tags=("text", "llm"),
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select(T.tokens_col(F.lower(F.col("text"))).alias("toks"))
+    n = F.greatest(F.size("toks") - 1, F.lit(0))
+    pair = F.explode(
+        F.zip_with(
+            F.slice("toks", F.lit(1), n),
+            F.slice("toks", F.lit(2), n),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+    )
+    big = toks.select(pair.alias("p")).select("p.w1", "p.w2")
+    uni = toks.select(F.explode("toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("nu"))
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    n_big = big.agg(F.count(F.lit(1)).alias("nb"))
+    pmi = F.log2(
+        (F.col("c12").cast("double") / F.col("nb"))
+        / (
+            (F.col("c1").cast("double") / F.col("nu"))
+            * (F.col("c2").cast("double") / F.col("nu"))
+        )
+    )
+    return (
+        bc.join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+# --- character-class script profile ----------------------------------------
+
+
+def _class_count(text: Column, pattern: str) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+@register(
+    "script_profile",
+    oracle="""
+        SELECT doc_id,
+               n_chars,
+               ROUND(n_letter / NULLIF(n_chars, 0)::DOUBLE, 6) AS letter_ratio,
+               ROUND(n_digit / NULLIF(n_chars, 0)::DOUBLE, 6) AS digit_ratio,
+               ROUND(n_space / NULLIF(n_chars, 0)::DOUBLE, 6) AS space_ratio,
+               ROUND((n_chars - n_letter - n_digit - n_space)
+                     / NULLIF(n_chars, 0)::DOUBLE, 6) AS other_ratio,
+               CASE
+                   WHEN n_chars = 0 THEN 'empty'
+                   WHEN n_letter >= n_digit AND n_letter >= n_space
+                        AND n_letter >= (n_chars - n_letter - n_digit - n_space)
+                       THEN 'letter'
+                   WHEN n_digit >= n_space
+                        AND n_digit >= (n_chars - n_letter - n_digit - n_space)
+                       THEN 'digit'
+                   WHEN n_space >= (n_chars - n_letter - n_digit - n_space)
+                       THEN 'space'
+                   ELSE 'other'
+               END AS dominant
+        FROM (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letter,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_space
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    doc="Per-document character-class profile: letter/digit/space/other "
+    "ratios plus the dominant class (fixed letter>digit>space>other "
+    "tiebreak). The script-level complement of lang_id — catches "
+    "OCR noise, markup blobs, and number dumps that token heuristics "
+    "miss. Pure projection over the scan (regexp counts, no "
+    "shuffle); the 'other' class is DERIVED (n - letter - digit - "
+    "space) so the two engines can never disagree on an exotic "
+    "character class.",
+    tags=("text", "llm"),
+)
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counted = d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        _class_count(t, "[A-Za-z]").alias("n_letter"),
+        _class_count(t, "[0-9]").alias("n_digit"),
+        _class_count(t, "[ \\t\\n\\r]").alias("n_space"),
+    )
+    n, le, di, sp = (F.col(c) for c in ("n_chars", "n_letter", "n_digit", "n_space"))
+    ot = n - le - di - sp
+    denom = F.nullif(n, F.lit(0)).cast("double")
+    dominant = (
+        F.when(n == 0, F.lit("empty"))
+        .when((le >= di) & (le >= sp) & (le >= ot), F.lit("letter"))
+        .when((di >= sp) & (di >= ot), F.lit("digit"))
+        .when(sp >= ot, F.lit("space"))
+        .otherwise(F.lit("other"))
+    )
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        F.round(le / denom, 6).alias("letter_ratio"),
+        F.round(di / denom, 6).alias("digit_ratio"),
+        F.round(sp / denom, 6).alias("space_ratio"),
+        F.round(ot / denom, 6).alias("other_ratio"),
+        dominant.alias("dominant"),
+    ).orderBy("doc_id")

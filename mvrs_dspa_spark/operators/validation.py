@@ -297,3 +297,126 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("group_size") < K_ANON)
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+# --- snapshot reconciliation diff ------------------------------------------
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two keyed snapshots: added / removed / changed.
+
+    The data-reconciliation primitive behind migration sign-offs and
+    pipeline-regression checks ("does v2 of the job produce the same
+    table?"). One full outer join on the key — both sides shuffle once
+    on the same key, so at 100 TB this is join-key-partitioned work
+    with no driver involvement; `changed` compares via null-safe
+    equality so NULL -> value transitions are caught.
+    """
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    )
+    joined = o.join(n, key_cols, "full")
+    in_old = F.col(f"old_{compare_cols[0]}").isNotNull()
+    in_new = F.col(f"new_{compare_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.withColumn("status", status)
+
+
+@register(
+    "events_snapshot_diff",
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   count_if(epoch_us(ts) <
+                       (SELECT mn + (mx - mn) // 2 FROM rng)) AS old_n,
+                   count_if(epoch_us(ts) >=
+                       (SELECT mn + (mx - mn) // 2 FROM rng)) AS new_n,
+                   ROUND(SUM(CASE WHEN epoch_us(ts) <
+                       (SELECT mn + (mx - mn) // 2 FROM rng)
+                       THEN value END), 2) AS old_value,
+                   ROUND(SUM(CASE WHEN epoch_us(ts) >=
+                       (SELECT mn + (mx - mn) // 2 FROM rng)
+                       THEN value END), 2) AS new_value
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN old_n = 0 THEN 'added'
+                    WHEN new_n = 0 THEN 'removed'
+                    ELSE 'changed' END AS status,
+               CAST(old_n AS BIGINT) AS old_n,
+               CAST(new_n AS BIGINT) AS new_n,
+               old_value, new_value
+        FROM per_user
+        WHERE old_n <> new_n
+           OR old_value IS DISTINCT FROM new_value
+        ORDER BY user_id
+    """,
+    doc="Snapshot reconciliation: per-user activity profile of the "
+    "second half of the time range diffed against the first half — "
+    "users added / removed / changed between the two snapshots, with "
+    "both profiles side by side. Computed as ONE conditional "
+    "aggregation over a single scan (count_if/sum-case per period), "
+    "NOT a self-join of two snapshot subqueries: half the reads, one "
+    "shuffle, and the full-outer-join semantics fall out of the "
+    "period counts. The generic two-frame form is `table_diff` "
+    "(full outer join on the key, null-safe column compare).",
+    tags=("validation", "relational"),
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    labeled = ev.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2")
+        ).alias("is_old"),
+    )
+    per_user = labeled.groupBy("user_id").agg(
+        F.count_if("is_old").alias("old_n"),
+        F.count_if(~F.col("is_old")).alias("new_n"),
+        F.round(F.sum(F.when(F.col("is_old"), F.col("value"))), 2).alias(
+            "old_value"
+        ),
+        F.round(F.sum(F.when(~F.col("is_old"), F.col("value"))), 2).alias(
+            "new_value"
+        ),
+    )
+    status = (
+        F.when(F.col("old_n") == 0, F.lit("added"))
+        .when(F.col("new_n") == 0, F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        per_user.where(
+            (F.col("old_n") != F.col("new_n"))
+            | ~F.col("old_value").eqNullSafe(F.col("new_value"))
+        )
+        .select("user_id", status.alias("status"), "old_n", "new_n",
+                "old_value", "new_value")
+        .orderBy("user_id")
+    )

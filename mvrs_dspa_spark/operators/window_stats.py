@@ -25,15 +25,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.config import settings
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import props_k_col, props_k_sql, table
 
 HOUR_US = 3_600_000_000
 
-# 6-hour window, 1-hour slide (reference ratio 12h/30min scaled to the
-# 30-day synthetic event stream; explode factor stays bounded).
-SIZE_US = 6 * HOUR_US
-SLIDE_US = HOUR_US
+# 6-hour window, 1-hour slide by default (reference ratio 12h/30min
+# scaled to the 30-day synthetic event stream; explode factor stays
+# bounded). Tunable via settings.activity (Settings.scala analog) —
+# both the Spark plans and the oracle SQL bake the same values.
+SIZE_US = settings.activity.window_size_hours * HOUR_US
+SLIDE_US = settings.activity.window_slide_hours * HOUR_US
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 

@@ -1939,3 +1939,163 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- RFM customer segmentation ---------------------------------------------
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile edges
+
+
+@register(
+    "user_rfm_segments",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST((SELECT MAX(epoch_us(ts)) // 86400000000 FROM events)
+                        - MAX(epoch_us(ts)) // 86400000000 AS BIGINT)
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(SUM(value), 2) AS monetary
+            FROM events GROUP BY user_id
+        ),
+        edges AS (
+            SELECT quantile_cont(recency_days, [{", ".join(map(str, RFM_QS))}]) AS re,
+                   quantile_cont(frequency,   [{", ".join(map(str, RFM_QS))}]) AS fe,
+                   quantile_cont(monetary,    [{", ".join(map(str, RFM_QS))}]) AS me
+            FROM per_user
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(5 - ((recency_days > re[1])::INT + (recency_days > re[2])::INT
+                       + (recency_days > re[3])::INT + (recency_days > re[4])::INT)
+                    AS INT) AS r_score,
+               CAST(1 + ((frequency > fe[1])::INT + (frequency > fe[2])::INT
+                       + (frequency > fe[3])::INT + (frequency > fe[4])::INT)
+                    AS INT) AS f_score,
+               CAST(1 + ((monetary > me[1])::INT + (monetary > me[2])::INT
+                       + (monetary > me[3])::INT + (monetary > me[4])::INT)
+                    AS INT) AS m_score
+        FROM per_user, edges
+        ORDER BY user_id
+    """,
+    doc="RFM segmentation (recency/frequency/monetary quintile scores "
+    "per user). Scale posture: scores come from comparing each user "
+    "against the exact interpolated quintile EDGES (a 1-row broadcast "
+    "from the same cross-engine percentile machinery as 10w) — NOT "
+    "from a global NTILE, whose single-partition total sort is "
+    "exactly what dies first at a billion users. One shuffle (the "
+    "user aggregate); everything after is scan-bound column math.",
+    tags=("analytics",),
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    day_us = 86_400_000_000
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            (
+                F.floor(F.col("now_us") / day_us)
+                - F.floor(F.col("last_us") / day_us)
+            ).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = F.array(*[F.lit(q) for q in RFM_QS])
+    edges = per_user.agg(
+        F.percentile("recency_days", qs).alias("re"),
+        F.percentile("frequency", qs).alias("fe"),
+        F.percentile("monetary", qs).alias("me"),
+    )
+
+    def score(col: str, edge: str, reverse: bool) -> Column:
+        above = sum(
+            (F.col(col) > F.element_at(edge, i + 1)).cast("int")
+            for i in range(len(RFM_QS))
+        )
+        return (F.lit(5) - above if reverse else F.lit(1) + above).cast("int")
+
+    return (
+        per_user.crossJoin(F.broadcast(edges))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score("recency_days", "re", reverse=True).alias("r_score"),
+            score("frequency", "fe", reverse=False).alias("f_score"),
+            score("monetary", "me", reverse=False).alias("m_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- chi-square independence: event type x day-of-week ---------------------
+
+
+@register(
+    "event_dow_chisq",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT o.event_type, o.dow, o.o,
+                   SUM(o.o) OVER (PARTITION BY o.event_type) AS row_n,
+                   SUM(o.o) OVER (PARTITION BY o.dow) AS col_n,
+                   SUM(o.o) OVER () AS n
+            FROM obs o
+        )
+        SELECT event_type,
+               CAST(SUM(o) AS BIGINT) AS n_events,
+               ROUND(SUM(pow(o - row_n * col_n / n::DOUBLE, 2)
+                         / (row_n * col_n / n::DOUBLE)), 6) AS chisq_term
+        FROM margins
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Chi-square independence screen: is event-type mix stable "
+    "across days of the week? Per-type contribution sum((O-E)^2/E) "
+    "over the 5x7 contingency table (dof 24; compare the total "
+    "against the chi-square critical values). The corpus-sized work "
+    "is ONE contingency aggregation (35 cells); margins and terms run "
+    "on the bounded table via windows — the cells-not-rows shape that "
+    "survives 100x. The workhorse behind seasonality checks and "
+    "train/serve segment-mix validation.",
+    tags=("analytics", "validation"),
+)
+def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    total = obs.agg(F.sum("o").alias("n"))
+    margins = obs.select(
+        "event_type",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_n"),
+    ).crossJoin(F.broadcast(total))
+    e = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    return (
+        margins.groupBy("event_type")
+        .agg(
+            F.sum("o").cast("long").alias("n_events"),
+            F.round(F.sum(F.pow(F.col("o") - e, F.lit(2.0)) / e), 6).alias(
+                "chisq_term"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -96,6 +96,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorized_value_stats",
     # -- round-4 new registrations fill the remaining slots (added as
     # they land, keeping the first-50 window on first-time names) --
+    "user_rfm_segments",
+    "event_dow_chisq",
+    "bigram_pmi",
+    "script_profile",
+    "events_snapshot_diff",
 )
 
 

@@ -27,12 +27,18 @@ from pyspark.sql import functions as F
 
 DEFAULT_SEED = 137  # reference ScaledReplayFunction.scala:70 (rand seed)
 
+from mvrs_dspa_spark.config import settings
+
+# ref application.conf data.speedup-factor / data.random-delay
+DEFAULT_SPEEDUP = settings.data.speedup_factor
+DEFAULT_MAX_DELAY_MS = settings.data.random_delay_minutes * 60_000
+
 
 def replay_schedule(
     df: DataFrame,
     ts_col: str = "ts",
     id_col: str = "event_id",
-    speedup: float = 10_000.0,
+    speedup: float = DEFAULT_SPEEDUP,
     max_delay_ms: int = 0,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
@@ -73,7 +79,7 @@ def write_replay_batches(
     n_batches: int = 4,
     ts_col: str = "ts",
     id_col: str = "event_id",
-    speedup: float = 10_000.0,
+    speedup: float = DEFAULT_SPEEDUP,
     max_delay_ms: int = 0,
     seed: int = DEFAULT_SEED,
 ) -> list[str]:
@@ -120,7 +126,7 @@ def replay_rate_aligned(
     df: DataFrame,
     ts_col: str = "ts",
     id_col: str = "event_id",
-    speedup: float = 10_000.0,
+    speedup: float = DEFAULT_SPEEDUP,
     max_delay_ms: int = 0,
     seed: int = DEFAULT_SEED,
     ticks_per_second: int = 10,

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from mvrs_dspa_spark.config import settings
+
 _BATCH_FORMATS = ("parquet", "csv", "json")
 
 
@@ -78,25 +80,31 @@ def kafka_available(spark: SparkSession) -> bool:
 
 
 def kafka_source_options(
-    brokers: str,
-    topic: str,
+    brokers: str | None = None,
+    topic: str = "",
     starting_offsets: str = "earliest",
     fail_on_data_loss: bool = False,
 ) -> dict[str, str]:
     return {
-        "kafka.bootstrap.servers": brokers,
+        # ref application.conf kafka.brokers (+ env override) via settings
+        "kafka.bootstrap.servers": brokers or settings.kafka.brokers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
         "failOnDataLoss": str(fail_on_data_loss).lower(),
     }
 
 
-def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
-    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+def kafka_sink_options(
+    brokers: str | None = None, topic: str = ""
+) -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": brokers or settings.kafka.brokers,
+        "topic": topic,
+    }
 
 
 def kafka_stream(
-    spark: SparkSession, brokers: str, topic: str, **kwargs
+    spark: SparkSession, brokers: str | None = None, topic: str = "", **kwargs
 ) -> DataFrame:
     """Kafka source stream; raises a clear error when the package is absent."""
     if not kafka_available(spark):
@@ -306,10 +314,14 @@ def elastic_available(spark: SparkSession) -> bool:
 
 
 def elastic_sink_options(
-    nodes: str, index: str, doc_id_col: str | None = None
+    nodes: str | None = None, index: str = "", doc_id_col: str | None = None
 ) -> dict[str, str]:
     """Options for ``.format("org.elasticsearch.spark.sql")`` matching the
     reference's upsert-by-id behavior."""
+    if nodes is None:
+        # ref application.conf elasticsearch.hosts via settings
+        es = settings.elasticsearch
+        nodes = f"{es.scheme}://{es.host}:{es.port}"
     opts = {"es.nodes": nodes, "es.resource": index}
     if doc_id_col is not None:
         opts["es.mapping.id"] = doc_id_col
@@ -319,7 +331,7 @@ def elastic_sink_options(
 
 def elastic_sink(
     df: DataFrame,
-    nodes: str,
+    nodes: str | None,
     index: str,
     checkpoint: str,
     doc_id_col: str | None = None,

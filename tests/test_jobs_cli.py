@@ -1,0 +1,81 @@
+"""Standalone job-runner CLI (`python -m mvrs_dspa_spark.jobs`).
+
+The reference ships runnable mains per streaming job; this pins the
+Spark-native equivalent end-to-end: a fresh process, an availableNow
+file source replayed from sf0.001 events, and real sink output.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from mvrs_dspa_spark.jobs import JOBS, build_parser
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_cli(args: list[str], timeout: int = 420):
+    return subprocess.run(
+        [sys.executable, "-m", "mvrs_dspa_spark.jobs", *args],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_parser_rejects_unknown_job():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["no_such_job", "--out", "/tmp/x"])
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["active_posts", "--out", "/tmp/x"])
+    assert args.source == "dir"
+    assert args.sink == "parquet"
+    assert args.job in JOBS
+
+
+def test_active_posts_cli_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "stats")
+    r = _run_cli(
+        [
+            "active_posts",
+            "--events-dir", SF,
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--limit", "400",
+            "--watermark", "1 hour",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "active_posts: done" in r.stdout
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert {"window_start", "window_end", "user_id", "n_events"} <= set(
+        res.columns
+    )
+
+
+def test_recommendations_cli_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "recs")
+    r = _run_cli(
+        [
+            "recommendations",
+            "--events-dir", SF,
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--limit", "400",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    # per-batch idempotent batch_id=N directories with top-N rows
+    res = spark.read.option("basePath", out).parquet(out + "/batch_id=*")
+    rows = res.collect()
+    assert rows, "no recommendations written"
+    assert {"user_id", "rec_user_id", "est_sim"} <= set(res.columns)
+    for row in rows:
+        assert row.user_id != row.rec_user_id

@@ -42,6 +42,10 @@ _SCALAR_BNLJ_OK = {
     "source_token_divergence",  # bounded |sources| x vocab smoothing grid
     "hybrid_search",  # 1-row pinned query-vector broadcast
     "value_drift_ks",  # 1-row time-range scalar broadcast
+    "user_rfm_segments",  # 1-row now + quintile-edges scalar broadcasts
+    "event_dow_chisq",  # 1-row contingency-total scalar broadcast
+    "bigram_pmi",  # 1-row unigram/bigram-total scalar broadcasts
+    "events_snapshot_diff",  # 1-row time-range scalar broadcast
 }
 
 
