@@ -145,3 +145,275 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "token")
         .limit(CMS_TOPK)
     )
+
+
+# --- HyperLogLog distinct-count sketch -------------------------------------
+#
+# Flajolet et al. 2007, engine-portable like the CMS above: bucket and
+# rank come from two independent affine hashes over the same explicit
+# family, so Spark and DuckDB build bit-identical register tables and
+# the query carries a FULL oracle gate on a cardinality sketch. The
+# derived estimate stays deterministic too: sum(2^-M) is a sum of
+# dyadic rationals (exact in ieee754 double), and the one ln() in the
+# small-range branch is rounded far above last-ulp noise.
+#
+# Scale posture: the register table is (group x m) rows regardless of
+# input size — max() partials collapse map-side, so the shuffle is
+# register-bounded exactly like approx_count_distinct's internal HLL
+# state. This is the transparent twin of #9 (event_user_counts_approx,
+# whose engine-internal sketch cannot be oracle-gated).
+
+HLL_P_BITS = 9
+HLL_M = 1 << HLL_P_BITS  # 512 registers -> ~4.6% standard error
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # bias constant, both engines
+# y = h2(code) % 2^HLL_Y_BITS; rank = HLL_Y_BITS + 1 - bit_length(y)
+HLL_Y_BITS = 22
+(_HLL_A1, _HLL_B1), (_HLL_A2, _HLL_B2) = H.hash_params(2, seed=271)
+
+
+def hll_registers(df: DataFrame, code: F.Column, *groups: str) -> DataFrame:
+    """(groups..., bucket, rho) register table, <= m rows per group."""
+    bucket = (H.affine_col(code, _HLL_A1, _HLL_B1) % F.lit(HLL_M)).cast("int")
+    y = H.affine_col(code, _HLL_A2, _HLL_B2) % F.lit(1 << HLL_Y_BITS)
+    # bit_length(y) as an integer comparison ladder: exact in both
+    # engines, no float log2 anywhere near the registers
+    bit_len = sum(
+        (y >= F.lit(1 << k)).cast("int") for k in range(HLL_Y_BITS)
+    )
+    rho = (F.lit(HLL_Y_BITS + 1) - bit_len).cast("int")
+    return (
+        df.select(*groups, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def _hll_bitlen_sql(y: str) -> str:
+    return "(" + " + ".join(
+        f"(({y}) >= {1 << k})::INT" for k in range(HLL_Y_BITS)
+    ) + ")"
+
+
+# md5-based code, not a bare affine of the integer id: consecutive ids
+# through one affine map form an arithmetic progression mod P, whose
+# bucket/rank distribution is lattice-structured (measured ~18% high at
+# 150 distinct); the md5 code decorrelates it to true ~1/sqrt(m) error
+_HLL_CODE_SQL = H.str_code_sql("CAST(user_id AS VARCHAR)")
+_HLL_REG_SQL = f"""
+    SELECT event_type,
+           ({H.affine_sql(_HLL_CODE_SQL, _HLL_A1, _HLL_B1)} % {HLL_M}) AS bucket,
+           MAX({HLL_Y_BITS + 1} - {_hll_bitlen_sql(
+               f"{H.affine_sql(_HLL_CODE_SQL, _HLL_A2, _HLL_B2)} % {1 << HLL_Y_BITS}"
+           )}) AS m_j
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "hll_user_counts",
+    oracle=f"""
+        WITH regs AS ({_HLL_REG_SQL}),
+        folded AS (
+            SELECT event_type,
+                   SUM(pow(2.0, -m_j)) + ({HLL_M} - COUNT(*)) AS s,
+                   {HLL_M} - COUNT(*) AS v
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type,
+                   CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s
+                       AS e_raw, v
+            FROM folded
+        )
+        SELECT e.event_type,
+               x.n_exact,
+               ROUND(CASE WHEN e.e_raw <= 2.5 * {HLL_M} AND e.v > 0
+                          THEN {HLL_M} * ln({HLL_M} / e.v::DOUBLE)
+                          ELSE e.e_raw END, 4) AS hll_estimate
+        FROM est e
+        JOIN (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        ) x USING (event_type)
+        ORDER BY event_type
+    """,
+    doc="Engine-portable HyperLogLog (Flajolet 2007): per-event-type "
+    "distinct-user estimate from a 512-register sketch built with the "
+    "explicit affine hash family — bit-identical registers on both "
+    "engines, so a cardinality SKETCH carries a full oracle gate "
+    "(the transparent twin of approx_count_distinct #9). Rank uses an "
+    "integer comparison ladder, never float log2. Shuffle state is "
+    "groups x 512 registers regardless of input size; the exact "
+    "distinct count is published alongside as the comparison twin.",
+    tags=("sketch", "relational"),
+)
+def hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev, H.str_code_col(F.col("user_id").cast("string")), "event_type"
+    )
+    folded = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+        ).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    e_raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("s")
+    est = folded.select(
+        "event_type",
+        F.round(
+            F.when(
+                (e_raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+                F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("v").cast("double")),
+            ).otherwise(e_raw),
+            4,
+        ).alias("hll_estimate"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "hll_estimate")
+        .orderBy("event_type")
+    )
+
+
+# --- sketch-based join-size estimation -------------------------------------
+#
+# |A join B on k| = sum_k cA(k)*cB(k), estimated from two bounded
+# count-sketch grids (Charikar-Chen-Farach-Colton 2002; fast-AGMS per
+# Cormode & Garofalakis 2005): each key occurrence adds a +/-1-signed
+# count into one bucket per hash row, and the gridwise inner product
+# is an UNBIASED estimator of the join size — median over rows tames
+# the variance. (A plain CMS inner product was measured 29x high on
+# the orders-lineitem FK join at sf0.01: its collision term
+# F1(A)*F1(B)/W dwarfs a foreign-key join's true size. The signed
+# sketch cancels collisions in expectation; same grids, same cost.)
+# This is what a cost-based optimizer consults before choosing join
+# order/strategy. Grids shuffle D*W cells per side regardless of
+# table size; the exact size is published alongside as the comparison
+# twin (computed from per-key count tables, NOT by running the join).
+
+JS_D = 5            # odd -> median is the exact middle element
+JS_W = 1024
+JS_PARAMS = H.hash_params(JS_D, seed=313)
+JS_SIGN_PARAMS = H.hash_params(JS_D, seed=727)
+
+JOIN_EST_PAIRS = (
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("events_self_user", "events", "user_id", "events", "user_id"),
+)
+
+
+def _key_cells(df: DataFrame, key: str) -> DataFrame:
+    """(j, bucket, c) signed count-sketch grid of a key column."""
+    code = H.str_code_col(F.col(key).cast("string"))
+    rows = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (H.affine_col(code, a, b) % F.lit(JS_W)).cast("int").alias("bucket"),
+            (
+                F.lit(1)
+                - F.lit(2) * (H.affine_col(code, sa, sb) % F.lit(2))
+            ).alias("s"),
+        )
+        for j, ((a, b), (sa, sb)) in enumerate(zip(JS_PARAMS, JS_SIGN_PARAMS))
+    ]
+    return (
+        df.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.j", "r.bucket", "r.s")
+        .groupBy("j", "bucket")
+        .agg(F.sum("s").alias("c"))
+    )
+
+
+def _cells_sql_for(table_name: str, key: str) -> str:
+    code = H.str_code_sql(f"CAST({key} AS VARCHAR)")
+    parts = []
+    for j, ((a, b), (sa, sb)) in enumerate(zip(JS_PARAMS, JS_SIGN_PARAMS)):
+        parts.append(
+            f"SELECT {j} AS j, ({H.affine_sql(code, a, b)} % {JS_W}) AS bucket,"
+            f" SUM(1 - 2 * ({H.affine_sql(code, sa, sb)} % 2)) AS c"
+            f" FROM {table_name} GROUP BY 2"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _pair_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+        SELECT '{name}' AS pair,
+               (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT)
+                FROM (SELECT {ka} AS k, COUNT(*) AS c FROM {ta} GROUP BY 1) ca
+                JOIN (SELECT {kb} AS k, COUNT(*) AS c FROM {tb} GROUP BY 1) cb
+                USING (k)) AS exact_size,
+               (SELECT CAST(GREATEST(quantile_cont(ip, 0.5), 0) AS BIGINT)
+                FROM (
+                    SELECT a.j, SUM(a.c * b.c) AS ip
+                    FROM ({_cells_sql_for(ta, ka)}) a
+                    JOIN ({_cells_sql_for(tb, kb)}) b
+                    ON a.j = b.j AND a.bucket = b.bucket
+                    GROUP BY a.j)) AS sketch_estimate
+    """
+
+
+@register(
+    "join_size_estimate",
+    oracle="SELECT pair, exact_size, sketch_estimate,"
+    " ROUND((sketch_estimate - exact_size)"
+    " / NULLIF(exact_size, 0)::DOUBLE, 6) AS rel_error FROM ("
+    + "\nUNION ALL\n".join(_pair_sql(*p) for p in JOIN_EST_PAIRS)
+    + ") ORDER BY pair",
+    doc="Join-cardinality estimation from signed count-sketch inner "
+    "products (fast-AGMS): for each candidate join, the median over "
+    "hash rows of the gridwise product of the two sides' key "
+    "sketches — unbiased, never runs the join, grid-bounded shuffle. "
+    "The optimizer-statistics companion of join_key_skew_report: "
+    "that one says WHERE a join will skew, this one says HOW BIG it "
+    "will be. Exact size published from per-key count tables as the "
+    "comparison twin; the affine hash family keeps the sketches "
+    "bit-identical across engines (full oracle gate).",
+    tags=("sketch", "relational", "scale"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, ta, ka, tb, kb in JOIN_EST_PAIRS:
+        a, b = table(spark, sf_dir, ta), table(spark, sf_dir, tb)
+        ca = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        cb = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        exact = (
+            ca.join(cb.withColumnRenamed("c", "c2"), "k")
+            .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("exact_size"))
+        )
+        ga, gb = _key_cells(a, ka), _key_cells(b, kb)
+        est = (
+            ga.join(
+                F.broadcast(gb.withColumnRenamed("c", "c2")), ["j", "bucket"]
+            )
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+            .agg(
+                F.greatest(F.percentile("ip", F.lit(0.5)), F.lit(0.0))
+                .cast("long")
+                .alias("sketch_estimate")
+            )
+        )
+        row = (
+            exact.crossJoin(F.broadcast(est))
+            .select(
+                F.lit(name).alias("pair"),
+                "exact_size",
+                "sketch_estimate",
+                F.round(
+                    (F.col("sketch_estimate") - F.col("exact_size"))
+                    / F.nullif(F.col("exact_size"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("rel_error"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

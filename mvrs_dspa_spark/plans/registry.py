@@ -101,6 +101,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_pmi",
     "script_profile",
     "events_snapshot_diff",
+    "hll_user_counts",
+    "join_size_estimate",
 )
 
 
