@@ -81,6 +81,12 @@ EXTRA_QUERIES = [
     # beat its own result size; the operator's asymptotics are
     # vocabulary-driven and only meaningful on realistic text.
     "ann_ivf_pq",
+    # round 4 additions: collocation mining (linear bigram explode),
+    # quintile-edge segmentation, portable sketches
+    "bigram_pmi",
+    "user_rfm_segments",
+    "hll_user_counts",
+    "join_size_estimate",
 ]
 
 

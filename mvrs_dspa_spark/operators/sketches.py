@@ -300,8 +300,14 @@ def hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JS_D = 5            # odd -> median is the exact middle element
 JS_W = 1024
-JS_PARAMS = H.hash_params(JS_D, seed=313)
-JS_SIGN_PARAMS = H.hash_params(JS_D, seed=727)
+# Cubic (4-wise-independent) polynomial hashes straight over the
+# integer keys: the AMS variance bound requires 4-wise, affine (2-wise)
+# doesn't suffice, and the md5 string code this replaced was the whole
+# query's CPU bill — CollapseProject inlines the code expression into
+# every bucket/sign reference, so md5 ran ~10x per input row (measured
+# 7.8 s at sf0.1; integer Horner dropped the query under 1 s).
+JS_BUCKET_POLYS = H.poly_params(JS_D, degree=3, seed=313)
+JS_SIGN_POLYS = H.poly_params(JS_D, degree=3, seed=727)
 
 JOIN_EST_PAIRS = (
     ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
@@ -312,17 +318,16 @@ JOIN_EST_PAIRS = (
 
 def _key_cells(df: DataFrame, key: str) -> DataFrame:
     """(j, bucket, c) signed count-sketch grid of a key column."""
-    code = H.str_code_col(F.col(key).cast("string"))
+    code = F.col(key)
     rows = [
         F.struct(
             F.lit(j).alias("j"),
-            (H.affine_col(code, a, b) % F.lit(JS_W)).cast("int").alias("bucket"),
+            (H.poly_col(code, pb) % F.lit(JS_W)).cast("int").alias("bucket"),
             (
-                F.lit(1)
-                - F.lit(2) * (H.affine_col(code, sa, sb) % F.lit(2))
+                F.lit(1) - F.lit(2) * (H.poly_col(code, ps) % F.lit(2))
             ).alias("s"),
         )
-        for j, ((a, b), (sa, sb)) in enumerate(zip(JS_PARAMS, JS_SIGN_PARAMS))
+        for j, (pb, ps) in enumerate(zip(JS_BUCKET_POLYS, JS_SIGN_POLYS))
     ]
     return (
         df.select(F.explode(F.array(*rows)).alias("r"))
@@ -333,12 +338,11 @@ def _key_cells(df: DataFrame, key: str) -> DataFrame:
 
 
 def _cells_sql_for(table_name: str, key: str) -> str:
-    code = H.str_code_sql(f"CAST({key} AS VARCHAR)")
     parts = []
-    for j, ((a, b), (sa, sb)) in enumerate(zip(JS_PARAMS, JS_SIGN_PARAMS)):
+    for j, (pb, ps) in enumerate(zip(JS_BUCKET_POLYS, JS_SIGN_POLYS)):
         parts.append(
-            f"SELECT {j} AS j, ({H.affine_sql(code, a, b)} % {JS_W}) AS bucket,"
-            f" SUM(1 - 2 * ({H.affine_sql(code, sa, sb)} % 2)) AS c"
+            f"SELECT {j} AS j, ({H.poly_sql(key, pb)} % {JS_W}) AS bucket,"
+            f" SUM(1 - 2 * ({H.poly_sql(key, ps)} % 2)) AS c"
             f" FROM {table_name} GROUP BY 2"
         )
     return "\nUNION ALL\n".join(parts)

@@ -43,3 +43,43 @@ def test_str_code_cross_engine(spark):
     ]
     assert spark_vals == duck_vals
     assert len(set(spark_vals)) == len(strs)  # no trivial collisions
+
+
+def test_poly_hash_cross_engine(spark):
+    """Cubic polynomial family: Spark and DuckDB bit-identical over
+    negatives, zero, P boundary, and large int64 values."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.functions import hashing as H
+
+    coeffs = H.poly_params(3, degree=3, seed=313)
+    xs = [0, 1, 5, 97, H.P - 1, H.P, H.P + 1, 2**40, 123_456_789]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    conn = duckdb.connect()
+    for cs in coeffs:
+        got = {
+            r.x: r.h
+            for r in df.select("x", H.poly_col(F.col("x"), cs).alias("h")).collect()
+        }
+        for x in xs:
+            want = conn.execute(f"SELECT {H.poly_sql(str(x), cs)}").fetchone()[0]
+            assert got[x] == want, (x, cs, got[x], want)
+
+
+def test_poly_hash_sign_balance():
+    """Sign hash must be near-balanced over a dense integer range (the
+    failure mode that rules out parity-of-affine for consecutive keys)."""
+    from mvrs_dspa_spark.functions import hashing as H
+
+    for cs in H.poly_params(5, degree=3, seed=727):
+        signs = [1 - 2 * (_poly_int(x, cs) % 2) for x in range(10_000)]
+        assert abs(sum(signs)) < 400  # ~4 sigma for n=10k
+
+
+def _poly_int(x: int, coeffs) -> int:
+    acc = coeffs[0]
+    xm = x % 2_147_483_647
+    for c in coeffs[1:]:
+        acc = (acc * xm + c) % 2_147_483_647
+    return acc
