@@ -732,3 +732,93 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("dist", 6).alias("dist"))
         .orderBy("query_id", "dist", "neighbor_id")
     )
+
+
+# --- incremental index maintenance -----------------------------------------
+
+ANN_INCR_MOD = 4   # vec_id % 4 == 0 -> incoming delta; rest -> base corpus
+REFIT_GROWTH = 2.0  # cell flagged when delta doubles its population
+REFIT_DIST = 1.5    # ...or delta vectors sit 1.5x further from the centroid
+
+
+def ivf_assign_dist_udf(cents: list[list[float]]):
+    """pandas_udf: nearest cell AND squared distance to it, one matmul."""
+    C = np.asarray(cents)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("struct<cluster:int, sq_dist:double>")
+    def assign_udf(emb: pd.Series) -> pd.DataFrame:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
+        d = c_sq - 2.0 * (X @ C.T) + (X * X).sum(axis=1, keepdims=True)
+        cell = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cell.astype(np.int32),
+                "sq_dist": d[np.arange(len(cell)), cell],
+            }
+        )
+
+    return assign_udf
+
+
+@register(
+    "ann_index_maintenance",
+    oracle=None,  # k-means quantizer is iterative/driver-seeded; rows gate
+    doc="Incremental IVF index maintenance (the recurring-ingest ANN "
+    "shape, FAISS add-after-train): the base corpus (vec_id % "
+    f"{ANN_INCR_MOD} != 0) trains the coarse quantizer ONCE; the "
+    "delta batch is assigned into the EXISTING cells — one Arrow "
+    "matmul per batch, no refit, no base rescan beyond its own "
+    "assignment pass. Emits per-cell base/delta counts, mean "
+    "centroid distances, and a needs_refit flag (population growth "
+    f"> {REFIT_GROWTH}x or delta mean distance > {REFIT_DIST}x "
+    "base's) — the monitoring signal that tells an index owner WHEN "
+    "the quantizer has drifted enough to warrant retraining, instead "
+    "of refitting every ingest. Output is nlist rows; all corpus-"
+    "sized work is two narrow assignment projections + one "
+    "cell-bounded aggregation.",
+    tags=("ann", "scale", "rows_gate"),
+)
+def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = v.where(F.col("vec_id") % ANN_INCR_MOD != 0)
+    delta = v.where(F.col("vec_id") % ANN_INCR_MOD == 0)
+    from mvrs_dspa_spark.operators.clustering import kmeans_fit
+
+    cents = kmeans_fit(base, "embedding", k=IVF_NLIST, iters=IVF_ITERS)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "cluster int, n_base long, n_delta long, mean_dist_base double,"
+            " mean_dist_delta double, needs_refit boolean",
+        )
+    assign = ivf_assign_dist_udf(cents)
+
+    def cell_stats(df: DataFrame, prefix: str) -> DataFrame:
+        a = df.select(assign("embedding").alias("a")).select(
+            "a.cluster", "a.sq_dist"
+        )
+        return a.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias(f"n_{prefix}"),
+            F.avg("sq_dist").alias(f"mean_dist_{prefix}"),
+        )
+
+    stats = (
+        cell_stats(base, "base")
+        .join(cell_stats(delta, "delta"), "cluster", "full")
+        .na.fill({"n_base": 0, "n_delta": 0})
+    )
+    needs_refit = (
+        F.col("n_delta") > REFIT_GROWTH * F.greatest(F.col("n_base"), F.lit(1))
+    ) | (
+        F.col("mean_dist_delta")
+        > REFIT_DIST * F.coalesce("mean_dist_base", F.lit(0.0))
+    )
+    return stats.select(
+        "cluster",
+        "n_base",
+        "n_delta",
+        F.round("mean_dist_base", 6).alias("mean_dist_base"),
+        F.round("mean_dist_delta", 6).alias("mean_dist_delta"),
+        F.coalesce(needs_refit, F.lit(False)).alias("needs_refit"),
+    ).orderBy("cluster")

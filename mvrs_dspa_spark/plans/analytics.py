@@ -2099,3 +2099,110 @@ def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- CDC MERGE with deletes -------------------------------------------------
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        ranked AS (
+            SELECT user_id, event_type, value, event_id,
+                   CASE WHEN epoch_us(ts) <
+                            (SELECT mn + (mx - mn) // 2 FROM rng)
+                        THEN 0 ELSE 1 END AS period,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id,
+                           CASE WHEN epoch_us(ts) <
+                                    (SELECT mn + (mx - mn) // 2 FROM rng)
+                                THEN 0 ELSE 1 END
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ),
+        latest AS (
+            SELECT user_id,
+                   MAX(CASE WHEN period = 0 THEN event_id END) AS base_id,
+                   MAX(CASE WHEN period = 0 THEN ROUND(value, 2) END)
+                       AS base_value,
+                   MAX(CASE WHEN period = 1 THEN event_id END) AS delta_id,
+                   MAX(CASE WHEN period = 1 THEN ROUND(value, 2) END)
+                       AS delta_value,
+                   MAX(CASE WHEN period = 1 THEN event_type END) AS delta_op
+            FROM ranked WHERE rn = 1 GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN delta_id IS NULL THEN 'unchanged'
+                    WHEN base_id IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action,
+               CASE WHEN delta_id IS NULL THEN base_value
+                    ELSE delta_value END AS current_value,
+               CAST(COALESCE(delta_id, base_id) AS BIGINT) AS current_id
+        FROM latest
+        WHERE delta_op IS DISTINCT FROM 'error'
+        ORDER BY user_id
+    """,
+    doc="MERGE INTO with deletes (the Delta/Iceberg idiom the "
+    "upsert-only latest_events_snapshot lacks): the first half of the "
+    "event log is the base table (latest row per user), the second "
+    "half is the CDC feed — a user's latest delta event upserts their "
+    "row, except event_type='error' which acts as the tombstone and "
+    "DELETES the user from the merged state. All three MERGE actions "
+    "(insert / update / delete) plus untouched base rows fall out of "
+    "ONE ranked window over one scan — no base-vs-delta self-join, "
+    "one shuffle on (user, period), deterministic (ts, event_id) "
+    "ordering on both engines.",
+    tags=("relational", "temporal"),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    period = F.when(
+        F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    labeled = ev.crossJoin(F.broadcast(rng)).select(
+        "user_id", "event_type", "value", "event_id", "ts",
+        period.alias("period"),
+    )
+    w = Window.partitionBy("user_id", "period").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    p0 = F.col("period") == 0
+    latest = ranked.groupBy("user_id").agg(
+        F.max(F.when(p0, F.col("event_id"))).alias("base_id"),
+        F.max(F.when(p0, F.round("value", 2))).alias("base_value"),
+        F.max(F.when(~p0, F.col("event_id"))).alias("delta_id"),
+        F.max(F.when(~p0, F.round("value", 2))).alias("delta_value"),
+        F.max(F.when(~p0, F.col("event_type"))).alias("delta_op"),
+    )
+    action = (
+        F.when(F.col("delta_id").isNull(), F.lit("unchanged"))
+        .when(F.col("base_id").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        latest.where(
+            ~F.col("delta_op").eqNullSafe(F.lit("error"))  # tombstones out
+        )
+        .select(
+            "user_id",
+            action.alias("merge_action"),
+            F.when(F.col("delta_id").isNull(), F.col("base_value"))
+            .otherwise(F.col("delta_value"))
+            .alias("current_value"),
+            F.coalesce("delta_id", "base_id").alias("current_id"),
+        )
+        .orderBy("user_id")
+    )

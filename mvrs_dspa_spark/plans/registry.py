@@ -103,6 +103,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_snapshot_diff",
     "hll_user_counts",
     "join_size_estimate",
+    "cdc_merge_apply",
+    "ann_index_maintenance",
 )
 
 

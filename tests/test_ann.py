@@ -3,6 +3,8 @@ brute force finds (recall gates), and plans must stay equi-join."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mvrs_dspa_spark.operators import ann
 
 
@@ -122,3 +124,63 @@ def test_ivf_pq_recall_and_determinism(spark):
 
     again = ann_ivf_pq(spark, SF).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_index_maintenance_partitions_delta_completely(spark, sf_small):
+    from mvrs_dspa_spark.operators.ann import (
+        ANN_INCR_MOD,
+        ann_index_maintenance,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    rows = ann_index_maintenance(spark, sf_small).collect()
+    v = table(spark, sf_small, "embeddings")
+    n_delta = v.where(F.col("vec_id") % ANN_INCR_MOD == 0).count()
+    n_base = v.where(F.col("vec_id") % ANN_INCR_MOD != 0).count()
+    assert sum(r.n_delta for r in rows) == n_delta
+    assert sum(r.n_base for r in rows) == n_base
+    # deterministic: seeded quantizer + stable assignment
+    again = ann_index_maintenance(spark, sf_small).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_index_maintenance_flags_drifted_delta(spark):
+    """A delta batch from a DIFFERENT distribution (far from every
+    base centroid) must trip the needs_refit flag."""
+    import random
+
+    from mvrs_dspa_spark.operators.ann import ann_index_maintenance
+
+    rng = random.Random(7)
+    dim = 8
+    # base: ids not divisible by 4, clustered near the origin
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(1, 400)
+        if i % 4 != 0
+    ]
+    # delta: ids divisible by 4, shifted far away
+    rows += [
+        (i, [50.0 + rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(4, 400, 4)
+    ]
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="ann_maint_")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+    out = ann_index_maintenance(spark, tmp).collect()
+    assert any(r.needs_refit for r in out), (
+        "far-shifted delta batch did not trip needs_refit"
+    )

@@ -47,6 +47,7 @@ _SCALAR_BNLJ_OK = {
     "bigram_pmi",  # 1-row unigram/bigram-total scalar broadcasts
     "events_snapshot_diff",  # 1-row time-range scalar broadcast
     "join_size_estimate",  # 1-row exact x 1-row estimate scalar joins
+    "cdc_merge_apply",  # 1-row time-range scalar broadcast
 }
 
 

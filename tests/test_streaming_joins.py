@@ -147,3 +147,48 @@ def test_conversion_attribution_job_end_to_end(spark, tmp_path):
     r = out[0]
     assert r.window_start == _d(1, 1, 0).replace(tzinfo=None)
     assert (r.n_conversions, r.conversion_value) == (2, 52.0)
+
+
+def test_interval_join_left_outer_emits_nulls_on_expiry(spark, tmp_path):
+    """leftOuter semantics: a click with NO purchase in its interval
+    must still emit — null-padded — once the watermark passes its
+    upper bound; matched clicks emit joined rows as usual."""
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.streaming.joins import interval_join
+
+    b0 = [
+        (1, _t(1, 0), 7, "click", 1.0),
+        (2, _t(1, 10), 7, "purchase", 42.0),   # matches click 1
+        (3, _t(1, 0), 8, "click", 2.0),        # never matched
+        (4, _t(2, 30), 8, "purchase", 9.0),    # outside 30-min bound
+    ]
+    # outer-side null emission happens in a TRIGGER AFTER the watermark
+    # passes the expiry, and the query watermark is the MIN across both
+    # watermark nodes — which sit downstream of the click/purchase
+    # filters, so the advancers must be a click AND a purchase (on
+    # users that cannot accidentally match): b1 advances both sides
+    # past click 3's upper bound, b2 gives the join a batch in which
+    # to emit the expired row.
+    b1 = [(9, _t(12, 0), 98, "click", 0.0), (10, _t(12, 0), 97, "purchase", 0.0)]
+    b2 = [(11, _t(13, 0), 96, "click", 0.0), (12, _t(13, 0), 95, "purchase", 0.0)]
+    glob = _write_batches(spark, tmp_path, [b0, b1, b2])
+    src = _stream(spark, glob)
+    clicks = src.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    joined = interval_join(
+        clicks, purchases, on="user_id", upper="30 minutes", how="leftOuter"
+    )
+    out = _run(spark, joined, "ij_louter")
+    by_click = {r.event_id: r for r in out}
+    # clicks 9/11 (advancers) have not expired by stream end; clicks 1
+    # (matched) and 3 (expired unmatched) must both be present
+    assert {1, 3} <= set(by_click)
+    assert by_click[1].event_id_r == 2           # matched pair
+    assert by_click[1].value_r == 42.0
+    assert by_click[3].event_id_r is None        # expired unmatched
+    assert by_click[3].value_r is None
