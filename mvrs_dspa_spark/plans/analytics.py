@@ -2206,3 +2206,102 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- time-series lead-lag cross-correlation --------------------------------
+
+XCORR_MAX_LAG = 2  # hours each side
+
+
+@register(
+    "hourly_crosscorr_leadlag",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS h,
+                   SUM(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+                   a.v AS va, b.v AS vb
+            FROM hourly a
+            JOIN (SELECT unnest(generate_series(
+                      -{XCORR_MAX_LAG}, {XCORR_MAX_LAG})) AS lag) l ON true
+            JOIN hourly b
+              ON b.event_type > a.event_type AND b.h = a.h + l.lag
+        ),
+        scored AS (
+            SELECT type_a, type_b, lag,
+                   ROUND(corr(va, vb), 6) AS xcorr,
+                   COUNT(*) AS n_hours
+            FROM lagged GROUP BY 1, 2, 3
+        )
+        SELECT type_a, type_b, CAST(lag AS INT) AS best_lag, xcorr,
+               CAST(n_hours AS BIGINT) AS n_hours
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY type_a, type_b
+                ORDER BY ABS(xcorr) DESC, lag
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+        ORDER BY type_a, type_b
+    """,
+    doc="Lead-lag cross-correlation between event-type hourly series "
+    "(the streaming time-series similarity-search shape, cf. EDBT'19 "
+    "distributed TS similarity): for each type pair, corr at lags "
+    f"-{XCORR_MAX_LAG}..+{XCORR_MAX_LAG} hours, best lag by |corr| "
+    "with deterministic tiebreak — 'errors lead purchases by 1 hour' "
+    "style diagnostics. Corpus-sized work is ONE hourly aggregation; "
+    "the lag fan-out and correlation run on the bounded (types x "
+    "hours) table, so 100x the events changes nothing downstream of "
+    "the first shuffle.",
+    tags=("analytics", "temporal"),
+)
+def hourly_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum("value").alias("v"))
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") > F.col("a.event_type"))
+            & (F.col("b.h") == F.col("a.h") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "lag",
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+    scored = lagged.groupBy("type_a", "type_b", "lag").agg(
+        F.round(F.corr("va", "vb"), 6).alias("xcorr"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.abs(F.col("xcorr")).desc(), F.col("lag")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            "xcorr",
+            "n_hours",
+        )
+        .orderBy("type_a", "type_b")
+    )

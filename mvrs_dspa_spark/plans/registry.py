@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_size_estimate",
     "cdc_merge_apply",
     "ann_index_maintenance",
+    "hourly_crosscorr_leadlag",
 )
 
 
