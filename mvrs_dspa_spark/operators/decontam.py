@@ -165,3 +165,81 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- semantic decontamination ----------------------------------------------
+
+SEM_BENCH_MOD = 25     # vec_id % 25 == 0 -> held-out benchmark vectors (4%)
+SEM_CONTAM_COS = 0.35  # cosine >= threshold -> semantically contaminated
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                       (x, y) -> x + y)) AS nrm
+            FROM embeddings
+        ),
+        bench AS (SELECT * FROM v WHERE vec_id % {SEM_BENCH_MOD} = 0),
+        corpus AS (SELECT * FROM v WHERE vec_id % {SEM_BENCH_MOD} <> 0),
+        hits AS (
+            SELECT c.vec_id,
+                   MAX(ROUND(
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(c.embedding)),
+                           i -> c.embedding[i]::DOUBLE
+                                * b.embedding[i]::DOUBLE)),
+                           (x, y) -> x + y) / (c.nrm * b.nrm), 6))
+                       AS max_bench_cos,
+                   COUNT(*) AS n_bench_hits
+            FROM corpus c JOIN bench b
+              ON list_reduce(list_prepend(0.0, list_transform(
+                     generate_series(1, len(c.embedding)),
+                     i -> c.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                     (x, y) -> x + y) / (c.nrm * b.nrm)
+                 >= {SEM_CONTAM_COS}
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, max_bench_cos, CAST(n_bench_hits AS BIGINT)
+                   AS n_bench_hits
+        FROM hits
+        ORDER BY vec_id
+    """,
+    doc="Semantic benchmark decontamination (the embedding-space twin "
+    "of the 8-gram `decontaminate` #48, per the paraphrase-leak "
+    "findings of arXiv:2311.04850 — n-gram checks miss reworded "
+    f"contamination): corpus vectors with cosine >= {SEM_CONTAM_COS} "
+    f"against any held-out benchmark vector (vec_id % {SEM_BENCH_MOD}"
+    " = 0) are flagged with their worst-hit score and hit count. "
+    "Scale shape: the benchmark side is structurally bounded (a "
+    "benchmark suite, not a corpus) and BROADCASTS — the corpus side "
+    "is one scan-bound pass, no corpus-corpus pairs anywhere; at "
+    "recall-critical scale the same stage runs against the IVF index "
+    "(ann_ivf machinery) instead of flat broadcast.",
+    tags=("llm", "ann"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.operators.ann import _with_norm_df, dot_col
+
+    v = _with_norm_df(table(spark, sf_dir, "embeddings"))
+    bench = v.where(F.col("vec_id") % SEM_BENCH_MOD == 0)
+    corpus = v.where(F.col("vec_id") % SEM_BENCH_MOD != 0)
+    c, b = corpus.alias("c"), bench.alias("b")
+    cos = dot_col(F.col("c.embedding"), F.col("b.embedding")) / (
+        F.col("c.nrm") * F.col("b.nrm")
+    )
+    return (
+        c.join(F.broadcast(b))
+        .select(F.col("c.vec_id").alias("vec_id"), cos.alias("_cos"))
+        .where(F.col("_cos") >= SEM_CONTAM_COS)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.round("_cos", 6)).alias("max_bench_cos"),
+            F.count(F.lit(1)).alias("n_bench_hits"),
+        )
+        .orderBy("vec_id")
+    )

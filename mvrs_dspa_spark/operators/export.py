@@ -404,3 +404,101 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --- curriculum manifest ----------------------------------------------------
+
+CURRICULUM_PHASES = 4
+CURRICULUM_QS = (0.25, 0.5, 0.75)
+
+
+def _curriculum_oracle() -> str:
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _QUALITY_CTES,
+        _QUALITY_SCORE_SQL,
+    )
+
+    shard_code = H.str_code_sql(f"'{SHARD_SALT}:' || (doc_id)::VARCHAR")
+    return f"""
+        WITH {_QUALITY_CTES},
+        s AS (
+            SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality_score
+            FROM m
+        ),
+        edges AS (
+            SELECT quantile_cont(quality_score,
+                [{", ".join(map(str, CURRICULUM_QS))}]) AS e
+            FROM s
+        )
+        SELECT doc_id, quality_score, phase, shard_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY phase, shard_id ORDER BY code, doc_id
+               ) - 1 AS pos
+        FROM (
+            SELECT s.doc_id, s.quality_score,
+                   CAST({CURRICULUM_PHASES}
+                        - ((s.quality_score > e[1])::INT
+                           + (s.quality_score > e[2])::INT
+                           + (s.quality_score > e[3])::INT) AS INT) AS phase,
+                   {shard_code} AS code,
+                   {shard_code} % {N_SHARDS} AS shard_id
+            FROM s, edges
+        )
+        ORDER BY phase, shard_id, pos
+    """
+
+
+@register(
+    "curriculum_manifest",
+    oracle=_curriculum_oracle(),
+    doc="Curriculum training manifest (quality-staged ordering, cf. "
+    "curriculum-learning practice of clean-first pretraining): docs "
+    "bucketed into 4 phases by quality-score quartile EDGES (1-row "
+    "broadcast from the shared cross-engine percentile machinery — "
+    "no global sort), then salted-hash sharded with a deterministic "
+    "position within (phase, shard) exactly like shard_manifest. A "
+    "trainer streams phase 1 (cleanest quartile) first and descends. "
+    "Shares the quality-score definition with doc_quality/the "
+    "curation gate, so 'clean' means the same thing in every stage "
+    "of the pipeline.",
+    tags=("sampling", "export", "llm"),
+)
+def curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _quality_metrics,
+        _quality_score_col,
+    )
+
+    scored = _quality_metrics(table(spark, sf_dir, "documents")).select(
+        "doc_id", _quality_score_col().alias("quality_score")
+    )
+    qs = F.array(*[F.lit(q) for q in CURRICULUM_QS])
+    edges = scored.agg(F.percentile("quality_score", qs).alias("e"))
+    above = sum(
+        (F.col("quality_score") > F.element_at("e", i + 1)).cast("int")
+        for i in range(len(CURRICULUM_QS))
+    )
+    code = H.str_code_col(
+        F.concat(F.lit(SHARD_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    staged = (
+        scored.crossJoin(F.broadcast(edges))
+        .select(
+            "doc_id",
+            "quality_score",
+            (F.lit(CURRICULUM_PHASES) - above).cast("int").alias("phase"),
+            code.alias("code"),
+            (code % N_SHARDS).alias("shard_id"),
+        )
+    )
+    w = Window.partitionBy("phase", "shard_id").orderBy("code", "doc_id")
+    return (
+        staged.select(
+            "doc_id",
+            "quality_score",
+            "phase",
+            "shard_id",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        )
+        .orderBy("phase", "shard_id", "pos")
+    )

@@ -156,3 +156,53 @@ def backfill_partition_overwrite(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def zone_map_report(
+    spark: SparkSession, path: str, col: str
+) -> DataFrame:
+    """Per-file zone map (min/max of `col`) + the clustering quality
+    metric that predicts scan-skipping effectiveness.
+
+    For each parquet file in `path`: the file's min/max of `col` and
+    `n_overlaps` — how many OTHER files' [min, max] ranges intersect
+    its own. After a range-clustered rewrite (`compact_parquet`
+    cluster_by/zorder_by) overlaps should be ~0: a selective predicate
+    then prunes to ~1 file via footer stats alone. Near-total overlap
+    means clustering is absent/decayed and an OPTIMIZE pass is due —
+    this is the observability half of the compaction story, the
+    number a table owner watches to schedule rewrites.
+
+    Reads ONLY (file, min, max) per file: the scan aggregates
+    per-file via input_file_name(), so at 100 TB this is a
+    metadata-light single pass (and an engine could serve it from
+    footers alone); the overlap join runs on the file-count-bounded
+    range table.
+    """
+    from pyspark.sql import functions as F
+
+    ranges = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col).alias("zmin"),
+            F.max(col).alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    a, b = ranges.alias("a"), ranges.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.file") != F.col("b.file"))
+            & (F.col("a.zmin") <= F.col("b.zmax"))
+            & (F.col("b.zmin") <= F.col("a.zmax")),
+            "left",
+        )
+        .groupBy("a.file", "a.zmin", "a.zmax", "a.n_rows")
+        .agg(F.count(F.col("b.file")).alias("n_overlaps"))
+    )
+    return overlaps.select(
+        F.col("file"), F.col("zmin"), F.col("zmax"), F.col("n_rows"),
+        F.col("n_overlaps"),
+    ).orderBy("zmin", "file")

@@ -106,6 +106,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_merge_apply",
     "ann_index_maintenance",
     "hourly_crosscorr_leadlag",
+    "decontaminate_semantic",
+    "curriculum_manifest",
 )
 
 

@@ -182,3 +182,33 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
         (r.id, r.day): r.v for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_zone_map_report_clustered_vs_unclustered(spark, sf_small, tmp_path):
+    """Range-clustered output must have (near-)disjoint per-file zone
+    maps; a hash-shuffled write of the same data must not. This is the
+    observability signal that schedules OPTIMIZE rewrites."""
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.operators.maintenance import zone_map_report
+    from mvrs_dspa_spark.tables import table
+
+    ev = table(spark, sf_small, "events").select("event_id", "user_id")
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    ev.repartitionByRange(8, F.col("event_id")).sortWithinPartitions(
+        "event_id"
+    ).write.parquet(clustered)
+    ev.repartition(8, F.col("user_id")).write.parquet(scattered)
+
+    good = zone_map_report(spark, clustered, "event_id").collect()
+    bad = zone_map_report(spark, scattered, "event_id").collect()
+    # hash partitioning may leave an empty partition -> <=8 data files
+    assert len(good) == 8 and len(bad) >= 2
+    # rows conserved through the report
+    assert sum(r.n_rows for r in good) == ev.count()
+    assert sum(r.n_rows for r in bad) == ev.count()
+    # clustered: disjoint ranges -> zero overlaps per file
+    assert all(r.n_overlaps == 0 for r in good), good
+    # scattered: every file spans ~the full id range -> all overlap
+    assert all(r.n_overlaps == len(bad) - 1 for r in bad), bad
