@@ -1,0 +1,46 @@
+"""Partitioning independence: a distributed query's RESULT must not
+depend on how the data happens to be partitioned — shuffle-partition
+count is a deployment knob (32 locally, thousands on a cluster), and
+any drift under it means nondeterministic tie-breaking or
+order-sensitive logic that would surface as flaky results at scale.
+
+Representative set: window/tie-break-heavy (sessions, top-K,
+manifests), hash-family (minhash dedup), aggregation-order-sensitive
+floats (rollups rounded per the registry's determinism rules).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mvrs_dspa_spark.plans.registry import all_queries
+
+QUERIES = [
+    "user_sessions",
+    "dedup_minhash_lsh",
+    "similar_users_minhash_lsh",
+    "pack_sequences",
+    "weighted_sample_topk",
+    "shard_manifest",
+    "curriculum_manifest",
+    "salted_event_rollup",
+    "hll_user_counts",
+    "top_user_per_type",
+]
+
+
+def _rows(spark, name: str, sf: str, partitions: int):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        df = all_queries()[name].fn(spark, sf)
+        return sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_independent_of_shuffle_partitions(spark, sf_small, name):
+    a = _rows(spark, name, sf_small, 3)
+    b = _rows(spark, name, sf_small, 32)
+    assert a == b, f"{name}: result depends on shuffle partition count"
