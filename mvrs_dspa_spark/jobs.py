@@ -159,20 +159,24 @@ def run(argv: list[str] | None = None) -> int:
             checkpoint=checkpoint,
         )
     elif args.job == "curation":
+        from pyspark.sql import functions as F
+
         from mvrs_dspa_spark.streaming.sources import read_stream
         from mvrs_dspa_spark.tables import table
 
-        # document stream: replay-free file stream over the documents
-        # table (ts-less docs get an ingest timestamp)
-        from pyspark.sql import functions as F
-
-        docs_schema = table(
-            spark, args.events_dir, "documents"
-        ).schema
+        # document stream: stage the table into micro-batch files (the
+        # file source needs a directory, and this is the ingest shape —
+        # files arriving in a drop directory); ts-less docs get an
+        # ingest timestamp
+        batch = table(spark, args.events_dir, "documents")
+        if args.limit:
+            batch = batch.limit(args.limit)
+        stage = tempfile.mkdtemp(prefix="mvrs_docs_")
+        batch.repartition(args.batches).write.mode("overwrite").parquet(stage)
         docs = read_stream(
             spark,
-            f"{args.events_dir}/documents.parquet",
-            schema=docs_schema,
+            stage,
+            schema=batch.schema,
             max_files_per_trigger=1,
         ).withColumn("ts", F.current_timestamp())
         curated = J.streaming_curation(docs)

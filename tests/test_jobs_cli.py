@@ -79,3 +79,36 @@ def test_recommendations_cli_end_to_end(spark, tmp_path):
     assert {"user_id", "rec_user_id", "est_sim"} <= set(res.columns)
     for row in rows:
         assert row.user_id != row.rec_user_id
+
+
+def test_attribution_cli_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "attr")
+    r = _run_cli(
+        [
+            "attribution",
+            "--events-dir", SF,
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--limit", "2000",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = spark.read.parquet(out)
+    assert {"window_start", "window_end", "n_conversions",
+            "conversion_value"} <= set(res.columns)
+
+
+def test_curation_cli_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    r = _run_cli(
+        [
+            "curation",
+            "--events-dir", SF,
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert {"doc_id", "quality_score", "content_key"} <= set(res.columns)
