@@ -420,3 +420,93 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "old_value", "new_value")
         .orderBy("user_id")
     )
+
+
+# --- quarantine split (expectations enforcement) ---------------------------
+
+# (rule name, Spark predicate builder, DuckDB predicate SQL) — a row
+# FAILS the rule when the predicate is true. Shared order defines the
+# reasons string on both engines.
+_QUARANTINE_RULES_SQL = (
+    ("value_out_of_range", "value IS NULL OR value < 0 OR value > 100000"),
+    ("ts_out_of_range",
+     "ts IS NULL OR ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2030-01-01'"),
+    ("unknown_event_type",
+     "event_type IS NULL OR event_type NOT IN "
+     "('click', 'error', 'purchase', 'signup', 'view')"),
+    ("negative_user_id", "user_id IS NULL OR user_id < 0"),
+)
+
+
+def _quarantine_preds_spark():
+    from pyspark.sql import functions as F
+
+    ts_lo = F.lit("2020-01-01").cast("timestamp")
+    ts_hi = F.lit("2030-01-01").cast("timestamp")
+    kinds = ("click", "error", "purchase", "signup", "view")
+    return (
+        ("value_out_of_range",
+         F.col("value").isNull() | (F.col("value") < 0) | (F.col("value") > 100000)),
+        ("ts_out_of_range",
+         F.col("ts").isNull() | (F.col("ts") < ts_lo) | (F.col("ts") >= ts_hi)),
+        ("unknown_event_type",
+         F.col("event_type").isNull() | ~F.col("event_type").isin(*kinds)),
+        ("negative_user_id",
+         F.col("user_id").isNull() | (F.col("user_id") < 0)),
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) — expectations enforcement (Delta Live
+    Tables expectations / dbt severity-error analog): rows failing any
+    rule land in quarantine WITH their comma-joined reason list; clean
+    rows pass through untouched. One scan, two filtered projections —
+    Spark computes both sides from the same shuffle-free plan, so at
+    100 TB this costs one pass over the data, not one per rule.
+
+    The report twin is `constraint_violations` (counts per rule);
+    this is the enforcement form a pipeline actually wires between
+    ingest and merge, with the quarantine table as the re-drive queue.
+    """
+    from pyspark.sql import functions as F
+
+    preds = _quarantine_preds_spark()
+    reasons = F.array_join(
+        F.filter(
+            F.array(*[F.when(p, F.lit(name)) for name, p in preds]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    tagged = df.withColumn("reasons", reasons)
+    good = tagged.where(F.col("reasons") == "").drop("reasons")
+    bad = tagged.where(F.col("reasons") != "")
+    return good, bad
+
+
+@register(
+    "events_quarantine",
+    oracle=f"""
+        SELECT event_id,
+               array_to_string(list_filter([
+                   {", ".join(
+                       f"CASE WHEN {sql} THEN '{name}' END"
+                       for name, sql in _QUARANTINE_RULES_SQL
+                   )}
+               ], x -> x IS NOT NULL), ',') AS reasons
+        FROM events
+        WHERE {" OR ".join(f"({sql})" for _, sql in _QUARANTINE_RULES_SQL)}
+        ORDER BY event_id
+    """,
+    doc="Quarantined event rows with their failure reasons (DLT "
+    "expectations / dbt severity-error enforcement form of the "
+    "constraint_violations report): every row failing any domain rule, "
+    "with the comma-joined ordered reason list — the re-drive queue a "
+    "pipeline writes between ingest and merge. Pure projection + "
+    "filter over one scan; rules are declared ONCE and compiled to "
+    "both engines, so gate and oracle can't drift.",
+    tags=("validation",),
+)
+def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, bad = quarantine_split(table(spark, sf_dir, "events"))
+    return bad.select("event_id", "reasons").orderBy("event_id")

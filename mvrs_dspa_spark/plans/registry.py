@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hourly_crosscorr_leadlag",
     "decontaminate_semantic",
     "curriculum_manifest",
+    "events_quarantine",
 )
 
 

@@ -95,3 +95,45 @@ def test_mad_outliers_constant_type_oracle_parity(
     spark, constant_value_events
 ):
     compare(spark, constant_value_events, "mad_value_outliers")
+
+
+# --- quarantine split on dirty data ----------------------------------------
+
+
+@pytest.fixture()
+def dirty_events(spark, tmp_path):
+    rows = [
+        (1, _ts(1), 1, "click", 10.0, "{}"),          # clean
+        (2, _ts(2), 2, "view", -5.0, "{}"),           # value_out_of_range
+        (3, datetime.datetime(2031, 1, 1), 3, "click", 1.0, "{}"),  # ts
+        (4, _ts(4), 4, "hover", 1.0, "{}"),           # unknown_event_type
+        (5, _ts(5), -9, "click", 1.0, "{}"),          # negative_user_id
+        (6, _ts(6), -1, "tap", 999999.0, "{}"),       # three reasons
+        (7, None, 7, "view", 2.0, "{}"),              # null ts
+    ]
+    return _write_events(spark, tmp_path, rows)
+
+
+def test_quarantine_split_partitions_and_reasons(spark, dirty_events):
+    from mvrs_dspa_spark.operators.validation import quarantine_split
+    from mvrs_dspa_spark.tables import table
+
+    ev = table(spark, dirty_events, "events")
+    good, bad = quarantine_split(ev)
+    good_ids = {r.event_id for r in good.collect()}
+    bad_rows = {r.event_id: r.reasons for r in bad.collect()}
+    assert good_ids == {1}
+    assert set(bad_rows) == {2, 3, 4, 5, 6, 7}
+    assert good_ids.isdisjoint(bad_rows)
+    assert good.count() + bad.count() == ev.count()
+    assert bad_rows[2] == "value_out_of_range"
+    assert bad_rows[4] == "unknown_event_type"
+    # fixed rule order in the reasons string
+    assert bad_rows[6] == (
+        "value_out_of_range,unknown_event_type,negative_user_id"
+    )
+    assert bad_rows[7] == "ts_out_of_range"
+
+
+def test_quarantine_oracle_parity_on_dirty_data(spark, dirty_events):
+    compare(spark, dirty_events, "events_quarantine")
