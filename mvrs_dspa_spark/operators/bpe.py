@@ -1,0 +1,139 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+full iterative merge loop on DataFrames (SURVEY §2f; extends #76,
+which publishes only the round-1 candidate statistics).
+
+Why this shape scales: the corpus is touched ONCE (token -> word
+frequency aggregation). Every merge round after that runs on the
+word-frequency table — bounded by |vocabulary|, not corpus size — so
+training cost is R small vocabulary-sized jobs after one corpus pass.
+That is exactly how production tokenizer training handles web-scale
+corpora (HuggingFace tokenizers pre-counts words the same way).
+
+Round structure (driver loop, R rounds):
+1. adjacent symbol-pair counts weighted by word frequency (explode of
+   zip_with(slice, slice) — linear, the dedup-shingle pattern);
+2. argmax pair by (count desc, left asc, right asc) — ONE collected
+   row;
+3. greedy left-to-right non-overlapping merge applied to every word's
+   symbol array via a fold (F.aggregate) — pure column expressions;
+4. localCheckpoint to cut the growing lineage (same discipline as
+   PageRank / connected components).
+
+Correctness gate: the merge sequence must EXACTLY equal a pure-python
+reference BPE on the same word counts (tests/test_bpe.py), and the
+merge counts must be non-increasing (a new pair's count is bounded by
+the merge that created it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import text as T
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+BPE_ROUNDS = 16
+
+
+def _chars(w: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbol arrays."""
+    n = F.greatest(F.size("symbols") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("symbols", F.lit(1), n),
+        F.slice("symbols", F.lit(2), n),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("weighted_count"))
+    )
+
+
+def _merge_fold(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right)."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, s: Column) -> Column:
+        can_merge = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            can_merge,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        symbols, F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train_merges(
+    vocab: DataFrame, rounds: int = BPE_ROUNDS
+) -> list[tuple[int, str, str, int]]:
+    """Run `rounds` BPE merges over a (w, freq) word table.
+
+    Returns [(round, left, right, weighted_count), ...]. `vocab` is
+    corpus-independent after the caller's one aggregation pass.
+    """
+    sym = vocab.select(_chars(F.col("w")).alias("symbols"), "freq")
+    sym = sym.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        top = (
+            _pair_counts(sym)
+            .orderBy(F.desc("weighted_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0].left, top[0].right, int(top[0].weighted_count)
+        merges.append((r, left, right, cnt))
+        sym = sym.select(
+            _merge_fold(F.col("symbols"), left, right).alias("symbols"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register(
+    "bpe_train",
+    oracle=None,  # iterative argmax loop; gated by the exact python-
+    # reference equivalence in tests/test_bpe.py instead
+    doc=f"Full BPE tokenizer training ({BPE_ROUNDS} merge rounds, "
+    "Sennrich 2016): one corpus pass builds the word-frequency table, "
+    "then every round is a vocabulary-bounded pair aggregation + a "
+    "column-expression merge fold — R small jobs, no corpus rescan, "
+    "the HuggingFace pre-count training shape at 100 TB. Merge "
+    "sequence exactly equals a pure-python reference BPE "
+    "(tests/test_bpe.py); merge counts are provably non-increasing.",
+    tags=("llm", "text", "rows_gate"),
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    vocab = (
+        d.select(F.explode(T.tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_train_merges(vocab)
+    return spark.createDataFrame(
+        [(r, lt, rt, lt + rt, c) for r, lt, rt, c in merges],
+        "merge_round int, left string, right string, merged string, "
+        "weighted_count long",
+    ).orderBy("merge_round")

@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_semantic",
     "curriculum_manifest",
     "events_quarantine",
+    "bpe_train",
 )
 
 
@@ -129,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     from mvrs_dspa_spark.operators import (  # noqa: F401
         ann,
+        bpe,
         chunking,
         cleaning,
         clustering,

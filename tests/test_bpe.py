@@ -1,0 +1,103 @@
+"""BPE trainer: the distributed merge sequence must EXACTLY equal a
+pure-python reference BPE (same word counts, same tiebreak), and the
+structural invariants (non-increasing counts, greedy non-overlap)
+must hold."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import text as T
+from mvrs_dspa_spark.operators.bpe import bpe_train, bpe_train_merges
+from mvrs_dspa_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_bpe(word_freq: dict[str, int], rounds: int):
+    """Reference BPE with identical semantics: greedy left-to-right
+    non-overlapping merges, tiebreak (count desc, left, right)."""
+    syms = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for r in range(rounds):
+        counts: Counter = Counter()
+        for w, freq in word_freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        # deterministic tiebreak: count desc, then lexicographically
+        # SMALLEST (left, right)
+        best_count = max(counts.values())
+        cands = sorted(
+            [p for p, c in counts.items() if c == best_count]
+        )
+        left, right = cands[0]
+        merges.append((r, left, right, best_count))
+        merged = left + right
+        for w in syms:
+            s = syms[w]
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if (
+                    out
+                    and out[-1] == left
+                    and s[i] == right
+                ):
+                    out[-1] = merged
+                else:
+                    out.append(s[i])
+                i += 1
+            syms[w] = out
+    return merges
+
+
+def _word_freq(spark) -> dict[str, int]:
+    rows = (
+        table(spark, SF, "documents")
+        .select(F.explode(T.tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return {r.w: r["count"] for r in rows}
+
+
+def test_bpe_matches_python_reference(spark):
+    wf = _word_freq(spark)
+    want = _python_bpe(wf, 16)
+    got = [
+        (r.merge_round, r.left, r.right, r.weighted_count)
+        for r in bpe_train(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_counts_non_increasing(spark):
+    rows = bpe_train(spark, SF).collect()
+    assert len(rows) > 4
+    counts = [r.weighted_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # merged symbol is always left+right
+    assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_bpe_merge_fold_greedy_non_overlap(spark):
+    """'aaaa' with merge (a,a) must become [aa, aa] (non-overlapping),
+    and merged symbols must not re-merge within the same round."""
+    from mvrs_dspa_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b", "a"],)],
+        "symbols array<string>",
+    )
+    out = [
+        r.m for r in df.select(
+            _merge_fold(F.col("symbols"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert out == [["aa", "aa"], ["aa", "a"], ["b", "a"]]
