@@ -137,3 +137,30 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, left string, right string, merged string, "
         "weighted_count long",
     ).orderBy("merge_round")
+
+
+def bpe_encode_vocab(
+    vocab: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply a trained merge list to the word table: (w, freq,
+    symbols, n_pieces).
+
+    Encoding is vocabulary-bounded like training: each DISTINCT word
+    is segmented once (merges applied in rank order — the same greedy
+    fold the trainer used), and a corpus tokenization is then a plain
+    join of tokens against this table, never per-occurrence work. The
+    merge chain is built as nested column expressions with a
+    localCheckpoint every few merges to keep codegen expression depth
+    bounded.
+    """
+    sym = vocab.select("w", "freq", _chars(F.col("w")).alias("symbols"))
+    col = F.col("symbols")
+    for i, (_, left, right, _c) in enumerate(merges):
+        col = _merge_fold(col, left, right)
+        if (i + 1) % 4 == 0:  # bound expression/codegen depth
+            sym = sym.select("w", "freq", col.alias("symbols"))
+            sym = sym.localCheckpoint(eager=True)
+            col = F.col("symbols")
+    return sym.select(
+        "w", "freq", col.alias("symbols"), F.size(col).alias("n_pieces")
+    )

@@ -101,3 +101,23 @@ def test_bpe_merge_fold_greedy_non_overlap(spark):
         ).collect()
     ]
     assert out == [["aa", "aa"], ["aa", "a"], ["b", "a"]]
+
+
+def test_bpe_encode_round_trips_and_compresses(spark):
+    """Every word must reassemble exactly from its pieces, and 16
+    merges must strictly reduce total piece count vs characters."""
+    from mvrs_dspa_spark.operators.bpe import bpe_encode_vocab
+
+    wf = _word_freq(spark)
+    vocab = spark.createDataFrame(list(wf.items()), "w string, freq long")
+    merges = bpe_train_merges(vocab, rounds=16)
+    enc = bpe_encode_vocab(vocab, merges).collect()
+    assert len(enc) == len(wf)
+    total_pieces = 0
+    total_chars = 0
+    for r in enc:
+        assert "".join(r.symbols) == r.w, r
+        assert r.n_pieces == len(r.symbols)
+        total_pieces += r.n_pieces * r.freq
+        total_chars += len(r.w) * r.freq
+    assert total_pieces < total_chars, "merges did not compress"
