@@ -421,3 +421,150 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("pair")
+
+
+# --- sliding distinct users via mergeable HLL partials ---------------------
+#
+# The pattern that makes sliding COUNT DISTINCT affordable: exact
+# sliding distincts cannot reuse partial aggregates (distinct is not
+# decomposable), so every window recounts its whole span — but HLL
+# registers ARE decomposable (merge = cell-wise MAX), so hourly
+# register partials roll into any window by re-aggregation, the same
+# base+delta shape as the incremental materialized view (12b) and how
+# Druid/ClickHouse serve windowed uniques. Register fan-out is
+# window_hours x the (sparse, <= m) per-hour register table — never
+# the event stream.
+
+HLL_WINDOW_HOURS = 6
+
+
+@register(
+    "sliding_distinct_users_hll",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS h,
+                   user_id
+            FROM events
+        ),
+        hours AS (SELECT DISTINCT event_type, h FROM ev),
+        regs AS (
+            SELECT event_type, h,
+                   ({H.affine_sql(H.str_code_sql("CAST(user_id AS VARCHAR)"), _HLL_A1, _HLL_B1)}
+                    % {HLL_M}) AS bucket,
+                   MAX({HLL_Y_BITS + 1} - {_hll_bitlen_sql(
+                       f"{H.affine_sql(H.str_code_sql('CAST(user_id AS VARCHAR)'), _HLL_A2, _HLL_B2)} % {1 << HLL_Y_BITS}"
+                   )}) AS m_j
+            FROM ev GROUP BY 1, 2, 3
+        ),
+        win_regs AS (
+            SELECT w.event_type, w.h AS window_end_h, r.bucket,
+                   MAX(r.m_j) AS m_j
+            FROM hours w
+            JOIN regs r
+              ON r.event_type = w.event_type
+             AND r.h BETWEEN w.h - {HLL_WINDOW_HOURS - 1} AND w.h
+            GROUP BY 1, 2, 3
+        ),
+        folded AS (
+            SELECT event_type, window_end_h,
+                   SUM(pow(2.0, -m_j)) + ({HLL_M} - COUNT(*)) AS s,
+                   {HLL_M} - COUNT(*) AS v
+            FROM win_regs GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT event_type, window_end_h,
+                   CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / s
+                       AS e_raw, v
+            FROM folded
+        ),
+        exact AS (
+            SELECT w.event_type, w.h AS window_end_h,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+            FROM hours w
+            JOIN ev e
+              ON e.event_type = w.event_type
+             AND e.h BETWEEN w.h - {HLL_WINDOW_HOURS - 1} AND w.h
+            GROUP BY 1, 2
+        )
+        SELECT x.event_type, CAST(x.window_end_h AS BIGINT) AS window_end_h,
+               x.exact_distinct,
+               ROUND(CASE WHEN e.e_raw <= 2.5 * {HLL_M} AND e.v > 0
+                          THEN {HLL_M} * ln({HLL_M} / e.v::DOUBLE)
+                          ELSE e.e_raw END, 4) AS hll_estimate
+        FROM exact x JOIN est e USING (event_type, window_end_h)
+        ORDER BY event_type, window_end_h
+    """,
+    doc=f"Sliding {HLL_WINDOW_HOURS}h distinct users per event type "
+    "from MERGEABLE hourly HLL register partials (Druid/ClickHouse "
+    "windowed-uniques shape): exact sliding distinct cannot reuse "
+    "partials (not decomposable), registers can (merge = MAX), so "
+    "each window re-aggregates window_hours sparse register tables "
+    "instead of recounting its event span. Exact windowed distinct "
+    "published as the comparison twin; same affine register "
+    "construction as hll_user_counts -> full oracle gate.",
+    tags=("sketch", "relational", "temporal"),
+)
+def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+        "user_id",
+    )
+    hours = ev.select("event_type", "h").distinct()
+    regs = hll_registers(
+        ev, H.str_code_col(F.col("user_id").cast("string")), "event_type", "h"
+    )
+    w, r = hours.alias("w"), regs.alias("r")
+    win_regs = (
+        w.join(
+            r,
+            (F.col("r.event_type") == F.col("w.event_type"))
+            & (F.col("r.h") >= F.col("w.h") - (HLL_WINDOW_HOURS - 1))
+            & (F.col("r.h") <= F.col("w.h")),
+        )
+        .groupBy(
+            F.col("w.event_type").alias("event_type"),
+            F.col("w.h").alias("window_end_h"),
+            F.col("r.bucket"),
+        )
+        .agg(F.max("r.m_j").alias("m_j"))
+    )
+    folded = win_regs.groupBy("event_type", "window_end_h").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+        ).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    e_raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("s")
+    est = folded.select(
+        "event_type",
+        "window_end_h",
+        F.round(
+            F.when(
+                (e_raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+                F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("v").cast("double")),
+            ).otherwise(e_raw),
+            4,
+        ).alias("hll_estimate"),
+    )
+    e = ev.alias("e")
+    exact = (
+        w.join(
+            e,
+            (F.col("e.event_type") == F.col("w.event_type"))
+            & (F.col("e.h") >= F.col("w.h") - (HLL_WINDOW_HOURS - 1))
+            & (F.col("e.h") <= F.col("w.h")),
+        )
+        .groupBy(
+            F.col("w.event_type").alias("event_type"),
+            F.col("w.h").alias("window_end_h"),
+        )
+        .agg(F.count_distinct("e.user_id").alias("exact_distinct"))
+    )
+    return (
+        exact.join(est, ["event_type", "window_end_h"])
+        .select("event_type", "window_end_h", "exact_distinct", "hll_estimate")
+        .orderBy("event_type", "window_end_h")
+    )

@@ -110,6 +110,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "curriculum_manifest",
     "events_quarantine",
     "bpe_train",
+    "sliding_distinct_users_hll",
 )
 
 

@@ -352,15 +352,31 @@ def elastic_sink(
     )
 
 
+LOCAL_INDEX_MAX_BATCH_ROWS = 100_000
+
+
 def local_index_sink(df: DataFrame, index_dir: str, doc_id_col: str, checkpoint: str):
     """Deterministic local stand-in for the ES index: upsert-by-id into a
     JSON-lines directory via foreachBatch (last write per id wins, like
     the reference's upsert output format). Used by tests; the production
-    path is `elastic_sink`."""
+    path is `elastic_sink`.
+
+    TEST-ONLY by construction: every batch is collected to the driver
+    and the whole file rewritten. The row-count guard makes that
+    contract loud — a job accidentally pointing a real stream here
+    fails immediately instead of silently melting the driver."""
     import json
     import os
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n > LOCAL_INDEX_MAX_BATCH_ROWS:
+            raise RuntimeError(
+                f"local_index_sink is a driver-collecting TEST stand-in; "
+                f"batch {batch_id} has {n} rows > "
+                f"{LOCAL_INDEX_MAX_BATCH_ROWS}. Use elastic_sink for "
+                "real streams."
+            )
         os.makedirs(index_dir, exist_ok=True)
         path = os.path.join(index_dir, "index.jsonl")
         docs: dict[str, dict] = {}
