@@ -2305,3 +2305,69 @@ def hourly_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- SCD2 state history -----------------------------------------------------
+
+
+@register(
+    "user_state_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   LAG(event_type) OVER w AS prev_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, state, ts AS valid_from
+            FROM ordered
+            WHERE prev_state IS NULL OR state <> prev_state
+        )
+        SELECT user_id, state, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
+               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+        ORDER BY user_id, valid_from
+    """,
+    doc="SCD2 dimension build (slowly-changing-dimension type 2): the "
+    "event log compacted into per-user validity intervals of their "
+    "event-type state — consecutive same-state events collapse, each "
+    "state change opens a [valid_from, valid_to) version row, the "
+    "open row is flagged current. The warehousing primitive that "
+    "point-in-time (as-of) joins consume; the as-of operator itself "
+    "is #10t. One shuffle on user_id, both windows reuse it; "
+    "deterministic (ts, event_id) ordering on both engines.",
+    tags=("relational", "temporal"),
+)
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select("user_id", "state", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changes.select(
+            "user_id",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            F.lead("valid_from").over(w2).isNull().alias("is_current"),
+            F.row_number().over(w2).cast("long").alias("version"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_quarantine",
     "bpe_train",
     "sliding_distinct_users_hll",
+    "user_state_history",
 )
 
 
