@@ -316,21 +316,28 @@ JOIN_EST_PAIRS = (
 )
 
 
-def _key_cells(df: DataFrame, key: str) -> DataFrame:
-    """(j, bucket, c) signed count-sketch grid of a key column."""
-    code = F.col(key)
+def _key_cells(counts: DataFrame) -> DataFrame:
+    """(j, bucket, c) signed count-sketch grid from a (k, c) per-key
+    count table. Building from the COUNT table rather than raw rows is
+    both exact (sum of per-occurrence signs == sign * count) and the
+    cheaper shape: the count table is the first map-side-combined
+    aggregate, so the 5x hash fan-out runs over distinct keys, not
+    every row — and the caller already needs the same table for the
+    published exact twin, so the scan is shared."""
+    code = F.col("k")
     rows = [
         F.struct(
             F.lit(j).alias("j"),
             (H.poly_col(code, pb) % F.lit(JS_W)).cast("int").alias("bucket"),
             (
-                F.lit(1) - F.lit(2) * (H.poly_col(code, ps) % F.lit(2))
+                (F.lit(1) - F.lit(2) * (H.poly_col(code, ps) % F.lit(2)))
+                * F.col("c")
             ).alias("s"),
         )
         for j, (pb, ps) in enumerate(zip(JS_BUCKET_POLYS, JS_SIGN_POLYS))
     ]
     return (
-        df.select(F.explode(F.array(*rows)).alias("r"))
+        counts.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.j", "r.bucket", "r.s")
         .groupBy("j", "bucket")
         .agg(F.sum("s").alias("c"))
@@ -341,9 +348,10 @@ def _cells_sql_for(table_name: str, key: str) -> str:
     parts = []
     for j, (pb, ps) in enumerate(zip(JS_BUCKET_POLYS, JS_SIGN_POLYS)):
         parts.append(
-            f"SELECT {j} AS j, ({H.poly_sql(key, pb)} % {JS_W}) AS bucket,"
-            f" SUM(1 - 2 * ({H.poly_sql(key, ps)} % 2)) AS c"
-            f" FROM {table_name} GROUP BY 2"
+            f"SELECT {j} AS j, ({H.poly_sql('k', pb)} % {JS_W}) AS bucket,"
+            f" SUM((1 - 2 * ({H.poly_sql('k', ps)} % 2)) * c) AS c"
+            f" FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table_name}"
+            f" GROUP BY 1) GROUP BY 2"
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -393,7 +401,7 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ca.join(cb.withColumnRenamed("c", "c2"), "k")
             .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("exact_size"))
         )
-        ga, gb = _key_cells(a, ka), _key_cells(b, kb)
+        ga, gb = _key_cells(ca), _key_cells(cb)
         est = (
             ga.join(
                 F.broadcast(gb.withColumnRenamed("c", "c2")), ["j", "bucket"]

@@ -2242,7 +2242,7 @@ XCORR_MAX_LAG = 2  # hours each side
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY type_a, type_b
-                ORDER BY ABS(xcorr) DESC, lag
+                ORDER BY ABS(xcorr) DESC NULLS LAST, lag
             ) AS rn
             FROM scored
         )
@@ -2290,8 +2290,10 @@ def hourly_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("va", "vb"), 6).alias("xcorr"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+    # explicit NULLS LAST: a constant series yields NULL corr, and the
+    # two engines must rank it identically
     w = Window.partitionBy("type_a", "type_b").orderBy(
-        F.abs(F.col("xcorr")).desc(), F.col("lag")
+        F.abs(F.col("xcorr")).desc_nulls_last(), F.col("lag")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
