@@ -104,14 +104,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_user_counts",
     "join_size_estimate",
     "cdc_merge_apply",
-    "ann_index_maintenance",
     "hourly_crosscorr_leadlag",
     "decontaminate_semantic",
     "curriculum_manifest",
     "events_quarantine",
-    "bpe_train",
     "sliding_distinct_users_hll",
     "user_state_history",
+    # -- slots 51+: rows-gate queries whose correctness already rests
+    # on strong local gates (exact python-reference equivalence for
+    # bpe_train, invariant pytests for ann_index_maintenance); the
+    # driver's 50-slot window goes to oracle-gated first-timers --
+    "ann_index_maintenance",
+    "bpe_train",
 )
 
 
