@@ -822,3 +822,77 @@ def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_dist_delta", 6).alias("mean_dist_delta"),
         F.coalesce(needs_refit, F.lit(False)).alias("needs_refit"),
     ).orderBy("cluster")
+
+
+# --- IVF index persistence --------------------------------------------------
+
+
+def save_ivf_index(
+    lists: DataFrame, cents: list[list[float]], path: str
+) -> None:
+    """Persist an IVF index in the serving layout: inverted lists as
+    parquet PARTITIONED BY cluster (probing nprobe cells then reads
+    only those directories — partition pruning does the cell
+    selection before any I/O), centroids as one tiny parquet.
+
+    This is the build-once/serve-many shape (FAISS write_index): the
+    expensive k-means fit amortizes over every later query batch, and
+    `ann_index_maintenance` decides when it must be redone."""
+    spark = lists.sparkSession
+    (
+        lists.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/lists")
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index: (inverted lists, centroids)."""
+    lists = spark.read.parquet(f"{path}/lists")
+    cents_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    return lists, [list(r.centroid) for r in cents_rows]
+
+
+def ivf_query(
+    lists: DataFrame,
+    cents: list[list[float]],
+    queries: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Probe an IVF index (fresh or loaded) with a query table
+    (vec_id, embedding): per query, exact cosine inside its nprobe
+    nearest cells, top-k. The cluster equi-join against the
+    cell-partitioned lists prunes partitions before scanning."""
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(ivf_probe_udf(cents, nprobe)("embedding")).alias("cluster"),
+    )
+    joined = probes.join(lists.alias("v"), "cluster").where(
+        F.col("query_id") != F.col("v.vec_id")
+    )
+    cos = _cos_udf()
+    scored = joined.select(
+        "query_id",
+        F.col("v.vec_id").alias("neighbor_id"),
+        F.round(cos(F.col("q_emb"), F.col("v.embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+    )

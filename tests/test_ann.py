@@ -184,3 +184,33 @@ def test_index_maintenance_flags_drifted_delta(spark):
     assert any(r.needs_refit for r in out), (
         "far-shifted delta batch did not trip needs_refit"
     )
+
+
+def test_ivf_index_save_load_serving_parity(spark, sf_small, tmp_path):
+    """Persisted index must answer queries identically to the fresh
+    build, and the serving layout must prune cell partitions."""
+    from mvrs_dspa_spark.operators.ann import (
+        QUERY_MOD,
+        build_ivf_index,
+        ivf_query,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    v = table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    lists, cents = build_ivf_index(v)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(lists, cents, path)
+    loaded_lists, loaded_cents = load_ivf_index(spark, path)
+    assert loaded_cents == [list(map(float, c)) for c in cents]
+
+    queries = v.where(F.col("vec_id") % QUERY_MOD == 0)
+    fresh = ivf_query(lists, cents, queries).collect()
+    served = ivf_query(loaded_lists, loaded_cents, queries).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in served]
+    assert len(served) > 0
+
+    # the cluster equi-join must reach the scan as a partition filter
+    plan = ivf_query(loaded_lists, loaded_cents, queries)._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
