@@ -87,6 +87,12 @@ EXTRA_QUERIES = [
     "user_rfm_segments",
     "hll_user_counts",
     "join_size_estimate",
+    # round 4 cont.: sketch-partial window rollup, SCD2 windows,
+    # MERGE-with-deletes, quality-staged manifest
+    "sliding_distinct_users_hll",
+    "user_state_history",
+    "cdc_merge_apply",
+    "curriculum_manifest",
 ]
 
 

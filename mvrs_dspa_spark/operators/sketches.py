@@ -523,20 +523,33 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll_registers(
         ev, H.str_code_col(F.col("user_id").cast("string")), "event_type", "h"
     )
-    w, r = hours.alias("w"), regs.alias("r")
+    # window membership via OFFSET EXPLODE, not a BETWEEN join: the
+    # range predicate would plan as a 5-key equi join (event_type) with
+    # the h-range as residual — a per-type nested loop over hours x
+    # registers (measured 5.9 s at sf0.1). Fanning each register out to
+    # the W windows it belongs to is linear (xW) and every join stays
+    # equi; the same trick as operators/range_join's bucket
+    # quantization. Targets with no events drop via the hours semi join.
+    off = F.explode(
+        F.sequence(F.lit(0), F.lit(HLL_WINDOW_HOURS - 1))
+    ).alias("k")
     win_regs = (
-        w.join(
-            r,
-            (F.col("r.event_type") == F.col("w.event_type"))
-            & (F.col("r.h") >= F.col("w.h") - (HLL_WINDOW_HOURS - 1))
-            & (F.col("r.h") <= F.col("w.h")),
+        regs.select("event_type", "h", "bucket", "m_j", off)
+        .select(
+            "event_type",
+            (F.col("h") + F.col("k")).alias("window_end_h"),
+            "bucket",
+            "m_j",
         )
-        .groupBy(
-            F.col("w.event_type").alias("event_type"),
-            F.col("w.h").alias("window_end_h"),
-            F.col("r.bucket"),
+        .join(
+            hours.select(
+                "event_type", F.col("h").alias("window_end_h")
+            ),
+            ["event_type", "window_end_h"],
+            "left_semi",
         )
-        .agg(F.max("r.m_j").alias("m_j"))
+        .groupBy("event_type", "window_end_h", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
     )
     folded = win_regs.groupBy("event_type", "window_end_h").agg(
         (
@@ -557,19 +570,26 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hll_estimate"),
     )
-    e = ev.alias("e")
+    # exact twin: same offset fan-out over the DISTINCT hourly user
+    # sets (pre-dedup before the x6 explode keeps the fan-out on the
+    # bounded per-hour distinct table, not the raw event stream)
+    hourly_users = ev.select("event_type", "h", "user_id").distinct()
     exact = (
-        w.join(
-            e,
-            (F.col("e.event_type") == F.col("w.event_type"))
-            & (F.col("e.h") >= F.col("w.h") - (HLL_WINDOW_HOURS - 1))
-            & (F.col("e.h") <= F.col("w.h")),
+        hourly_users.select("event_type", "h", "user_id", off)
+        .select(
+            "event_type",
+            (F.col("h") + F.col("k")).alias("window_end_h"),
+            "user_id",
         )
-        .groupBy(
-            F.col("w.event_type").alias("event_type"),
-            F.col("w.h").alias("window_end_h"),
+        .join(
+            hours.select(
+                "event_type", F.col("h").alias("window_end_h")
+            ),
+            ["event_type", "window_end_h"],
+            "left_semi",
         )
-        .agg(F.count_distinct("e.user_id").alias("exact_distinct"))
+        .groupBy("event_type", "window_end_h")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
     )
     return (
         exact.join(est, ["event_type", "window_end_h"])
