@@ -820,3 +820,76 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- asymmetric containment pairs ------------------------------------------
+
+CONTAINMENT_TAU = 0.8  # |A∩B| / |A| >= tau -> A is (near-)contained in B
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH items AS ({_DOC_SHINGLE_ITEMS_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS k
+            FROM items a JOIN items b
+              ON a.code = b.code AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(1.0 * k / sa.n, 6) AS containment_a_in_b,
+               ROUND(1.0 * k / sb.n, 6) AS containment_b_in_a
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 1.0 * k / sa.n >= {CONTAINMENT_TAU}
+           OR 1.0 * k / sb.n >= {CONTAINMENT_TAU}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Asymmetric near-containment pairs (Broder's containment "
+    "coefficient |A∩B|/|A|): catches quotes, reposts, and "
+    "boilerplate-wrapped copies that SYMMETRIC Jaccard misses — a "
+    "short doc fully embedded in a long one has tiny Jaccard but "
+    f"containment ~1. Pairs with either direction >= {CONTAINMENT_TAU} "
+    "via the same exact inverted-index shingle join as "
+    "ngram_jaccard_pairs (set sizes ride the exploded rows — no "
+    "per-doc broadcasts); at the web scale regime the identical "
+    "formula runs on the MinHash band candidates instead "
+    "(dedup_minhash_lsh machinery) with estimated sizes.",
+    tags=("dedup", "llm"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    items = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("code")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
+    )
+    c_ab = F.col("k").cast("double") / F.col("na")
+    c_ba = F.col("k").cast("double") / F.col("nb")
+    return (
+        inter.where((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -63,7 +63,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "activity_gini",
     "ann_ivf_pq",
     "ann_lsh_banded",
-    "ann_quality_report",
     "bpe_merge_pairs",
     "cms_heavy_hitters",
     "code_switch_report",
@@ -110,6 +109,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_quarantine",
     "sliding_distinct_users_hll",
     "user_state_history",
+    "dedup_containment",
+    "ann_quality_report",
     # -- slots 51+: rows-gate queries whose correctness already rests
     # on strong local gates (exact python-reference equivalence for
     # bpe_train, invariant pytests for ann_index_maintenance); the
