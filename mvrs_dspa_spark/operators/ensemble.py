@@ -220,3 +220,117 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- dedup method evaluation ------------------------------------------------
+
+
+def _exact_pairs_sql(tau: float) -> str:
+    from mvrs_dspa_spark.operators.dedup import _DOC_SHINGLE_ITEMS_SQL
+
+    return f"""
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS k,
+                   MIN(a.n) AS na, MIN(b.n) AS nb
+            FROM (SELECT i.doc_id, i.code, s.n
+                  FROM ({_DOC_SHINGLE_ITEMS_SQL}) i
+                  JOIN (SELECT doc_id, COUNT(*) AS n
+                        FROM ({_DOC_SHINGLE_ITEMS_SQL}) GROUP BY 1) s
+                    USING (doc_id)) a
+            JOIN (SELECT i.doc_id, i.code, s.n
+                  FROM ({_DOC_SHINGLE_ITEMS_SQL}) i
+                  JOIN (SELECT doc_id, COUNT(*) AS n
+                        FROM ({_DOC_SHINGLE_ITEMS_SQL}) GROUP BY 1) s
+                    USING (doc_id)) b
+              ON a.code = b.code AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        WHERE 1.0 * k / (na + nb - k) >= {tau}
+    """
+
+
+def _dedup_eval_oracle() -> str:
+    from mvrs_dspa_spark.functions import minhash as MH
+    from mvrs_dspa_spark.operators.dedup import (
+        _SIG_SQL,
+        BANDS,
+        N_HASHES,
+        NEAR_DUP_SIM,
+    )
+
+    mh_sql = f"""
+        SELECT c.id_a AS doc_a, c.id_b AS doc_b
+        FROM ({MH.candidate_pairs_sql(_SIG_SQL, "doc_id", N_HASHES, BANDS)}) c
+        JOIN ({_SIG_SQL}) sa ON sa.doc_id = c.id_a
+        JOIN ({_SIG_SQL}) sb ON sb.doc_id = c.id_b
+        WHERE {MH.est_similarity_sql(N_HASHES)} >= {NEAR_DUP_SIM}
+    """
+    return f"""
+        WITH mh AS ({mh_sql}),
+        ex AS ({_exact_pairs_sql(NEAR_DUP_SIM)}),
+        tp AS (SELECT COUNT(*) AS n FROM mh SEMI JOIN ex USING (doc_a, doc_b))
+        SELECT (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact,
+               (SELECT COUNT(*) FROM mh)::BIGINT AS n_minhash,
+               (SELECT n FROM tp)::BIGINT AS n_true_positive,
+               ROUND((SELECT n FROM tp)
+                     / NULLIF((SELECT COUNT(*) FROM mh), 0)::DOUBLE, 6)
+                   AS precision,
+               ROUND((SELECT n FROM tp)
+                     / NULLIF((SELECT COUNT(*) FROM ex), 0)::DOUBLE, 6)
+                   AS recall
+    """
+
+
+@register(
+    "dedup_method_eval",
+    oracle=_dedup_eval_oracle(),
+    doc="Dedup-method evaluation: precision/recall of the production "
+    "MinHash+LSH pipeline against the EXACT shingle-Jaccard ground "
+    "truth at the same 0.5 threshold — the decision-ready summary the "
+    "per-decile minhash_calibration feeds ('is the approximate path "
+    "good enough to replace the exact one on this corpus?'). Both "
+    "sides' definitions are the already-oracle-proven engine-portable "
+    "constructions, so even an EVALUATION OF AN APPROXIMATION "
+    "hash-matches across engines. Ground-truth pair volume is the "
+    "exact inverted-index join (bounded like ngram_jaccard_pairs); "
+    "the MinHash side is the banded candidate join.",
+    tags=("dedup", "validation", "llm"),
+)
+def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.operators.dedup import (
+        NEAR_DUP_SIM,
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # exact ground truth at the SAME threshold the minhash path targets
+    ex = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= NEAR_DUP_SIM)
+        .select("doc_a", "doc_b")
+    )
+    tp = mh.join(ex, ["doc_a", "doc_b"], "left_semi")
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_tp = tp.agg(F.count(F.lit(1)).alias("n_true_positive"))
+    return (
+        n_ex.crossJoin(F.broadcast(n_mh))
+        .crossJoin(F.broadcast(n_tp))
+        .select(
+            "n_exact",
+            "n_minhash",
+            "n_true_positive",
+            F.round(
+                F.col("n_true_positive")
+                / F.nullif(F.col("n_minhash"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_true_positive")
+                / F.nullif(F.col("n_exact"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

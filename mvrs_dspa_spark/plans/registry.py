@@ -69,7 +69,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_mixture_report",
     "cross_source_dup_matrix",
     "doc_bigram_logprob",
-    "embedding_pq",
     "event_value_equidepth_histogram",
     "events_profile",
     "hourly_changepoint_cusum",
@@ -110,6 +109,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sliding_distinct_users_hll",
     "user_state_history",
     "dedup_containment",
+    "dedup_method_eval",
+    "embedding_pq",
     "ann_quality_report",
     # -- slots 51+: rows-gate queries whose correctness already rests
     # on strong local gates (exact python-reference equivalence for

@@ -28,6 +28,7 @@ _NONEMPTY_ON_EMPTY = {
     "join_key_skew_report": 3,  # one scalar summary row per key column
     "activity_gini": 1,  # scalar aggregate: one summary row
     "join_size_estimate": 3,  # one NULL-sized summary row per join pair
+    "dedup_method_eval": 1,  # scalar aggregate: one all-zero/NULL row
     "q14_promo_revenue_share": 1,
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,

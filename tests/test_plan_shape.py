@@ -48,6 +48,7 @@ _SCALAR_BNLJ_OK = {
     "events_snapshot_diff",  # 1-row time-range scalar broadcast
     "join_size_estimate",  # 1-row exact x 1-row estimate scalar joins
     "cdc_merge_apply",  # 1-row time-range scalar broadcast
+    "dedup_method_eval",  # three 1-row count scalars cross-joined
     "hourly_crosscorr_leadlag",  # 5-row lag-offset broadcast fan-out
     "decontaminate_semantic",  # bounded benchmark-suite broadcast
     "curriculum_manifest",  # 1-row quartile-edges scalar broadcast
