@@ -2373,3 +2373,70 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# --- sequence pattern matching (MATCH_RECOGNIZE analog) ---------------------
+
+# c=click e=error p=purchase s=signup v=view
+EVENT_PATTERN = "ce+p"  # click, 1+ errors, then purchase: error-struggle buy
+
+
+@register(
+    "event_pattern_matches",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(seq, '{EVENT_PATTERN}'))
+                    AS BIGINT) AS n_matches
+        FROM seqs
+        WHERE regexp_matches(seq, '{EVENT_PATTERN}')
+        ORDER BY user_id
+    """,
+    doc="Batch row-pattern matching (SQL-2016 MATCH_RECOGNIZE / "
+    "Flink-CEP batch analog, complementing the streaming CEP funnel "
+    f"29u): users whose ordered event sequence matches '{EVENT_PATTERN}' "
+    "(click, one-or-more errors, then purchase — the error-struggle "
+    "conversion), with the non-overlapping match count. Each user's "
+    "history compresses to a single type-initial STRING once (ordered "
+    "collect, one shuffle) and the pattern runs as a regex over that "
+    "string — per-user state is bytes, the regex engine does the NFA "
+    "work, and any regex over the event alphabet is expressible "
+    "without new operator code.",
+    tags=("analytics", "temporal"),
+)
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # (ts, event_id, chr) structs sort lexicographically = ORDER BY
+    # ts, event_id; the initial rides along
+    item = F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("items"), lambda x: x["c"]), ""
+            ).alias("seq"),
+        )
+    )
+    return (
+        seqs.where(F.col("seq").rlike(EVENT_PATTERN))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.regexp_count(F.col("seq"), F.lit(EVENT_PATTERN))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .orderBy("user_id")
+    )

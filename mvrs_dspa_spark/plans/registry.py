@@ -110,12 +110,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_state_history",
     "dedup_containment",
     "dedup_method_eval",
+    "event_pattern_matches",
     "embedding_pq",
     "ann_quality_report",
     # -- slots 51+: rows-gate queries whose correctness already rests
     # on strong local gates (exact python-reference equivalence for
-    # bpe_train, invariant pytests for ann_index_maintenance); the
-    # driver's 50-slot window goes to oracle-gated first-timers --
+    # bpe_train, numpy parity for embedding_pq, invariant pytests for
+    # the others); the driver's 50-slot window goes to oracle-gated
+    # first-timers. ROUND-5 ROTATION: move these four to the front,
+    # then rotate the long-stable r2-green block through the
+    # remaining slots. --
     "ann_index_maintenance",
     "bpe_train",
 )
