@@ -93,6 +93,11 @@ EXTRA_QUERIES = [
     "user_state_history",
     "cdc_merge_apply",
     "curriculum_manifest",
+    # round 4 final: containment pairs, MATCH_RECOGNIZE analog,
+    # approximate-vs-exact dedup eval
+    "dedup_containment",
+    "event_pattern_matches",
+    "dedup_method_eval",
 ]
 
 

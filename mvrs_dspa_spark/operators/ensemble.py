@@ -294,7 +294,11 @@ def _dedup_eval_oracle() -> str:
     "constructions, so even an EVALUATION OF AN APPROXIMATION "
     "hash-matches across engines. Ground-truth pair volume is the "
     "exact inverted-index join (bounded like ngram_jaccard_pairs); "
-    "the MinHash side is the banded candidate join.",
+    "the MinHash side is the banded candidate join. Cost is by "
+    "construction the SUM of both pipelines — at 100 TB this eval "
+    "runs on a deterministic doc-hash sample (doc_id %% K), which "
+    "preserves unbiased precision/recall; the full-corpus form here "
+    "is what the oracle can verify exactly.",
     tags=("dedup", "validation", "llm"),
 )
 def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
