@@ -896,3 +896,130 @@ def ivf_query(
         .select("query_id", "neighbor_id", "cos_sim")
         .orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
     )
+
+
+# --- kNN probe evaluation ---------------------------------------------------
+
+KNN_K = 5  # neighbors voting per probe
+
+
+@register(
+    "knn_label_eval",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM v
+              WHERE vec_id % {QUERY_MOD} = 0
+                AND vec_id < {QUERY_MOD * MAX_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   v.label AS n_label,
+                   ROUND({_dot_sql('q.embedding', 'v.embedding')}
+                         / (q.nrm * v.nrm), 6) AS cos_sim,
+                   v.vec_id AS neighbor_id
+            FROM q JOIN v ON q.vec_id <> v.vec_id
+        ),
+        topk AS (
+            SELECT query_id, true_label, n_label
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM scored
+            )
+            WHERE rn <= {KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, n_label, COUNT(*) AS c
+            FROM topk GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT query_id, true_label, n_label AS pred_label
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY c DESC, n_label) AS rn
+                FROM votes
+            )
+            WHERE rn = 1
+        )
+        SELECT CAST(true_label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(count_if(pred_label = true_label) AS BIGINT)
+                   AS n_correct,
+               ROUND(count_if(pred_label = true_label)
+                     / COUNT(*)::DOUBLE, 6) AS accuracy
+        FROM pred
+        GROUP BY true_label
+        ORDER BY label
+    """,
+    doc=f"kNN probe evaluation (the standard embedding-quality metric: "
+    f"majority vote of the {KNN_K} nearest cosine neighbors vs the "
+    "held-out probe's own label, per-class accuracy). Exercises the "
+    "labeled embeddings column end-to-end; deterministic neighbor "
+    "sets (rounded similarity + id tiebreak) and vote tiebreak "
+    "(count desc, label asc) make even a CLASSIFIER oracle-gated. "
+    "Same broadcast-probe bound as ann_cosine_topk (<= 1024 probes "
+    "against the scan); at corpus scale the identical vote runs on "
+    "the IVF shortlist instead of the flat scan.",
+    tags=("ann", "validation", "llm"),
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = v.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    )
+    qa, vb = q.alias("q"), v.alias("v")
+    cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
+        F.col("q.nrm") * F.col("v.nrm")
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("true_label"),
+            F.col("v.label").alias("n_label"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    correct = F.count_if(F.col("pred_label") == F.col("true_label"))
+    return (
+        pred.groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            correct.alias("n_correct"),
+            F.round(correct / F.count(F.lit(1)).cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )

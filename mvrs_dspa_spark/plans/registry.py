@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "dedup_method_eval",
     "event_pattern_matches",
+    "knn_label_eval",
     "embedding_pq",
     "ann_quality_report",
     # -- slots 51+: rows-gate queries whose correctness already rests
