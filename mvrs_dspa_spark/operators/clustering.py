@@ -253,3 +253,102 @@ def unusual_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- external clustering evaluation (purity / NMI) --------------------------
+
+
+@register(
+    "kmeans_label_agreement",
+    oracle=None,  # k-means is iterative/driver-seeded; invariants +
+    # perfect-recovery pytest gate instead (tests/test_clustering.py)
+    doc="External clustering evaluation against the labeled "
+    "embeddings: purity (each cluster votes its majority label) and "
+    "normalized mutual information sqrt-form (Strehl & Ghosh 2002) "
+    "between the k-means partition and the label partition — the "
+    "companion readout to the kNN probe (#99): do the clusters the "
+    "engine finds align with the supervision? The contingency table "
+    "is k x |labels| (bounded), so everything after the assignment "
+    "scan is constant-sized; entropies/MI computed from that table "
+    "with NULL-safe log guards. Chance-level on the synthetic "
+    "labels — pinned to recover purity=NMI=1 on separable data.",
+    tags=("clustering", "validation", "rows_gate"),
+)
+def kmeans_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return label_agreement_report(emb, "embedding", "label")
+
+
+def label_agreement_report(
+    df: DataFrame, vec_col: str, label_col: str, k: int = K
+) -> DataFrame:
+    """(n, k, n_labels, purity, nmi) for k-means clusters vs labels."""
+    cents = kmeans_fit(df, vec_col, k=k, iters=ITERS, id_col="vec_id")
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], "n long, k int, n_labels long, purity double, nmi double"
+        )
+    assigned = assign_clusters(df, vec_col, cents).select(
+        "cluster", F.col(label_col).alias("lbl")
+    )
+    # bounded contingency table: k x |labels| cells
+    ct = assigned.groupBy("cluster", "lbl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = ct.agg(F.sum("c").alias("n"))
+    row_m = ct.groupBy("cluster").agg(F.sum("c").alias("rc"))
+    col_m = ct.groupBy("lbl").agg(F.sum("c").alias("lc"))
+    purity = (
+        ct.groupBy("cluster")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").alias("s"))
+    )
+    joint = (
+        ct.join(row_m, "cluster")
+        .join(col_m, "lbl")
+        .crossJoin(F.broadcast(n))
+    )
+    # I(C;L) = sum p_ij * log(n * c_ij / (rc * lc))
+    mi_term = (F.col("c") / F.col("n")) * F.log(
+        F.col("n").cast("double")
+        * F.col("c")
+        / (F.col("rc") * F.col("lc"))
+    )
+    mi = joint.agg(F.sum(mi_term).alias("mi"))
+    h_c = (
+        row_m.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum((F.col("rc") / F.col("n")) * F.log(F.col("rc") / F.col("n"))))
+            .alias("h")
+        )
+    )
+    h_l = (
+        col_m.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum((F.col("lc") / F.col("n")) * F.log(F.col("lc") / F.col("n"))))
+            .alias("h")
+        )
+    )
+    n_lbl = col_m.agg(F.count(F.lit(1)).alias("n_labels"))
+    return (
+        n.crossJoin(F.broadcast(purity))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(n_lbl))
+        .crossJoin(F.broadcast(h_c.withColumnRenamed("h", "hc")))
+        .crossJoin(F.broadcast(h_l.withColumnRenamed("h", "hl")))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+            F.round(F.col("s") / F.col("n").cast("double"), 6).alias("purity"),
+            F.round(
+                F.col("mi")
+                / F.nullif(
+                    F.sqrt(F.col("hc") * F.col("hl")), F.lit(0.0)
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

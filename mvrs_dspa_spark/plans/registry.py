@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # remaining slots. --
     "ann_index_maintenance",
     "bpe_train",
+    "kmeans_label_agreement",
 )
 
 

@@ -82,3 +82,44 @@ def test_ensure_k_no_op_when_all_clusters_populated():
     before = [list(c) for c in cents]
     C._split_empty_clusters(cents, counts)
     assert cents == before and counts == [5, 5]
+
+
+def test_label_agreement_perfect_on_separable_data(spark):
+    """Four well-separated label-aligned blobs: k=4 k-means must
+    recover them exactly -> purity == nmi == 1."""
+    import random
+
+    from mvrs_dspa_spark.operators.clustering import label_agreement_report
+
+    rng = random.Random(11)
+    rows = []
+    for lbl in range(4):
+        center = [50.0 * lbl] * 4
+        for i in range(60):
+            # interleaved ids: the deterministic lowest-id init then
+            # seeds one centroid inside each blob
+            rows.append(
+                (
+                    i * 4 + lbl,
+                    lbl,
+                    [c + rng.uniform(-1, 1) for c in center],
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    r = label_agreement_report(df, "embedding", "label", k=4).collect()[0]
+    assert r.n == 240 and r.n_labels == 4
+    assert r.purity == 1.0
+    assert r.nmi == 1.0
+
+
+def test_label_agreement_bounded_and_deterministic(spark, sf_small):
+    from mvrs_dspa_spark.operators.clustering import kmeans_label_agreement
+
+    a = kmeans_label_agreement(spark, sf_small).collect()
+    b = kmeans_label_agreement(spark, sf_small).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    r = a[0]
+    assert 0.0 <= r.purity <= 1.0
+    assert -1e-9 <= r.nmi <= 1.0 + 1e-9

@@ -50,6 +50,7 @@ _SCALAR_BNLJ_OK = {
     "cdc_merge_apply",  # 1-row time-range scalar broadcast
     "dedup_method_eval",  # three 1-row count scalars cross-joined
     "knn_label_eval",  # broadcast probe set (same bound as topk)
+    "kmeans_label_agreement",  # bounded contingency-table scalars
     "hourly_crosscorr_leadlag",  # 5-row lag-offset broadcast fan-out
     "decontaminate_semantic",  # bounded benchmark-suite broadcast
     "curriculum_manifest",  # 1-row quartile-edges scalar broadcast
