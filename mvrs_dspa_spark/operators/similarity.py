@@ -741,3 +741,132 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "rank")
     )
+
+
+# --- label-propagation community detection ---------------------------------
+
+LPA_ROUNDS = 8
+
+
+def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected weighted edge list (src, dst, support): every node
+    starts as its own community, then each round adopts the label
+    with the max total incident support among its neighbors
+    (deterministic tiebreak: smallest label). Bounded rounds instead
+    of convergence detection — LPA can oscillate, and at 100 TB a
+    fixed small round count over the vocabulary-bounded edge list is
+    the operable contract (each round = one join + one aggregation,
+    localCheckpoint cuts the lineage like PageRank/CC)."""
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src"), F.col("community"))
+            .agg(F.sum("support").alias("w"))
+        )
+        win = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("community")
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Newman modularity Q of a partition over the undirected edge
+    list (each undirected edge appears in BOTH directions):
+    Q = sum_c [ in_c / 2m - (deg_c / 2m)^2 ]. Runs entirely on the
+    community-bounded aggregates."""
+    deg = edges.groupBy("src").agg(F.sum("support").alias("deg"))
+    two_m = deg.agg(F.sum("deg").alias("m2"))
+    lab = labels.withColumnRenamed("node", "src")
+    within = (
+        edges.join(lab, "src")
+        .join(
+            labels.select(
+                F.col("node").alias("dst"),
+                F.col("community").alias("c2"),
+            ),
+            "dst",
+        )
+        .where(F.col("community") == F.col("c2"))
+        .groupBy("community")
+        .agg(F.sum("support").alias("w_in"))
+    )
+    deg_c = (
+        deg.join(lab.select("src", "community"), "src")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("deg_c"))
+    )
+    row = (
+        deg_c.join(within, "community", "left")
+        .crossJoin(F.broadcast(two_m))
+        .agg(
+            F.sum(
+                F.coalesce("w_in", F.lit(0)) / F.col("m2")
+                - F.pow(F.col("deg_c") / F.col("m2"), F.lit(2.0))
+            ).alias("q")
+        )
+        .collect()
+    )
+    return float(row[0].q) if row and row[0].q is not None else 0.0
+
+
+@register(
+    "item_communities_lpa",
+    oracle=None,  # iterative fixed-round propagation; invariants +
+    # clique-recovery pytest gate (tests/test_lpa.py)
+    doc=f"Label-propagation communities (Raghavan 2007, {LPA_ROUNDS} "
+    "synchronous rounds, max-incident-support adoption with smallest-"
+    "label tiebreak) over the same scale-invariant co-occurrence "
+    "edges as item_pagerank, with the partition's Newman modularity "
+    "published alongside — the community-structure companion to the "
+    "centrality (#20d) and triangle (#20c) views of the item graph. "
+    "Each round is one vocabulary-bounded join+agg; disjoint-clique "
+    "recovery and modularity bounds are pytest-pinned.",
+    tags=("similarity", "graph", "rows_gate"),
+)
+def item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = items.alias("a"), items.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_users))
+        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
+        .select("i", "j", "support")
+    )
+    edges = e0.selectExpr("i AS src", "j AS dst", "support").unionAll(
+        e0.selectExpr("j AS src", "i AS dst", "support")
+    )
+    labels = lpa_communities(edges)
+    q = modularity(edges, labels)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        labels.join(sizes, "community")
+        .select(
+            F.col("node").alias("item"),
+            "community",
+            "community_size",
+            F.round(F.lit(q), 6).alias("modularity"),
+        )
+        .orderBy("item")
+    )

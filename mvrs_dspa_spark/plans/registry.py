@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_index_maintenance",
     "bpe_train",
     "kmeans_label_agreement",
+    "item_communities_lpa",
 )
 
 
