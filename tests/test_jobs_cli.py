@@ -112,3 +112,36 @@ def test_curation_cli_end_to_end(spark, tmp_path):
     res = spark.read.parquet(out)
     assert res.count() > 0
     assert {"doc_id", "quality_score", "content_key"} <= set(res.columns)
+
+
+def _run_query_cli(args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "mvrs_dspa_spark.run", *args],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_query_runner_list_and_execute(spark, tmp_path):
+    r = _run_query_cli(["--list", "--tag", "sketch"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hll_user_counts" in r.stdout
+    assert "cms_heavy_hitters" in r.stdout
+
+    out = str(tmp_path / "q1")
+    r = _run_query_cli(
+        ["q1_pricing_summary", "--sf-dir", SF, "--out", out, "--explain"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rows ->" in r.stdout
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+
+
+def test_query_runner_suggests_near_match():
+    r = _run_query_cli(["q1_pricing_sumary"])
+    assert r.returncode == 2
+    assert "did you mean" in r.stderr
+    assert "q1_pricing_summary" in r.stderr
