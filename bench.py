@@ -94,10 +94,13 @@ EXTRA_QUERIES = [
     "cdc_merge_apply",
     "curriculum_manifest",
     # round 4 final: containment pairs, MATCH_RECOGNIZE analog,
-    # approximate-vs-exact dedup eval
+    # approximate-vs-exact dedup eval, supervised/graph evaluations
     "dedup_containment",
     "event_pattern_matches",
     "dedup_method_eval",
+    "knn_label_eval",
+    "kmeans_label_agreement",
+    "item_communities_lpa",
 ]
 
 
