@@ -54,77 +54,85 @@ def register(
 # and queries first registered this round go first; stable r2-green queries
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-4 rotation: the 35 queries never driver-verified in
-    # r1-r3 (all late round-3 additions), plus embedding_quantize
-    # whose codes column was re-serialized this round after the r3
-    # driver FAIL. Stable hash-green queries rotate to the back. --
-    "embedding_quantize",
-    "ab_test_report",
-    "activity_gini",
-    "ann_ivf_pq",
-    "ann_lsh_banded",
-    "bpe_merge_pairs",
-    "cms_heavy_hitters",
-    "code_switch_report",
-    "corpus_mixture_report",
-    "cross_source_dup_matrix",
-    "doc_bigram_logprob",
-    "event_value_equidepth_histogram",
-    "events_profile",
-    "hourly_changepoint_cusum",
-    "hourly_value_autocorrelation",
-    "hybrid_search",
-    "incremental_hourly_rollup",
-    "interarrival_profile",
-    "item_pagerank",
-    "join_key_skew_report",
-    "k_anonymity_report",
-    "mad_value_outliers",
-    "minhash_calibration",
-    "multi_step_funnel",
-    "negative_samples",
-    "prefix_jaccard_join",
-    "props_key_profile",
-    "session_attribution",
-    "source_token_divergence",
-    "temporal_split",
-    "user_decayed_activity",
-    "value_drift_ks",
-    "value_drift_psi",
-    "winsorized_value_stats",
-    # -- round-4 new registrations fill the remaining slots (added as
-    # they land, keeping the first-50 window on first-time names) --
-    "user_rfm_segments",
-    "event_dow_chisq",
-    "bigram_pmi",
-    "script_profile",
-    "events_snapshot_diff",
-    "hll_user_counts",
-    "join_size_estimate",
-    "cdc_merge_apply",
-    "hourly_crosscorr_leadlag",
-    "decontaminate_semantic",
-    "curriculum_manifest",
-    "events_quarantine",
-    "sliding_distinct_users_hll",
-    "user_state_history",
-    "dedup_containment",
-    "dedup_method_eval",
+    # -- round-5 rotation: the 8 queries never driver-verified in any
+    # round lead (the round-4 registration list overflowed the 50-slot
+    # window before these late additions). The two oracle-gated ones
+    # come first. After this round every query ever registered has a
+    # driver result. --
     "event_pattern_matches",
     "knn_label_eval",
     "embedding_pq",
     "ann_quality_report",
-    # -- slots 51+: rows-gate queries whose correctness already rests
-    # on strong local gates (exact python-reference equivalence for
-    # bpe_train, numpy parity for embedding_pq, invariant pytests for
-    # the others); the driver's 50-slot window goes to oracle-gated
-    # first-timers. ROUND-5 ROTATION: move these four to the front,
-    # then rotate the long-stable r2-green block through the
-    # remaining slots. --
     "ann_index_maintenance",
     "bpe_train",
     "kmeans_label_agreement",
     "item_communities_lpa",
+    # -- round-5 new registrations (appended as they land, so
+    # first-time names stay inside the 50-slot window) --
+    "rfm_segment_counts",
+    "graph_degree_stats",
+    "orders_cdf_quantiles",
+    "top2_share_per_type",
+    "haversine_store_assignment",
+    "user_lifecycle_stages",
+    "theta_sketch_distinct_union",
+    "value_ttest_by_type",
+    "seasonal_hour_profile",
+    "entity_resolution_blocking",
+    "doc_stopword_entropy",
+    "reservoir_sample_events",
+    "conditional_entropy_transitions",
+    "benford_value_audit",
+    "tdigest_value_quantiles",
+    "anomaly_mahalanobis_2d",
+    "dedup_minhash_lsh",  # shared-scan refactor this round (see dedup.py)
+    "dedup_method_eval",  # shared shingle scan refactor this round
+    "join_size_estimate",  # single-job union rebuild this round
+    # -- regression re-sweep: the longest-unverified hash-green rows
+    # (last checked r2) fill the remaining slots, oldest first --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "top_user_per_type",
+    "customers_without_orders",
+    "event_user_counts",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_supplier",
+    "q22_idle_rich_customers",
+    "q4_late_shipping_priority",
+    "q8_market_share",
+    "q11_concentrated_part_value",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_bulk_bolt_suppliers",
+    "click_purchase_asof",
+    "event_rollup_hierarchy",
+    "user_value_moving_avg",
+    "event_value_percentiles",
+    "latest_events_snapshot",
+    "activity_ledger",
+    "dedup_exact",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "ann_cosine_topk",
+    "pii_scrub",
+    "doc_repetition",
+    "decontaminate",
+    "chunk_documents",
+    "boilerplate_ngrams",
+    "dedup_clusters",
+    "dedup_incremental",
 )
 
 
