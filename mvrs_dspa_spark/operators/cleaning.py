@@ -230,3 +230,99 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", dist.cast("int").alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+# --- entity-resolution blocking-strategy report ----------------------------
+
+_BLOCK_LEN_BUCKET = 8
+
+# strategy name -> (DuckDB key expr, Spark key builder) over p_name
+_BLOCK_STRATEGIES_SQL = {
+    "first_token": "string_split(p_name, ' ')[1]",
+    "last_token": "string_split(p_name, ' ')[-1]",
+    f"len_bucket{_BLOCK_LEN_BUCKET}": (
+        f"CAST(length(p_name) // {_BLOCK_LEN_BUCKET} AS VARCHAR)"
+    ),
+}
+
+
+def _block_key_col(strategy: str) -> F.Column:
+    if strategy == "first_token":
+        return F.element_at(F.split("p_name", " "), 1)
+    if strategy == "last_token":
+        return F.element_at(F.split("p_name", " "), -1)
+    return F.floor(F.length("p_name") / _BLOCK_LEN_BUCKET).cast("string")
+
+
+@register(
+    "entity_resolution_blocking",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT * FROM (
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            blocks AS (
+                SELECT {expr} AS bkey, COUNT(*) AS b
+                FROM names GROUP BY 1
+            )
+            SELECT '{name}' AS strategy,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM names) AS n_names,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(MAX(b) AS BIGINT) AS max_block_size,
+                   CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_pairs,
+                   ROUND(1.0 - SUM(b * (b - 1) // 2)
+                         / ((SELECT COUNT(*) FROM names)
+                            * ((SELECT COUNT(*) FROM names) - 1) // 2)::DOUBLE,
+                         6) AS reduction_ratio
+            FROM blocks
+        )
+        """
+        for name, expr in _BLOCK_STRATEGIES_SQL.items()
+    )
+    + "\nORDER BY strategy",
+    doc="Blocking-strategy evaluation for entity resolution (the "
+    "planning step BEFORE the fuzzy_name_pairs join, #70): for each "
+    "candidate blocking key over the distinct part-name vocabulary — "
+    "first token, last token, length bucket — the block-size "
+    "distribution, the candidate-pair volume sum(b*(b-1)/2) it would "
+    "generate, and the reduction ratio vs the full cross product "
+    "(Christen 2012's standard metrics). All integer arithmetic; the "
+    "corpus-sized work is the one DISTINCT, each strategy then scans "
+    "the bounded vocabulary.",
+    tags=("cleaning", "validation"),
+)
+def entity_resolution_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    # the distinct-name vocabulary is re-read per strategy; checkpoint
+    # once so the corpus-sized distinct runs once (same idiom as the
+    # triangle query's edge reuse)
+    names = names.localCheckpoint(eager=False)
+    n_names = names.agg(F.count(F.lit(1)).alias("n_names"))
+    out = None
+    for strategy in _BLOCK_STRATEGIES_SQL:
+        blocks = names.groupBy(
+            _block_key_col(strategy).alias("bkey")
+        ).agg(F.count(F.lit(1)).alias("b"))
+        pairs = F.sum(F.expr("b * (b - 1) div 2"))
+        row = (
+            blocks.agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.max("b").alias("max_block_size"),
+                pairs.alias("cand_pairs"),
+            )
+            .crossJoin(F.broadcast(n_names))
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "n_names",
+                "n_blocks",
+                "max_block_size",
+                "cand_pairs",
+                F.round(
+                    1.0
+                    - F.col("cand_pairs")
+                    / F.expr("n_names * (n_names - 1) div 2").cast("double"),
+                    6,
+                ).alias("reduction_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("strategy")

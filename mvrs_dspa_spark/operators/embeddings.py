@@ -347,13 +347,20 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_fit(emb)
     if books is None:
         return spark.createDataFrame(
-            [], "vec_id long, codes array<int>, recon_mse double"
+            [], "vec_id long, codes string, recon_mse double"
         )
     return (
         pq_encode(emb, books)
         .select(
             "vec_id",
-            F.col("_pq.codes").alias("codes"),
+            # Serialized flat (comma-joined), not array<int>: the external
+            # driver canonicalizes through pandas sort_values, which cannot
+            # hash list cells (this exact class went red for
+            # embedding_quantize in r3 and for this query in r5). The array
+            # form stays available on the library surface (pq_encode).
+            F.array_join(
+                F.col("_pq.codes").cast("array<string>"), ","
+            ).alias("codes"),
             F.round(F.col("_pq.mse"), 6).alias("recon_mse"),
         )
         .orderBy("vec_id")

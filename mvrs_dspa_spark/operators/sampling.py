@@ -445,3 +445,62 @@ def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- deterministic bottom-k "reservoir" sample -----------------------------
+
+RESERVOIR_K = 100
+_RES_AB = H.hash_params(1, seed=8181)[0]
+
+
+@register(
+    "reservoir_sample_events",
+    oracle=f"""
+        WITH pri AS (
+            SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
+                   {H.affine_sql("event_id", *_RES_AB)} AS priority
+            FROM events
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, event_id)
+                    AS INTEGER) AS sample_rank,
+               event_id, user_id, event_type, value,
+               CAST(priority AS BIGINT) AS priority
+        FROM pri
+        ORDER BY priority, event_id
+        LIMIT {RESERVOIR_K}
+    """,
+    doc="Fixed-size uniform sample without replacement via bottom-k "
+    "priorities: each row's priority is the affine hash of its id (a "
+    "bijection of [0, P), so the k smallest are a uniform k-subset), "
+    "keep the k smallest. This is the DISTRIBUTED form of reservoir "
+    "sampling: hash priorities are stable under any partitioning, "
+    "re-execution, and data arrival order — Vitter's sequential "
+    "algorithm R needs a single ordered pass, bottom-k needs only a "
+    "per-partition top-k (TakeOrderedAndProject: no global sort, no "
+    "shuffle of non-sample rows) and a k-row merge; the mergeability "
+    "is also what makes it a one-pass streaming sketch. Oracle-exact "
+    "because the priorities are engine-portable integers.",
+    tags=("sampling", "sketch", "llm"),
+)
+def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pri = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        H.affine_col(F.col("event_id"), *_RES_AB).alias("priority"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows); the rank window then runs on the
+    # k-row result, not the corpus
+    sample = pri.orderBy("priority", "event_id").limit(RESERVOIR_K)
+    w = Window.orderBy("priority", "event_id")
+    return sample.select(
+        F.row_number().over(w).alias("sample_rank"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "priority",
+    )

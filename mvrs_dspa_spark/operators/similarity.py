@@ -870,3 +870,76 @@ def item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# --- co-occurrence graph degree statistics ---------------------------------
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+        WITH items AS ({_ITEMS_SQL}),
+        u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM items),
+        edges AS (
+            SELECT a.item AS i, b.item AS j, COUNT(*) AS support
+            FROM items a
+            JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= (SELECT {TRI_SUPPORT_FRAC} * n_users FROM u)
+        ),
+        degrees AS (
+            SELECT node, COUNT(*) AS degree, SUM(support) AS strength
+            FROM (SELECT i AS node, support FROM edges
+                  UNION ALL
+                  SELECT j AS node, support FROM edges)
+            GROUP BY node
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(AVG(strength), 4) AS avg_strength,
+               CAST(MIN(node) AS BIGINT) AS example_item
+        FROM degrees
+        GROUP BY degree
+        ORDER BY degree
+    """,
+    doc="Degree distribution of the item co-occurrence graph (same "
+    "support-thresholded edge set as the triangle query #20c): per "
+    "degree, how many items have it, their mean strength (summed edge "
+    "support), and a deterministic example node — the shape check "
+    "(hub-and-spoke vs uniform) run before committing to PageRank or "
+    "community rounds on a graph. Edges are vocabulary-bounded after "
+    "one corpus aggregation; degrees come from a union fan-out of the "
+    "bounded edge list (2|E| rows), never corpus data.",
+    tags=("similarity", "graph"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items_df(spark, sf_dir)
+    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_users))
+        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
+        .select("i", "j", "support")
+    )
+    ends = edges.select(
+        F.col("i").alias("node"), "support"
+    ).unionByName(edges.select(F.col("j").alias("node"), "support"))
+    degrees = ends.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree"), F.sum("support").alias("strength")
+    )
+    return (
+        degrees.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("strength"), 4).alias("avg_strength"),
+            F.min("node").alias("example_item"),
+        )
+        .orderBy("degree")
+    )

@@ -596,3 +596,248 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "window_end_h", "exact_distinct", "hll_estimate")
         .orderBy("event_type", "window_end_h")
     )
+
+
+# --- theta / KMV distinct sketch with set algebra --------------------------
+#
+# The sketch operation HLL (hll_user_counts, #84) cannot do: a KMV
+# (k-minimum-values) theta sketch supports UNION by re-selecting the k
+# smallest hashes of the merged sample — the '__union__' row below IS
+# that merge, computed from the same per-type hash sets. Estimator
+# (Bar-Yossef et al. 2002; Dasu et al. 2006): with kth = k-th smallest
+# of n distinct uniform hashes in [0, P), E[kth/P] ~ k/(n+1), so
+# n_est = (k-1)*P/kth is (nearly) unbiased. Exact counts ride along as
+# the published comparison twin (same convention as join_size_estimate).
+
+THETA_K = 128
+_THETA_AB = H.hash_params(1, seed=5151)[0]
+
+
+@register(
+    "theta_sketch_distinct_union",
+    oracle=f"""
+        WITH codes AS (
+            SELECT DISTINCT event_type,
+                   {H.affine_sql("user_id", *_THETA_AB)} AS code
+            FROM events
+        ),
+        merged AS (
+            SELECT event_type, code FROM codes
+            UNION ALL
+            SELECT '__union__' AS event_type, code
+            FROM (SELECT DISTINCT code FROM codes)
+        ),
+        ranked AS (
+            SELECT event_type, code,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY code) AS rn
+            FROM merged
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(MAX(CASE WHEN rn = {THETA_K} THEN code END) AS BIGINT)
+                   AS kth_code,
+               ROUND(CASE WHEN COUNT(*) < {THETA_K} THEN COUNT(*)::DOUBLE
+                     ELSE ({THETA_K} - 1) * {H.P}::DOUBLE
+                          / MAX(CASE WHEN rn = {THETA_K} THEN code END) END,
+                     4) AS est_distinct,
+               ROUND((CASE WHEN COUNT(*) < {THETA_K} THEN COUNT(*)::DOUBLE
+                      ELSE ({THETA_K} - 1) * {H.P}::DOUBLE
+                           / MAX(CASE WHEN rn = {THETA_K} THEN code END) END
+                      - COUNT(*)) / COUNT(*), 6) AS rel_err
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Theta/KMV distinct-user sketch per event type PLUS the sketch "
+    "UNION across all types ('__union__' row) — the mergeable set "
+    "algebra HLL registers cannot express beyond max-merge; a KMV "
+    "union is just 'k smallest of the combined hash sample', so the "
+    "same construction serves per-segment sketches and any segment "
+    "union (intersections follow by inclusion-exclusion on the "
+    "estimates). The affine hash is a bijection of [0, P), so distinct "
+    "users = distinct codes and the estimator is oracle-exact. "
+    "Corpus-sized work: one distinct (type, code) aggregate; the rank "
+    "window runs on distinct codes per type (at extreme cardinality "
+    "swap in a per-partition bottom-k + k-row merge, same "
+    "TakeOrdered shape as reservoir_sample_events — the window form "
+    "here is what DuckDB can mirror exactly).",
+    tags=("sketch", "analytics"),
+)
+def theta_sketch_distinct_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    codes = ev.select(
+        "event_type",
+        H.affine_col(F.col("user_id"), *_THETA_AB).alias("code"),
+    ).distinct()
+    merged = codes.unionByName(
+        codes.select("code")
+        .distinct()
+        .select(F.lit("__union__").alias("event_type"), "code")
+    )
+    w = Window.partitionBy("event_type").orderBy("code")
+    ranked = merged.withColumn("rn", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == THETA_K, F.col("code")))
+    est = F.when(n < THETA_K, n.cast("double")).otherwise(
+        F.lit(float(THETA_K - 1)) * F.lit(float(H.P)) / kth
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_exact"),
+            kth.cast("long").alias("kth_code"),
+            F.round(est, 4).alias("est_distinct"),
+            F.round((est - n) / n, 6).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- mergeable t-digest quantiles ------------------------------------------
+
+TD_DELTA = 100
+TD_SALTS = 16
+TD_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+_TD_AB = H.hash_params(1, seed=6161)[0]
+
+
+def _make_td_helpers():
+    """Factory so the helpers' qualnames contain `<locals>` —
+    cloudpickle then ships them BY VALUE inside the applyInPandas
+    closures instead of by module reference, keeping the registered
+    query runnable from a driver whose workers can't import
+    mvrs_dspa_spark (the driver contract runs from an arbitrary cwd;
+    same discipline as the nested pandas_udfs in operators/ann.py)."""
+
+    def compress(means, weights, delta: int):
+        """Merging t-digest compression (Dunning & Ertl,
+        arXiv:1902.04023): points sorted by mean are greedily merged
+        while the k1 scale function k(q) = (delta/2pi)*asin(2q-1)
+        allows (k(q_hi) - k(q_lo) <= 1), which bounds cluster count by
+        ~delta and concentrates resolution at the tails.
+        Deterministic: stable order, pure arithmetic."""
+        import math
+
+        total = float(sum(weights))
+        if total == 0:
+            return []
+
+        def k(q):
+            return (
+                delta
+                / (2 * math.pi)
+                * math.asin(2 * min(max(q, 0.0), 1.0) - 1)
+            )
+
+        out = []
+        cum = 0.0  # weight fully to the left of the open cluster
+        cur_m, cur_w = means[0], float(weights[0])
+        for m, wt in zip(means[1:], weights[1:]):
+            wt = float(wt)
+            q0 = cum / total
+            q1 = (cum + cur_w + wt) / total
+            if k(q1) - k(q0) <= 1.0:
+                cur_m = (cur_m * cur_w + m * wt) / (cur_w + wt)
+                cur_w += wt
+            else:
+                out.append((cur_m, cur_w))
+                cum += cur_w
+                cur_m, cur_w = m, wt
+        out.append((cur_m, cur_w))
+        return out
+
+    def quantile(clusters, q: float) -> float:
+        """Standard centroid interpolation: cumulative midpoints,
+        linear between adjacent centroids, clamped to the extremes."""
+        total = sum(w for _, w in clusters)
+        t = q * total
+        cum = 0.0
+        mids = []
+        for m, w in clusters:
+            mids.append((cum + w / 2.0, m))
+            cum += w
+        if t <= mids[0][0]:
+            return mids[0][1]
+        for (c0, m0), (c1, m1) in zip(mids, mids[1:]):
+            if t <= c1:
+                return m0 + (m1 - m0) * (t - c0) / (c1 - c0)
+        return mids[-1][1]
+
+    return compress, quantile
+
+
+_td_compress, _td_quantile = _make_td_helpers()
+
+
+@register(
+    "tdigest_value_quantiles",
+    oracle=None,  # the digest is an approximation; invariants are pytest-pinned
+    doc="Mergeable t-digest quantiles of event value per type (Dunning "
+    "& Ertl 2019) — the MERGEABLE companion of the exact sort-based "
+    "percentiles (10w) and the KLL approx_percentile (10w-a), and the "
+    "shape a streaming/partitioned system actually deploys: partial "
+    "digests per (type, salt=16-way hash split) built in parallel via "
+    "applyInPandas over Arrow batches (each sees 1/16 of one type's "
+    "values, NEVER the corpus), then per-type digest-of-digests merge "
+    "— the two-level tree that extends to any depth at 100 TB. State "
+    "is <= ~2*delta centroids per partial (delta=100), so the final "
+    "merge touches <= 16*2*delta rows per type. Accuracy-vs-exact, "
+    "monotonicity, merge-invariance and determinism pinned in "
+    "tests/test_sketches.py; rows-gate only (the greedy merge order "
+    "is not SQL-expressible).",
+    tags=("sketch", "analytics", "rows_gate"),
+)
+def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    salted = ev.select(
+        "event_type",
+        "value",
+        (H.affine_col(F.col("event_id"), *_TD_AB) % TD_SALTS).alias("salt"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values("value", kind="mergesort")
+        cl = _td_compress(
+            s["value"].tolist(), [1.0] * len(s), TD_DELTA
+        )
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "mean": [m for m, _ in cl],
+                "weight": [w for _, w in cl],
+            }
+        )
+
+    partials = salted.groupBy("event_type", "salt").applyInPandas(
+        build, "event_type string, mean double, weight double"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["mean", "weight"], kind="mergesort")
+        cl = _td_compress(s["mean"].tolist(), s["weight"].tolist(), TD_DELTA)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "q": list(TD_QS),
+                "est_value": [
+                    round(_td_quantile(cl, q), 4) for q in TD_QS
+                ],
+                "n_centroids": len(cl),
+            }
+        )
+
+    return (
+        partials.groupBy("event_type")
+        .applyInPandas(
+            merge,
+            "event_type string, q double, est_value double, n_centroids int",
+        )
+        .orderBy("event_type", "q")
+    )

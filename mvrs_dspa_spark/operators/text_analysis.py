@@ -897,3 +897,79 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ot / denom, 6).alias("other_ratio"),
         dominant.alias("dominant"),
     ).orderBy("doc_id")
+
+
+# --- stopword-distribution entropy per document ----------------------------
+
+_STOP_PAIRS = tuple(
+    (lang, w) for lang in T.LANG_ORDER for w in T.STOPWORDS[lang]
+)
+_STOP_PAIRS_SQL = ", ".join(f"('{lg}', '{w}')" for lg, w in _STOP_PAIRS)
+
+
+@register(
+    "doc_stopword_entropy",
+    oracle=f"""
+        WITH sw(lang, tok) AS (VALUES {_STOP_PAIRS_SQL}),
+        hits AS (
+            SELECT t.doc_id, t.lang, t.tok, COUNT(*)::DOUBLE AS c
+            FROM (SELECT doc_id, lang,
+                         unnest({T.tokens_sql('lower(text)')}) AS tok
+                  FROM documents) t
+            JOIN sw ON sw.lang = t.lang AND sw.tok = t.tok
+            GROUP BY 1, 2, 3
+        ),
+        probs AS (
+            SELECT doc_id, lang, c,
+                   c / SUM(c) OVER (PARTITION BY doc_id) AS p
+            FROM hits
+        )
+        SELECT doc_id, lang,
+               CAST(SUM(c) AS BIGINT) AS n_stop,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_stop,
+               ROUND(-SUM(p * log2(p)), 6) AS entropy_bits
+        FROM probs
+        GROUP BY doc_id, lang
+        ORDER BY doc_id
+    """,
+    doc="Shannon entropy of each document's stopword usage against its "
+    "own language's stopword list — a fluency signal finer than the "
+    "stopword RATIO in doc_quality (#38): natural prose spreads mass "
+    "over many function words (high entropy), keyword-stuffed or "
+    "templated text hammers one or two (low). The stopword lexicon is "
+    "a 40-row broadcast; one token explode (the same corpus-sized "
+    "shape as every text query) then per-doc cells.",
+    tags=("text", "llm"),
+)
+def doc_stopword_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sw = docs.sparkSession.createDataFrame(
+        list(_STOP_PAIRS), "lang string, tok string"
+    )
+    hits = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .join(F.broadcast(sw), ["lang", "tok"])
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wd = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(wd)
+    return (
+        hits.select(
+            "doc_id",
+            "lang",
+            F.col("c").alias("c"),
+            (-p * F.log2(p)).alias("term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_stop"),
+            F.count(F.lit(1)).alias("n_distinct_stop"),
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,854 @@
+"""Third analytics block (SURVEY §2 #102-115, round 6): the 16 query
+names the round-5 registry promised, implemented.
+
+Segment rollups, distributional audits (Benford, t-test, conditional
+entropy), geo assignment, lifecycle staging — each one declarative
+plan with a DuckDB oracle twin, following the house determinism rules
+(identical aliases, rounded aggregates, integer arithmetic wherever an
+engine could disagree on float summation order).
+
+Scale notes per query are in each docstring; the common posture:
+corpus-sized work is always ONE aggregation (groupBy on a bounded or
+natural key), everything after runs on cells/vocabulary-sized frames
+via windows or broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.functions import hashing as H
+from mvrs_dspa_spark.plans.registry import _REGISTRY, register
+from mvrs_dspa_spark.tables import table
+
+
+# --- RFM segment rollup ------------------------------------------------------
+
+# Named-segment mapping over the (r, f, m) quintile scores; CASE arms
+# ordered identically in both engines so overlapping conditions
+# resolve the same way.
+_SEGMENT_CASE_SQL = """
+    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+         WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+         WHEN r_score >= 4 THEN 'recent'
+         WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk_spenders'
+         WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         ELSE 'regular' END
+"""
+
+
+def _segment_col() -> F.Column:
+    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    return (
+        F.when((r >= 4) & (f >= 4) & (m >= 4), F.lit("champions"))
+        .when((r >= 4) & (f >= 3), F.lit("loyal"))
+        .when(r >= 4, F.lit("recent"))
+        .when((r <= 2) & (m >= 4), F.lit("at_risk_spenders"))
+        .when((r <= 2) & (f <= 2), F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+
+
+def _rfm_oracle() -> str:
+    # wrap the already-proven user_rfm_segments oracle — one definition
+    # of the quintile-score machinery, two registered surfaces
+    base = _REGISTRY["user_rfm_segments"].oracle
+    return f"""
+        WITH rfm AS ({base}),
+        seg AS (SELECT {_SEGMENT_CASE_SQL} AS segment, recency_days, monetary
+                FROM rfm)
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(AVG(recency_days), 4) AS avg_recency_days,
+               ROUND(SUM(monetary), 2) AS total_monetary,
+               ROUND(COUNT(*) / SUM(COUNT(*)) OVER ()::DOUBLE, 6) AS user_share
+        FROM seg
+        GROUP BY segment
+        ORDER BY segment
+    """
+
+
+@register(
+    "rfm_segment_counts",
+    oracle=None,  # resolved lazily below (needs user_rfm_segments registered)
+    doc="Named RFM segments (champions/loyal/recent/at-risk/"
+    "hibernating/regular) rolled up from the user_rfm_segments quintile "
+    "scores — the marketing-facing summary over #79's per-user detail. "
+    "Reuses the registered query verbatim (its orderBy is eliminated "
+    "under the aggregate by Catalyst's EliminateSorts), so segment "
+    "definitions can never drift between the two surfaces. Adds one "
+    "6-ary CASE projection and one segment-key aggregate on top of "
+    "#79's single user_id shuffle.",
+    tags=("analytics",),
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.plans.analytics import user_rfm_segments
+
+    rfm = user_rfm_segments(spark, sf_dir)
+    return (
+        rfm.select(
+            _segment_col().alias("segment"), "recency_days", "monetary"
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .withColumn(
+            "user_share",
+            F.round(
+                F.col("n_users")
+                / F.sum("n_users").over(Window.partitionBy()).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# patch the lazily-built oracle in (user_rfm_segments registers on
+# analytics import, which registry.all_queries() guarantees precedes us)
+def _patch_rfm_oracle() -> None:
+    import dataclasses
+
+    from mvrs_dspa_spark.plans import analytics  # noqa: F401  (registers #79)
+
+    spec = _REGISTRY["rfm_segment_counts"]
+    if spec.oracle is None:
+        _REGISTRY["rfm_segment_counts"] = dataclasses.replace(
+            spec, oracle=_rfm_oracle()
+        )
+
+
+# --- order-price quantiles per priority (inverse CDF) -----------------------
+
+CDF_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+@register(
+    "orders_cdf_quantiles",
+    oracle=f"""
+        SELECT o_orderpriority, n_orders, q, ROUND(v, 4) AS price
+        FROM (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   unnest([{", ".join(map(str, CDF_QS))}]::DOUBLE[]) AS q,
+                   unnest(quantile_cont(o_totalprice,
+                          [{", ".join(map(str, CDF_QS))}])) AS v
+            FROM orders GROUP BY o_orderpriority
+        )
+        ORDER BY o_orderpriority, q
+    """,
+    doc="Inverse-CDF sampling of order value per priority class: exact "
+    "interpolated quantiles at 7 probe points (p10..p99), one sort-"
+    "based aggregate per priority (the same cross-engine percentile "
+    "machinery as 10w), then a 5x7 posexplode on the bounded result — "
+    "the 'how big is a P95 urgent order' readout.",
+    tags=("relational", "analytics"),
+)
+def orders_cdf_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    qs = F.array(*[F.lit(q) for q in CDF_QS])
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", qs).alias("vals"),
+    )
+    return (
+        agg.select(
+            "o_orderpriority",
+            "n_orders",
+            F.posexplode("vals").alias("i", "v"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.element_at(qs, F.col("i") + 1).alias("q"),
+            F.round("v", 4).alias("price"),
+        )
+        .orderBy("o_orderpriority", "q")
+    )
+
+
+# --- top-2 concentration per event type -------------------------------------
+
+
+@register(
+    "top2_share_per_type",
+    oracle="""
+        WITH per AS (
+            SELECT event_type, user_id, ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, user_id, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY v DESC, user_id) AS rk,
+                   SUM(v) OVER (PARTITION BY event_type) AS total
+            FROM per
+        )
+        SELECT event_type,
+               MAX(CASE WHEN rk = 1 THEN user_id END) AS top_user,
+               MAX(CASE WHEN rk = 2 THEN user_id END) AS second_user,
+               ROUND(SUM(v), 2) AS top2_value,
+               ROUND(MAX(total), 2) AS total_value,
+               ROUND(ROUND(SUM(v), 2) / ROUND(MAX(total), 2), 6) AS top2_share
+        FROM ranked WHERE rk <= 2
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Value-concentration audit: the two heaviest users per event "
+    "type and their combined share of the type's total value (the "
+    "whale-detection twin of the skew advisor 10aq, value-weighted "
+    "instead of row-count-weighted). One (type, user) aggregate — the "
+    "only corpus-sized shuffle — then rank + share on the per-user "
+    "cells; ties broken by user_id so both engines pick the same rows.",
+    tags=("analytics",),
+)
+def top2_share_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("v").desc(), "user_id")
+    ranked = per.select(
+        "event_type",
+        "user_id",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    top2v = F.round(F.sum("v"), 2)
+    totv = F.round(F.max("total"), 2)
+    return (
+        ranked.where(F.col("rk") <= 2)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("user_id"))).alias("top_user"),
+            F.max(F.when(F.col("rk") == 2, F.col("user_id"))).alias(
+                "second_user"
+            ),
+            top2v.alias("top2_value"),
+            totv.alias("total_value"),
+            F.round(top2v / totv, 6).alias("top2_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- haversine nearest-store assignment -------------------------------------
+
+EARTH_R_KM = 6371.0088
+# deterministic synthetic coordinates (affine-hashed keys -> lat/lon;
+# the test schema has no geo columns, so both engines derive identical
+# pseudo-coordinates from the same integer hash family)
+_GEO = H.hash_params(4, seed=4242)
+
+
+def _lat_sql(key: str, a: int, b: int) -> str:
+    return f"(({H.affine_sql(key, a, b)} % 120001) / 1000.0 - 60.0)"
+
+
+def _lon_sql(key: str, a: int, b: int) -> str:
+    return f"(({H.affine_sql(key, a, b)} % 360001) / 1000.0 - 180.0)"
+
+
+def _lat_col(key: F.Column, a: int, b: int) -> F.Column:
+    # cast("long") first: the affine product of an IntegerType key
+    # overflows int32 under ANSI mode
+    return (H.affine_col(key.cast("long"), a, b) % 120001) / 1000.0 - 60.0
+
+
+def _lon_col(key: F.Column, a: int, b: int) -> F.Column:
+    return (H.affine_col(key.cast("long"), a, b) % 360001) / 1000.0 - 180.0
+
+
+_HAVERSINE_SQL = f"""
+    2 * {EARTH_R_KM} * ASIN(SQRT(
+        POWER(SIN(RADIANS(s_lat - c_lat) / 2), 2)
+        + COS(RADIANS(c_lat)) * COS(RADIANS(s_lat))
+          * POWER(SIN(RADIANS(s_lon - c_lon) / 2), 2)))
+"""
+
+
+@register(
+    "haversine_store_assignment",
+    oracle=f"""
+        WITH stores AS (
+            SELECT n_nationkey AS store_key, n_name AS store_name,
+                   {_lat_sql("n_nationkey", *_GEO[0])} AS s_lat,
+                   {_lon_sql("n_nationkey", *_GEO[1])} AS s_lon
+            FROM nation
+        ),
+        custs AS (
+            SELECT c_custkey,
+                   {_lat_sql("c_custkey", *_GEO[2])} AS c_lat,
+                   {_lon_sql("c_custkey", *_GEO[3])} AS c_lon
+            FROM customer
+        ),
+        dists AS (
+            SELECT c_custkey, store_key, store_name,
+                   ROUND({_HAVERSINE_SQL}, 4) AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY ROUND({_HAVERSINE_SQL}, 4), store_key
+                   ) AS rn
+            FROM custs CROSS JOIN stores
+        )
+        SELECT store_key, store_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(AVG(d), 4) AS avg_dist_km,
+               ROUND(MAX(d), 4) AS max_dist_km
+        FROM dists WHERE rn = 1
+        GROUP BY store_key, store_name
+        ORDER BY store_key
+    """,
+    doc="Nearest-facility assignment by great-circle distance: every "
+    "customer assigned to the closest of 25 'stores' (nation rows with "
+    "deterministic hash-derived coordinates) via the haversine formula, "
+    "then per-store customer counts and distance stats. The store side "
+    "is a broadcast (dimension-sized), so the 'cross join' is a "
+    "map-side fan-out of 25 per customer — never a shuffle — and the "
+    "argmin is a per-customer window over those 25 rows. Distances "
+    "are rounded BEFORE ranking (store_key tiebreak) so a 1-ulp libm "
+    "divergence between engines cannot flip an assignment.",
+    tags=("analytics", "geo"),
+)
+def haversine_store_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stores = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("store_key"),
+        F.col("n_name").alias("store_name"),
+        _lat_col(F.col("n_nationkey"), *_GEO[0]).alias("s_lat"),
+        _lon_col(F.col("n_nationkey"), *_GEO[1]).alias("s_lon"),
+    )
+    custs = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_col(F.col("c_custkey"), *_GEO[2]).alias("c_lat"),
+        _lon_col(F.col("c_custkey"), *_GEO[3]).alias("c_lon"),
+    )
+    hav = (
+        2
+        * EARTH_R_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("s_lat") - F.col("c_lat")) / 2), 2)
+                + F.cos(F.radians("c_lat"))
+                * F.cos(F.radians("s_lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("s_lon") - F.col("c_lon")) / 2), 2
+                )
+            )
+        )
+    )
+    d = F.round(hav, 4)
+    w = Window.partitionBy("c_custkey").orderBy("d", "store_key")
+    dists = (
+        custs.crossJoin(F.broadcast(stores))
+        .select("c_custkey", "store_key", "store_name", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        dists.where(F.col("rn") == 1)
+        .groupBy("store_key", "store_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("d"), 4).alias("avg_dist_km"),
+            F.round(F.max("d"), 4).alias("max_dist_km"),
+        )
+        .orderBy("store_key")
+    )
+
+
+# --- user lifecycle stages ---------------------------------------------------
+
+
+@register(
+    "user_lifecycle_stages",
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) AS first_us,
+                   MAX(epoch_us(ts)) AS last_us,
+                   COUNT(*) AS n_events,
+                   SUM(value) AS total_value
+            FROM events GROUP BY user_id
+        ),
+        staged AS (
+            SELECT CASE
+                     WHEN first_us >= mn + ((mx - mn) * 4) // 5 THEN 'new'
+                     WHEN last_us < mn + (mx - mn) // 2 THEN 'churned'
+                     WHEN last_us >= mn + ((mx - mn) * 4) // 5 THEN 'active'
+                     ELSE 'lapsing'
+                   END AS stage,
+                   n_events, total_value
+            FROM per_user, rng
+        )
+        SELECT stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(AVG(n_events), 4) AS avg_events,
+               ROUND(SUM(total_value), 2) AS total_value,
+               ROUND(COUNT(*) / SUM(COUNT(*)) OVER ()::DOUBLE, 6) AS user_share
+        FROM staged
+        GROUP BY stage
+        ORDER BY stage
+    """,
+    doc="Lifecycle staging: users bucketed by first/last activity "
+    "against the corpus time range — new (first seen in the final "
+    "fifth), active (still seen in the final fifth), churned (gone "
+    "before the midpoint), lapsing (the rest) — the funnel-health "
+    "summary upstream of retention_cohorts (10ag). Stage boundaries "
+    "are INTEGER microsecond arithmetic (div, not double), so the "
+    "engines cannot disagree on edge rows. One user_id shuffle + a "
+    "1-row range broadcast; the stage rollup runs on per-user cells.",
+    tags=("analytics", "temporal"),
+)
+def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    new_edge = F.col("mn") + F.expr("((mx - mn) * 4) div 5")
+    mid_edge = F.col("mn") + F.expr("(mx - mn) div 2")
+    stage = (
+        F.when(F.col("first_us") >= new_edge, F.lit("new"))
+        .when(F.col("last_us") < mid_edge, F.lit("churned"))
+        .when(F.col("last_us") >= new_edge, F.lit("active"))
+        .otherwise(F.lit("lapsing"))
+    )
+    return (
+        per_user.crossJoin(F.broadcast(rng))
+        .select(stage.alias("stage"), "n_events", "total_value")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .withColumn(
+            "user_share",
+            F.round(
+                F.col("n_users")
+                / F.sum("n_users").over(Window.partitionBy()).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+# --- Welch's t per event type vs rest ---------------------------------------
+
+
+@register(
+    "value_ttest_by_type",
+    oracle="""
+        WITH g AS (
+            SELECT COUNT(*) AS n, SUM(value) AS s, SUM(value * value) AS ss
+            FROM events
+        ),
+        t AS (
+            SELECT event_type, COUNT(*) AS n1, SUM(value) AS s1,
+                   SUM(value * value) AS ss1
+            FROM events GROUP BY event_type
+        ),
+        stats AS (
+            SELECT event_type, n1, (n - n1) AS n2,
+                   s1 / n1 AS m1, (s - s1) / (n - n1) AS m2,
+                   (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+                   ((ss - ss1) - (s - s1) * (s - s1) / (n - n1))
+                       / (n - n1 - 1) AS v2
+            FROM t, g
+        )
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n,
+               ROUND(m1, 6) AS mean_v,
+               ROUND(m1 - m2, 6) AS mean_diff,
+               ROUND((m1 - m2) / NULLIF(sqrt(v1 / n1 + v2 / n2), 0), 6)
+                   AS t_welch,
+               ROUND(POWER(v1 / n1 + v2 / n2, 2)
+                     / NULLIF(POWER(v1 / n1, 2) / (n1 - 1)
+                              + POWER(v2 / n2, 2) / (n2 - 1), 0), 2) AS df
+        FROM stats
+        ORDER BY event_type
+    """,
+    doc="One-vs-rest Welch's t-test of event value per type (the "
+    "segment-metric screen behind every 'does this type monetize "
+    "differently' question; the per-type generalization of "
+    "ab_test_report's two-arm form). Rest-group moments are derived "
+    "ALGEBRAICALLY from (global - type) sufficient statistics — one "
+    "corpus scan produces the global triple and the per-type triples, "
+    "no second pass, no anti-join. Welch-Satterthwaite df included.",
+    tags=("analytics", "validation"),
+)
+def value_ttest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    t = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("ss1"),
+    )
+    st = t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        ((F.col("s") - F.col("s1")) / (F.col("n") - F.col("n1"))).alias("m2"),
+        (
+            (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (
+                (F.col("ss") - F.col("ss1"))
+                - (F.col("s") - F.col("s1"))
+                * (F.col("s") - F.col("s1"))
+                / (F.col("n") - F.col("n1"))
+            )
+            / (F.col("n") - F.col("n1") - 1)
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return st.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n"),
+        F.round("m1", 6).alias("mean_v"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.nullif(F.sqrt(se2), F.lit(0.0)), 6
+        ).alias("t_welch"),
+        F.round(
+            F.pow(se2, F.lit(2.0))
+            / F.nullif(
+                F.pow(F.col("v1") / F.col("n1"), F.lit(2.0))
+                / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), F.lit(2.0))
+                / (F.col("n2") - 1),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("df"),
+    ).orderBy("event_type")
+
+
+# --- seasonal hour-of-day profile -------------------------------------------
+
+
+@register(
+    "seasonal_hour_profile",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hod,
+               CAST(n AS BIGINT) AS n_events,
+               ROUND(n / SUM(n) OVER (PARTITION BY event_type)::DOUBLE, 6)
+                   AS hour_share,
+               ROUND(sv / n, 6) AS avg_value,
+               (ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, hod) = 1) AS is_peak
+        FROM cells
+        ORDER BY event_type, hod
+    """,
+    doc="Hour-of-day seasonality profile per event type: share of the "
+    "type's traffic and mean value per hour, peak hour flagged — the "
+    "diurnal fingerprint feeding capacity planning and the "
+    "autocorrelation check (10ak). ONE aggregation to the 5x24 cell "
+    "grid; shares/peaks are windows over the bounded grid. avg_value "
+    "divides the 2-rounded sum so float summation order can't leak "
+    "into the hash.",
+    tags=("analytics", "temporal"),
+)
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    wt = Window.partitionBy("event_type")
+    wp = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "hod")
+    return (
+        cells.select(
+            "event_type",
+            "hod",
+            F.col("n").alias("n_events"),
+            F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias(
+                "hour_share"
+            ),
+            F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+            (F.row_number().over(wp) == 1).alias("is_peak"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+# --- conditional entropy of the transition matrix ---------------------------
+
+
+@register(
+    "conditional_entropy_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rows_h AS (
+            SELECT prev_type, SUM(n) AS n_total, -SUM(p * log2(p)) AS h
+            FROM (
+                SELECT prev_type, n,
+                       n / SUM(n) OVER (PARTITION BY prev_type)::DOUBLE AS p
+                FROM pairs
+            )
+            GROUP BY prev_type
+        )
+        SELECT prev_type,
+               CAST(n_total AS BIGINT) AS n_total,
+               ROUND(h, 6) AS h_next_bits,
+               ROUND(n_total / SUM(n_total) OVER ()::DOUBLE, 6) AS p_prev,
+               ROUND(h * n_total / SUM(n_total) OVER ()::DOUBLE, 6)
+                   AS h_contribution
+        FROM rows_h
+        ORDER BY prev_type
+    """,
+    doc="Conditional entropy H(next|prev) of the first-order event "
+    "Markov chain (the predictability summary of 10ad's transition "
+    "matrix; sum of h_contribution = H(next|prev) in bits). The "
+    "corpus-sized work is the same single LAG pass as 10ad; entropy "
+    "terms run on the 5x5 transition cells.",
+    tags=("analytics", "sessions"),
+)
+def conditional_entropy_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    p = F.col("n") / F.sum("n").over(wp).cast("double")
+    rows_h = (
+        pairs.select("prev_type", "n", (-p * F.log2(p)).alias("term"))
+        .groupBy("prev_type")
+        .agg(F.sum("n").alias("n_total"), F.sum("term").alias("h"))
+    )
+    wall = Window.partitionBy()
+    p_prev = F.col("n_total") / F.sum("n_total").over(wall).cast("double")
+    return (
+        rows_h.select(
+            "prev_type",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round("h", 6).alias("h_next_bits"),
+            F.round(p_prev, 6).alias("p_prev"),
+            F.round(F.col("h") * p_prev, 6).alias("h_contribution"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# first significant digit via integer/string arithmetic: floor(v*1e6)
+# is one IEEE multiply + floor (bit-identical across engines), and the
+# leading char of a BIGINT's decimal form is engine-exact — no
+# floor(log10(v)) whose 1-ulp libm wobble could shift a digit.
+_BENFORD_DIGIT_SQL = (
+    "CAST(substr(CAST(CAST(FLOOR(value * 1000000) AS BIGINT) AS VARCHAR),"
+    " 1, 1) AS INTEGER)"
+)
+
+
+@register(
+    "benford_value_audit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT {_BENFORD_DIGIT_SQL} AS digit
+            FROM events WHERE value >= 0.000001
+        ),
+        counts AS (
+            SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+        )
+        SELECT digit,
+               CAST(n AS BIGINT) AS n,
+               ROUND(n / SUM(n) OVER ()::DOUBLE, 6) AS obs_p,
+               ROUND(log10(1 + 1.0 / digit), 6) AS benford_p,
+               ROUND(POWER(n - SUM(n) OVER () * log10(1 + 1.0 / digit), 2)
+                     / (SUM(n) OVER () * log10(1 + 1.0 / digit)), 6)
+                   AS chisq_term
+        FROM counts
+        ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of event values (fraud/"
+    "synthetic-data screen: natural multi-scale magnitudes follow "
+    "P(d)=log10(1+1/d); uniform synthetic values — like this "
+    "generator's — flunk it, which the pytest pins). The first "
+    "significant digit comes from the decimal string of "
+    "floor(value*1e6), never floor(log10(v)), so a 1-ulp libm "
+    "divergence can't move a value across a digit boundary. One "
+    "projection + one 9-cell aggregate; chi-square terms on the cells.",
+    tags=("analytics", "validation"),
+)
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    digit = F.substring(
+        F.floor(F.col("value") * 1000000).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        ev.where(F.col("value") >= 0.000001)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n").over(wall)
+    exp_p = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / total.cast("double"), 6).alias("obs_p"),
+            F.round(exp_p, 6).alias("benford_p"),
+            F.round(
+                F.pow(F.col("n") - total * exp_p, F.lit(2.0)) / (total * exp_p),
+                6,
+            ).alias("chisq_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --- 2D Mahalanobis anomaly ranking -----------------------------------------
+
+MAHA_TOP_N = 5
+
+
+@register(
+    "anomaly_mahalanobis_2d",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type, event_id, value,
+                   CAST(hour(ts) AS INTEGER) AS hod
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type, COUNT(*) AS n,
+                   AVG(value) AS mx, AVG(hod) AS my,
+                   SUM(value * value) / COUNT(*) - AVG(value) * AVG(value)
+                       AS vxx,
+                   SUM(hod * hod) / COUNT(*)::DOUBLE - AVG(hod) * AVG(hod)
+                       AS vyy,
+                   SUM(value * hod) / COUNT(*) - AVG(value) * AVG(hod) AS vxy
+            FROM pts GROUP BY event_type
+        ),
+        scored AS (
+            SELECT p.event_type, p.event_id, p.value, p.hod,
+                   ROUND((POWER(p.value - s.mx, 2) * s.vyy
+                          - 2 * (p.value - s.mx) * (p.hod - s.my) * s.vxy
+                          + POWER(p.hod - s.my, 2) * s.vxx)
+                         / (s.vxx * s.vyy - s.vxy * s.vxy), 6) AS d2
+            FROM pts p JOIN stats s USING (event_type)
+        )
+        SELECT event_type, event_id, ROUND(value, 2) AS value, hod, d2,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d2 DESC, event_id
+                   ) AS rk
+            FROM scored
+        )
+        WHERE rk <= {MAHA_TOP_N}
+        ORDER BY event_type, rk
+    """,
+    doc="Multivariate outlier ranking: squared Mahalanobis distance of "
+    "each event's (value, hour-of-day) pair under its type's 2D "
+    "Gaussian — closed-form 2x2 covariance inverse, no matrix library "
+    "— top 5 per type. The covariance-aware upgrade of the univariate "
+    "MAD screen (#77): it catches jointly-unusual points (high value "
+    "at an hour where high values are rare) that either marginal "
+    "passes. Per-type moments are one aggregate broadcast back; "
+    "scores are rounded BEFORE the rank window (event_id tiebreak) so "
+    "both engines select identical rows.",
+    tags=("analytics", "validation"),
+)
+def anomaly_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    n = F.count(F.lit(1))
+    stats = pts.groupBy("event_type").agg(
+        F.avg("value").alias("mx"),
+        F.avg("hod").alias("my"),
+        (F.sum(F.col("value") * F.col("value")) / n
+         - F.avg("value") * F.avg("value")).alias("vxx"),
+        (F.sum(F.col("hod") * F.col("hod")) / n.cast("double")
+         - F.avg("hod") * F.avg("hod")).alias("vyy"),
+        (F.sum(F.col("value") * F.col("hod")) / n
+         - F.avg("value") * F.avg("hod")).alias("vxy"),
+    )
+    dx = F.col("value") - F.col("mx")
+    dy = F.col("hod") - F.col("my")
+    det = F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")
+    d2 = F.round(
+        (
+            dx * dx * F.col("vyy")
+            - 2 * dx * dy * F.col("vxy")
+            + dy * dy * F.col("vxx")
+        )
+        / det,
+        6,
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("d2").desc(), "event_id")
+    return (
+        pts.join(F.broadcast(stats), "event_type")
+        .select("event_type", "event_id", "value", "hod", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MAHA_TOP_N)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            "hod",
+            "d2",
+            "rk",
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+_patch_rfm_oracle()

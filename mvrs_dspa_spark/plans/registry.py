@@ -54,21 +54,13 @@ def register(
 # and queries first registered this round go first; stable r2-green queries
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-5 rotation: the 8 queries never driver-verified in any
-    # round lead (the round-4 registration list overflowed the 50-slot
-    # window before these late additions). The two oracle-gated ones
-    # come first. After this round every query ever registered has a
-    # driver result. --
-    "event_pattern_matches",
-    "knn_label_eval",
+    # -- round 6, slot 1: the only red row on the board (r5 driver
+    # crash on its nested codes column; surface now serializes flat) --
     "embedding_pq",
-    "ann_quality_report",
-    "ann_index_maintenance",
-    "bpe_train",
-    "kmeans_label_agreement",
-    "item_communities_lpa",
-    # -- round-5 new registrations (appended as they land, so
-    # first-time names stay inside the 50-slot window) --
+    # -- round-6 NEW registrations: the 16 names round 5 promised, now
+    # implemented (plans/analytics2.py + sketches/sampling/text/
+    # cleaning/similarity additions). 15 oracle-gated, tdigest is the
+    # one declared rows-gate. First driver check for each. --
     "rfm_segment_counts",
     "graph_degree_stats",
     "orders_cdf_quantiles",
@@ -85,54 +77,44 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_value_audit",
     "tdigest_value_quantiles",
     "anomaly_mahalanobis_2d",
-    "dedup_minhash_lsh",  # shared-scan refactor this round (see dedup.py)
-    "dedup_method_eval",  # shared shingle scan refactor this round
-    "join_size_estimate",  # single-job union rebuild this round
-    # -- regression re-sweep: the longest-unverified hash-green rows
-    # (last checked r2) fill the remaining slots, oldest first --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "top_user_per_type",
-    "customers_without_orders",
-    "event_user_counts",
-    "q10_returned_revenue",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q19_disjunctive_revenue",
-    "q21_sole_return_supplier",
-    "q22_idle_rich_customers",
-    "q4_late_shipping_priority",
-    "q8_market_share",
-    "q11_concentrated_part_value",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_bulk_bolt_suppliers",
-    "click_purchase_asof",
-    "event_rollup_hierarchy",
-    "user_value_moving_avg",
-    "event_value_percentiles",
-    "latest_events_snapshot",
-    "activity_ledger",
-    "dedup_exact",
-    "dedup_simhash",
+    # -- queries whose implementation changed in round 6 (shared
+    # shingle-scan refactor in dedup/ensemble; shared count-table
+    # rebuild in sketches) --
+    "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "ann_cosine_topk",
-    "pii_scrub",
-    "doc_repetition",
-    "decontaminate",
-    "chunk_documents",
-    "boilerplate_ngrams",
-    "dedup_clusters",
-    "dedup_incremental",
+    "dedup_method_eval",
+    "join_size_estimate",
+    # -- regression re-sweep: the longest-unverified hash-green rows
+    # (last checked r3) fill the remaining slots --
+    "event_cube_summary",
+    "user_event_type_pivot",
+    "user_journey_paths",
+    "event_type_transitions",
+    "event_value_histogram",
+    "user_hourly_gapfill",
+    "retention_cohorts",
+    "hourly_value_momentum",
+    "event_value_regression",
+    "lang_id",
+    "doc_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "bm25_search",
+    "tfidf_top_terms",
+    "token_coverage_curve",
+    "sliding_activity_stats",
+    "hourly_event_rollup",
+    "user_sessions",
+    "session_conversion",
+    "similar_users_jaccard",
+    "similar_users_minhash_lsh",
+    "recommendation_agreement",
+    "item_cooccurrence_triangles",
+    "text_features",
+    "train_test_split",
+    "stratified_sample",
+    "source_quota_cap",
+    "pack_sequences",
 )
 
 
@@ -164,7 +146,12 @@ def all_queries() -> dict[str, QuerySpec]:
         retrieval,
         sketches,
     )
-    from mvrs_dspa_spark.plans import analytics, tpch, tpch_extra  # noqa: F401
+    from mvrs_dspa_spark.plans import (  # noqa: F401
+        analytics,
+        analytics2,
+        tpch,
+        tpch_extra,
+    )
 
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_PRIORITY:

@@ -127,8 +127,10 @@ def test_pq_codes_valid_and_deterministic(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 0
     for r in a:
-        assert len(r.codes) == PQ_M
-        assert all(0 <= c < PQ_K for c in r.codes)
+        # registered surface serializes codes flat (driver-hashable)
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
         assert r.recon_mse >= 0.0
 
 

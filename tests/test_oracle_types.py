@@ -51,6 +51,33 @@ def test_no_nested_oracle_columns(duck):
     assert not offenders, f"oracles emit nested (unhashable) columns: {offenders}"
 
 
+def test_no_nested_spark_columns(spark, sf_small):
+    """Spark-side twin of the oracle lint, covering the queries the
+    oracle lint can't: rows-gated entries have no oracle SQL, so a
+    nested Spark output column sails past DESCRIBE and crashes the
+    driver canonicalizer at check time (r5 lost embedding_pq to a
+    `codes array<int>` column exactly this way; r3 lost
+    embedding_quantize). Build every registered query at sf0.001 and
+    fail on any array/map/struct field in the result schema."""
+    from pyspark.sql import types as T
+
+    from mvrs_dspa_spark.plans.registry import all_queries
+
+    offenders = {}
+    for name, spec in all_queries().items():
+        df = spec.fn(spark, sf_small)
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"registered queries emit nested (driver-unhashable) columns: {offenders}"
+    )
+
+
 def test_no_hugeint_oracle_columns(duck):
     offenders = {}
     for name, sql in entry.oracle_sql().items():

@@ -43,3 +43,16 @@ def test_every_oracle_is_plausible_sql():
         low = spec.oracle.lower()
         assert "select" in low, name
         assert any(t in low for t in tables), name
+
+
+def test_every_priority_name_is_registered():
+    """Round-5 regression guard: names in _DRIVER_PRIORITY that never
+    got a register() call are silently dropped by all_queries(), so a
+    typo'd (or promised-but-unimplemented) name steals a driver slot
+    from a real query without any signal. Every priority name must
+    resolve."""
+    from mvrs_dspa_spark.plans.registry import _DRIVER_PRIORITY
+
+    registered = set(all_queries())
+    phantom = [n for n in _DRIVER_PRIORITY if n not in registered]
+    assert not phantom, f"_DRIVER_PRIORITY names without a registration: {phantom}"

@@ -94,3 +94,108 @@ def test_join_size_estimate_tracks_exact(spark, sf_medium):
         # unbiased count-sketch, D=5/W=1024: generous 25% band
         assert abs(r.rel_error) <= 0.25, r
         assert r.sketch_estimate >= 0
+
+
+# --- theta / KMV sketch ----------------------------------------------------
+
+
+def test_theta_sketch_union_row_and_accuracy(spark, sf_medium):
+    from mvrs_dspa_spark.operators.sketches import (
+        THETA_K,
+        theta_sketch_distinct_union,
+    )
+
+    rows = {r.event_type: r for r in theta_sketch_distinct_union(
+        spark, sf_medium
+    ).collect()}
+    assert "__union__" in rows
+    union = rows.pop("__union__")
+    # the union estimate covers distinct users overall: bounded by the
+    # per-type maxima and the sum
+    assert union.n_exact >= max(r.n_exact for r in rows.values())
+    assert union.n_exact <= sum(r.n_exact for r in rows.values())
+    for r in [union, *rows.values()]:
+        if r.n_exact < THETA_K:
+            assert r.est_distinct == float(r.n_exact)
+        else:
+            # KMV with k=128: sd ~ n/sqrt(k-2) ~ 9%; allow 4 sd
+            assert abs(r.rel_err) < 0.36, r
+
+
+# --- t-digest --------------------------------------------------------------
+
+
+def test_tdigest_compress_properties():
+    import random
+
+    from mvrs_dspa_spark.operators.sketches import (
+        TD_DELTA,
+        _td_compress,
+        _td_quantile,
+    )
+
+    rng = random.Random(7)
+    vals = sorted(rng.uniform(0, 100) for _ in range(20_000))
+    cl = _td_compress(vals, [1.0] * len(vals), TD_DELTA)
+    # bounded size, weight conservation, sorted means
+    assert len(cl) <= 2 * TD_DELTA
+    assert abs(sum(w for _, w in cl) - len(vals)) < 1e-6
+    means = [m for m, _ in cl]
+    assert means == sorted(means)
+    # quantile accuracy: within ~1% rank error of the exact quantile
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = _td_quantile(cl, q)
+        exact = vals[min(int(q * len(vals)), len(vals) - 1)]
+        assert abs(est - exact) < 2.0, (q, est, exact)
+
+
+def test_tdigest_merge_invariance():
+    """Digest-of-digests (the distributed two-level path) must land
+    near the single-digest result — the mergeability contract."""
+    import random
+
+    from mvrs_dspa_spark.operators.sketches import (
+        TD_DELTA,
+        _td_compress,
+        _td_quantile,
+    )
+
+    rng = random.Random(11)
+    vals = sorted(rng.gauss(50, 15) for _ in range(30_000))
+    single = _td_compress(vals, [1.0] * len(vals), TD_DELTA)
+    parts = []
+    for i in range(16):
+        chunk = sorted(vals[i::16])
+        parts.extend(_td_compress(chunk, [1.0] * len(chunk), TD_DELTA))
+    parts.sort()
+    merged = _td_compress(
+        [m for m, _ in parts], [w for _, w in parts], TD_DELTA
+    )
+    assert len(merged) <= 2 * TD_DELTA
+    for q in (0.1, 0.5, 0.9):
+        assert abs(_td_quantile(merged, q) - _td_quantile(single, q)) < 1.0
+
+
+def test_tdigest_query_monotone_and_sane(spark, sf_medium):
+    import duckdb
+
+    from mvrs_dspa_spark.operators.sketches import tdigest_value_quantiles
+
+    rows = tdigest_value_quantiles(spark, sf_medium).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    con = duckdb.connect()
+    for t, rs in by_type.items():
+        ests = [r.est_value for r in sorted(rs, key=lambda r: r.q)]
+        assert ests == sorted(ests), t  # monotone in q
+        exact = con.execute(
+            f"SELECT quantile_cont(value, [0.01,0.1,0.25,0.5,0.75,0.9,0.99]) "
+            f"FROM '{sf_medium}/events.parquet' WHERE event_type = ?",
+            [t],
+        ).fetchone()[0]
+        for e, x in zip(ests, exact):
+            # rank-accuracy at delta=100 over a smooth distribution:
+            # generous 5%-of-range absolute band
+            assert abs(e - x) <= 12.0, (t, e, x)
+    con.close()
