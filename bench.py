@@ -101,6 +101,15 @@ EXTRA_QUERIES = [
     "knn_label_eval",
     "kmeans_label_agreement",
     "item_communities_lpa",
+    # round 6: representative slice of the 16 new registrations —
+    # mergeable sketches, broadcast geo fan-out, graph rollup,
+    # stopword-lexicon join, covariance-broadcast scoring
+    "theta_sketch_distinct_union",
+    "tdigest_value_quantiles",
+    "haversine_store_assignment",
+    "graph_degree_stats",
+    "doc_stopword_entropy",
+    "anomaly_mahalanobis_2d",
 ]
 
 
@@ -135,6 +144,10 @@ def main() -> None:
     timings = run(BENCH_QUERIES)
     extra = run(EXTRA_QUERIES)
     total = round(sum(timings.values()), 3)
+    # host-load calibration constant: q1 is a fixed, never-refactored
+    # scan+agg plan, so its min-of-3 moves ONLY with host conditions.
+    # Round-over-round comparisons should normalize by this (r4 and r5
+    # totals both swung ~20% on driver-host load with zero code change).
     print(
         json.dumps(
             {
@@ -143,6 +156,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "calibration_q1": timings.get("q1_pricing_summary"),
                 "sf": sf,
                 "methodology": "cold-first-run" if cold else "steady-state-min-of-3",
             }

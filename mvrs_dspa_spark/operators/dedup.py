@@ -187,10 +187,22 @@ _SIG_SQL = MH.signature_sql(_DOC_SHINGLE_ITEMS_SQL, "doc_id", "code", _PARAMS)
     tags=("dedup", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # signatures scored inside the band join (no sig re-join / distinct)
+    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    return minhash_pairs_from_shingles(sh).orderBy("doc_a", "doc_b")
+
+
+def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs from a prebuilt (doc_id, sh) shingle
+    frame — the scan-free core of `dedup_minhash_lsh`, shared with
+    consumers that already hold the shingles (dedup_method_eval runs
+    this AND the exact pipeline off ONE checkpointed shingle scan).
+    Signatures scored inside the band join (no sig re-join/distinct)."""
+    sigs = sh.select(
+        "doc_id", MH.signature_array_col(F.col("sh"), _PARAMS).alias("sg")
+    )
     return (
         MH.scored_candidate_pairs_from_array_sig_df(
-            _doc_array_sigs(spark, sf_dir), "doc_id", N_HASHES, BANDS
+            sigs, "doc_id", N_HASHES, BANDS
         )
         .select(
             F.col("id_a").alias("doc_a"),
@@ -198,7 +210,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_sim",
         )
         .where(F.col("est_sim") >= NEAR_DUP_SIM)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -400,12 +411,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle-set size rides each exploded row out of the SAME
-    # projection (sh is already distinct), so the Jaccard denominator
-    # needs no per-doc sizes table — the former forced O(docs)
-    # broadcasts were the same scale hazard the round-2 verdict
-    # flagged on similar_users_jaccard.
     sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    return jaccard_pairs_from_shingles(sh).orderBy("doc_a", "doc_b")
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs from a prebuilt (doc_id, sh) frame
+    (scan-free core of `ngram_jaccard_pairs`; shared by
+    dedup_method_eval). The shingle-set size rides each exploded row
+    out of the SAME projection (sh is already distinct), so the
+    Jaccard denominator needs no per-doc sizes table — the former
+    forced O(docs) broadcasts were the same scale hazard the round-2
+    verdict flagged on similar_users_jaccard."""
     items = sh.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("code")
     )
@@ -424,10 +443,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("k").cast("double") / (F.col("na") + F.col("nb") - F.col("k"))
-    return (
-        inter.where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return inter.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 

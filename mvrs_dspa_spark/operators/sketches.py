@@ -392,16 +392,38 @@ def _pair_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
     tags=("sketch", "relational", "scale"),
 )
 def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each (table, key) count table feeds FOUR consumers (exact twin +
+    # sketch grid, x both sides of the self-join pair) and the union of
+    # all three pair plans runs as ONE action. Build each count table
+    # and its cells grid ONCE and hand the same DataFrame to every
+    # consumer: identical subtrees canonicalize equal, so ReuseExchange
+    # serves all of them from one shuffle — in particular the
+    # events-self pair no longer aggregates the events table twice.
+    # (Measured at sf0.1: 3.0 -> ~2.6 s; localCheckpoint variants were
+    # SLOWER — the disk write + job barrier costs more than the reused
+    # exchange saves on these bounded tables.)
+    counts: dict[tuple[str, str], DataFrame] = {}
+    cells: dict[tuple[str, str], DataFrame] = {}
+
+    def side(t: str, k: str) -> tuple[DataFrame, DataFrame]:
+        if (t, k) not in counts:
+            cnt = (
+                table(spark, sf_dir, t)
+                .groupBy(F.col(k).alias("k"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            counts[(t, k)] = cnt
+            cells[(t, k)] = _key_cells(cnt)
+        return counts[(t, k)], cells[(t, k)]
+
     out = None
     for name, ta, ka, tb, kb in JOIN_EST_PAIRS:
-        a, b = table(spark, sf_dir, ta), table(spark, sf_dir, tb)
-        ca = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("c"))
-        cb = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        ca, ga = side(ta, ka)
+        cb, gb = side(tb, kb)
         exact = (
             ca.join(cb.withColumnRenamed("c", "c2"), "k")
             .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("exact_size"))
         )
-        ga, gb = _key_cells(ca), _key_cells(cb)
         est = (
             ga.join(
                 F.broadcast(gb.withColumnRenamed("c", "c2")), ["j", "bucket"]

@@ -54,6 +54,13 @@ _SCALAR_BNLJ_OK = {
     "hourly_crosscorr_leadlag",  # 5-row lag-offset broadcast fan-out
     "decontaminate_semantic",  # bounded benchmark-suite broadcast
     "curriculum_manifest",  # 1-row quartile-edges scalar broadcast
+    # round-6 registrations:
+    "rfm_segment_counts",  # inherits user_rfm_segments' scalar broadcasts
+    "user_lifecycle_stages",  # 1-row time-range scalar broadcast
+    "value_ttest_by_type",  # 1-row global-moments scalar broadcast
+    "haversine_store_assignment",  # 25-row store-dimension broadcast fan-out
+    "entity_resolution_blocking",  # 1-row n_names scalar broadcast
+    "graph_degree_stats",  # 1-row n_users scalar broadcast (as triangles)
 }
 
 
