@@ -1988,16 +1988,24 @@ RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile edges
 )
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    now = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    stats = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("value").alias("monetary_sum"),
+    )
+    return rfm_scores_from_stats(stats).orderBy("user_id")
+
+
+def rfm_scores_from_stats(stats: DataFrame) -> DataFrame:
+    """RFM quintile scoring from per-user sufficient statistics
+    (user_id, last_us, frequency, monetary_sum) — shared by the batch
+    query above and the streaming maintainer
+    (`streaming/rfm_stream.py`), whose foreachBatch merge keeps
+    exactly these three decomposable aggregates (max / sum / sum)."""
+    now = stats.agg(F.max("last_us").alias("now_us"))
     day_us = 86_400_000_000
     per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.max(F.unix_micros("ts")).alias("last_us"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("value"), 2).alias("monetary"),
-        )
-        .crossJoin(F.broadcast(now))
+        stats.crossJoin(F.broadcast(now))
         .select(
             "user_id",
             (
@@ -2005,7 +2013,7 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.floor(F.col("last_us") / day_us)
             ).alias("recency_days"),
             "frequency",
-            "monetary",
+            F.round(F.col("monetary_sum"), 2).alias("monetary"),
         )
     )
     qs = F.array(*[F.lit(q) for q in RFM_QS])
@@ -2022,18 +2030,14 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (F.lit(5) - above if reverse else F.lit(1) + above).cast("int")
 
-    return (
-        per_user.crossJoin(F.broadcast(edges))
-        .select(
-            "user_id",
-            "recency_days",
-            "frequency",
-            "monetary",
-            score("recency_days", "re", reverse=True).alias("r_score"),
-            score("frequency", "fe", reverse=False).alias("f_score"),
-            score("monetary", "me", reverse=False).alias("m_score"),
-        )
-        .orderBy("user_id")
+    return per_user.crossJoin(F.broadcast(edges)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "re", reverse=True).alias("r_score"),
+        score("frequency", "fe", reverse=False).alias("f_score"),
+        score("monetary", "me", reverse=False).alias("m_score"),
     )
 
 

@@ -29,14 +29,34 @@ HISTORY_SCHEMA = (
     "valid_to timestamp, is_current boolean, version long"
 )
 
+# Long-run hygiene: every batch unions (untouched ∪ recomputed), so the
+# checkpointed history's partition count grows by ~shuffle_partitions
+# per batch — after thousands of batches the dimension would be carved
+# into thousands of splinter partitions (per-task overhead dominates,
+# the exact small-file problem OPTIMIZE fixes on disk). When the count
+# crosses the cap, compact back to `compact_to` partitions hashed on
+# user_id BEFORE the checkpoint, so the next batch's per-user joins
+# start from a sane layout. Amortized cost: one bounded-table shuffle
+# every ~cap/shuffle_partitions batches.
+COMPACT_PARTITION_CAP = 64
+COMPACT_TO = 16
+
 
 class Scd2Maintainer:
     """Accumulates the SCD2 history across micro-batches."""
 
-    def __init__(self, spark) -> None:
+    def __init__(
+        self,
+        spark,
+        compact_cap: int = COMPACT_PARTITION_CAP,
+        compact_to: int = COMPACT_TO,
+    ) -> None:
         self.spark = spark
         self.history: DataFrame = spark.createDataFrame([], HISTORY_SCHEMA)
         self.n_batches = 0
+        self.n_compactions = 0
+        self.compact_cap = compact_cap
+        self.compact_to = compact_to
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -106,9 +126,11 @@ class Scd2Maintainer:
                 ~F.col("is_current")
             )
         )
-        self.history = untouched.unionByName(recomputed).localCheckpoint(
-            eager=True
-        )
+        new_hist = untouched.unionByName(recomputed)
+        if new_hist.rdd.getNumPartitions() > self.compact_cap:
+            new_hist = new_hist.repartition(self.compact_to, "user_id")
+            self.n_compactions += 1
+        self.history = new_hist.localCheckpoint(eager=True)
         self.n_batches += 1
 
 

@@ -1,0 +1,133 @@
+"""10x-scale stress probe (VERDICT-r4/r5 carry-over): turn "the plans
+look 100 TB-safe" into a measured data point.
+
+Deterministic synthetic inputs at 1x and 10x drive three
+representative heavy operators — the sliding event-time window, the
+salted hot-key rollup, and the MinHash+LSH dedup pipeline — and we
+assert (a) runtime grows ~linearly (a quadratic pair blow-up or a
+collapsed-to-one-task stage would blow the ratio immediately) and
+(b) NO shuffle/sort spill at either scale (partials fit in memory —
+the posture that keeps the same plan healthy on a real cluster).
+
+Numbers from the most recent run are recorded in SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import all_queries
+from mvrs_dspa_spark.streaming.synthetic_source import (
+    register_synthetic_source,
+)
+
+EV_SMALL = 200_000
+DOC_SMALL = 20_000
+SCALE = 10
+# linear growth with generous headroom for fixed per-stage overheads
+# and host noise; a quadratic path would land at ~100x
+MAX_RATIO = 2.5 * SCALE
+_VOCAB_SIZE = 2000
+_DOC_WORDS = 40
+
+
+def _total_spill(spark) -> int:
+    """Sum memory+disk spill over all retained stages (AppStatusStore)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    total = 0
+    for sid in range(0, 5000):
+        try:
+            sd = store.lastStageAttempt(sid)
+        except Exception:
+            continue
+        total += sd.memoryBytesSpilled() + sd.diskBytesSpilled()
+    return total
+
+
+def _write_events(spark, n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        spark.read.format("synthetic_events")
+        .option("rows", n)
+        .option("numPartitions", 16)
+        .option("seed", 137)
+        .load()
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+
+
+def _write_documents(spark, n: int, out_dir: str) -> None:
+    """n deterministic pseudo-text docs: 40 words drawn from a
+    2000-word vocab by an affine hash of (doc_id, position) — the
+    shingle/MinHash pipeline sees realistic tokenization work while
+    pair overlap stays sparse (we measure the scan+signature+band
+    path, not an artificially quadratic near-dup output)."""
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = F.array(
+        *[F.lit(f"w{i:04d}") for i in range(_VOCAB_SIZE)]
+    )
+    word = lambda i: F.element_at(  # noqa: E731
+        vocab,
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(_VOCAB_SIZE)) + 1)
+        .cast("int"),
+    )
+    text = F.concat_ws(" ", *[word(i) for i in range(_DOC_WORDS)])
+    (
+        spark.range(0, n, 1, 16)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+
+def _timed(fn, sf_dir: str, spark) -> float:
+    fn(spark, sf_dir).count()  # untimed: codegen + scan warm-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.slow
+def test_10x_events_scale_linear_no_spill(spark, tmp_path):
+    register_synthetic_source(spark)
+    small, big = str(tmp_path / "ev1x"), str(tmp_path / "ev10x")
+    _write_events(spark, EV_SMALL, small)
+    _write_events(spark, EV_SMALL * SCALE, big)
+    spill0 = _total_spill(spark)
+    q = all_queries()
+    for name in ("sliding_activity_stats", "salted_event_rollup"):
+        t1 = _timed(q[name].fn, small, spark)
+        t10 = _timed(q[name].fn, big, spark)
+        assert t10 / t1 < MAX_RATIO, (name, t1, t10)
+        print(f"SCALE {name}: 1x={t1:.2f}s 10x={t10:.2f}s "
+              f"ratio={t10 / t1:.1f}")
+    assert _total_spill(spark) - spill0 == 0, "scale run spilled"
+
+
+@pytest.mark.slow
+def test_10x_documents_scale_linear_no_spill(spark, tmp_path):
+    small, big = str(tmp_path / "doc1x"), str(tmp_path / "doc10x")
+    _write_documents(spark, DOC_SMALL, small)
+    _write_documents(spark, DOC_SMALL * SCALE, big)
+    spill0 = _total_spill(spark)
+    fn = all_queries()["dedup_minhash_lsh"].fn
+    t1 = _timed(fn, small, spark)
+    t10 = _timed(fn, big, spark)
+    assert t10 / t1 < MAX_RATIO, (t1, t10)
+    print(f"SCALE dedup_minhash_lsh: 1x={t1:.2f}s 10x={t10:.2f}s "
+          f"ratio={t10 / t1:.1f}")
+    assert _total_spill(spark) - spill0 == 0, "scale run spilled"

@@ -66,3 +66,41 @@ def test_streaming_scd2_equals_batch(spark, tmp_path):
     got = _rows(mon.history)
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_scd2_history_partitions_stay_bounded(spark, tmp_path):
+    """Long-run hygiene: each batch unions recomputed rows onto the
+    history, which grows the checkpointed partition count without
+    bound; the maintainer must compact once the cap is crossed so a
+    long-lived stream never splinters the dimension into thousands of
+    micro-partitions."""
+    from mvrs_dspa_spark.streaming.scd2_stream import Scd2Maintainer
+    from mvrs_dspa_spark.tables import table
+
+    ev = table(spark, SF, "events").orderBy("ts", "event_id").limit(600)
+    rows = ev.collect()
+    # cap=2 forces the compaction path at test scale (AQE coalescing
+    # keeps tiny unions at ~3 partitions; at production scale each
+    # union branch is many partitions and the cap is what bounds them)
+    m = Scd2Maintainer(spark, compact_cap=2, compact_to=2)
+    step = 30
+    for i in range(0, len(rows), step):
+        batch = spark.createDataFrame(rows[i : i + step], ev.schema)
+        m.update(batch, i // step)
+    assert m.n_batches == len(rows) // step
+    assert m.n_compactions >= 1
+    # bounded: at most compact_to plus one batch's coalesced growth
+    assert m.history.rdd.getNumPartitions() <= 2 + 2 * int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    # compaction must not corrupt the dimension: exactly one open row
+    # per user, versions dense from 1
+    hist = m.history.collect()
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        assert sum(1 for r in rs if r.is_current) == 1, uid
+        assert sorted(r.version for r in rs) == list(
+            range(1, len(rs) + 1)
+        ), uid
