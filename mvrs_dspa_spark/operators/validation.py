@@ -299,6 +299,76 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- l-diversity audit ------------------------------------------------------
+
+L_DIV = 5
+_VALUE_BAND = 10  # event value quantized to 10-unit bands
+
+
+@register(
+    "l_diversity_report",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                   CAST(FLOOR(value / {_VALUE_BAND}) AS BIGINT) AS value_band,
+                   user_id, COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3, 4
+        )
+        SELECT event_type, hod, value_band,
+               CAST(SUM(n) AS BIGINT) AS group_size,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               ROUND(EXP(LN(CAST(SUM(n) AS DOUBLE))
+                         - SUM(n * LN(CAST(n AS DOUBLE)))
+                           / CAST(SUM(n) AS DOUBLE)), 4) AS entropy_l
+        FROM cells
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) < {L_DIV}
+        ORDER BY event_type, hod, value_band
+    """,
+    doc=f"l-diversity audit (l={L_DIV}, Machanavajjhala et al. 2007) — "
+    "the successor check to k-anonymity (#56b): a group can be large "
+    "enough to pass k yet still leak if everyone in it shares the "
+    "sensitive value. Quasi-identifier tuple (event_type, hour-of-day, "
+    f"{_VALUE_BAND}-unit value band), sensitive attribute user_id; "
+    "groups with fewer than l distinct users are homogeneity-attack "
+    "risks. Reports distinct-l plus ENTROPY-l (exp of the Shannon "
+    "entropy of the within-group user distribution, the stricter "
+    "variant that also catches 99%-one-user skew) computed "
+    "algebraically from sum(n ln n) — corpus-sized work is one "
+    "(QI, user) aggregation, the QI rollup runs on the cell table.",
+    tags=("validation", "llm"),
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("value") / _VALUE_BAND).cast("long").alias(
+            "value_band"
+        ),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    gs = F.sum("n")
+    return (
+        cells.groupBy("event_type", "hod", "value_band")
+        .agg(
+            gs.alias("group_size"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.round(
+                F.exp(
+                    F.log(gs.cast("double"))
+                    - F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                    / gs.cast("double")
+                ),
+                4,
+            ).alias("entropy_l"),
+        )
+        .where(F.col("l_distinct") < L_DIV)
+        .orderBy("event_type", "hod", "value_band")
+    )
+
+
 # --- snapshot reconciliation diff ------------------------------------------
 
 

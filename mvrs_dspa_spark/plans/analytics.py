@@ -2350,6 +2350,15 @@ def hourly_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    return state_intervals(ev).orderBy("user_id", "valid_from")
+
+
+def state_intervals(ev: DataFrame) -> DataFrame:
+    """SCD2 validity intervals of per-user event-type state, un-ordered —
+    shared by the registered `user_state_history` surface and the
+    point-in-time join (`plans/analytics2.point_in_time_state_join`),
+    which consumes the intervals under a join where any sort would be
+    discarded anyway."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.select(
@@ -2366,16 +2375,13 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "state", F.col("ts").alias("valid_from"))
     )
     w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    return (
-        changes.select(
-            "user_id",
-            "state",
-            "valid_from",
-            F.lead("valid_from").over(w2).alias("valid_to"),
-            F.lead("valid_from").over(w2).isNull().alias("is_current"),
-            F.row_number().over(w2).cast("long").alias("version"),
-        )
-        .orderBy("user_id", "valid_from")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
     )
 
 

@@ -851,4 +851,218 @@ def anomaly_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- point-in-time (temporal) join against the SCD2 dimension ---------------
+
+
+@register(
+    "point_in_time_state_join",
+    oracle=None,  # resolved lazily below (wraps the user_state_history oracle)
+    doc="Point-in-time (temporal) join — the lookup the SCD2 dimension "
+    "(#94) exists to serve, and the batch form of Flink's temporal "
+    "table join: every event is joined to the state version that was "
+    "valid JUST BEFORE its timestamp (valid_from < ts <= valid_to, "
+    "open row unbounded), i.e. the user's prior state as transition "
+    "context; a user's first event has no prior version and reports "
+    "'none'. The join is an equi-join on user_id with the interval "
+    "check as a residual predicate — per-user version counts are "
+    "bounded by state changes, so the residual scans short runs, "
+    "never a nested loop over the corpus; both sides shuffle once on "
+    "the same key. Interval semantics make the match provably unique "
+    "per event, so the (prior_state x event_type) rollup is exact. "
+    "Reuses `analytics.state_intervals` — one SCD2 definition for "
+    "the dimension build, the streaming maintainer, and this "
+    "consumer.",
+    tags=("relational", "temporal"),
+)
+def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.plans.analytics import state_intervals
+
+    ev = table(spark, sf_dir, "events")
+    hist = state_intervals(ev).select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("state").alias("prior_state"),
+        "valid_from",
+        "valid_to",
+    )
+    joined = ev.join(
+        hist,
+        (ev["user_id"] == hist["h_user_id"])
+        & (hist["valid_from"] < ev["ts"])
+        & (hist["valid_to"].isNull() | (ev["ts"] <= hist["valid_to"])),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("prior_state", F.lit("none")).alias("prior_state"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("prior_state", "event_type")
+    )
+
+
+def _patch_pit_oracle() -> None:
+    import dataclasses
+
+    from mvrs_dspa_spark.plans import analytics  # noqa: F401  (registers #94)
+
+    spec = _REGISTRY["point_in_time_state_join"]
+    if spec.oracle is None:
+        hist = _REGISTRY["user_state_history"].oracle
+        _REGISTRY["point_in_time_state_join"] = dataclasses.replace(
+            spec,
+            oracle=f"""
+                WITH hist AS ({hist})
+                SELECT COALESCE(h.state, 'none') AS prior_state,
+                       e.event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                       ROUND(SUM(e.value), 2) AS sum_value
+                FROM events e
+                LEFT JOIN hist h
+                  ON h.user_id = e.user_id
+                 AND h.valid_from < e.ts
+                 AND (h.valid_to IS NULL OR e.ts <= h.valid_to)
+                GROUP BY 1, 2
+                ORDER BY 1, 2
+            """,
+        )
+
+
+# --- Kaplan-Meier time-to-conversion ----------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "kaplan_meier_conversion",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS tp
+            FROM events GROUP BY user_id
+        ),
+        gmax AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+        durs AS (
+            SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // {_DAY_US}
+                        ELSE ((SELECT tmax FROM gmax) - t0) // {_DAY_US}
+                   END AS day,
+                   (tp IS NOT NULL) AS converted
+            FROM per_user
+        ),
+        grid AS (
+            SELECT day,
+                   CAST(count_if(converted) AS BIGINT) AS n_converted,
+                   CAST(count_if(NOT converted) AS BIGINT) AS n_censored
+            FROM durs GROUP BY day
+        ),
+        km AS (
+            SELECT day, n_converted,
+                   (SELECT COUNT(*) FROM per_user)
+                   - COALESCE(SUM(n_converted + n_censored) OVER
+                       (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_at_risk
+            FROM grid
+        )
+        SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_converted,
+               ROUND(EXP(SUM(LN(GREATEST(
+                   1.0 - CAST(n_converted AS DOUBLE) / n_at_risk,
+                   1e-300))) OVER
+                   (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS survival
+        FROM km
+        QUALIFY n_converted > 0
+        ORDER BY day
+    """,
+    doc="Kaplan-Meier time-to-conversion curve (right-censored "
+    "survival analysis, the product-limit estimator): per user, days "
+    "from first activity to first purchase; users who never purchase "
+    "are censored at the corpus horizon rather than dropped (dropping "
+    "them biases conversion time down — the reason KM exists). One "
+    "user_id aggregation is the only corpus-sized work; the day grid "
+    "is time-range-bounded, so the risk-set cumsums and the "
+    "log-product survival window run on a frame of at most a few "
+    "hundred rows (single-partition window on a bounded grid is house "
+    "style). Survival factors (1 - d/r) are exact rationals; the "
+    "ln/exp round-trip is clamped at 1e-300 so a day that converts "
+    "the entire remaining risk set yields survival 0.0 on both "
+    "engines instead of NULL-vs-(-inf).",
+    tags=("analytics", "temporal"),
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("tp"),
+    )
+    gmax = ev.agg(F.max(F.unix_micros("ts")).alias("tmax"))
+    durs = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.when(
+            F.col("tp").isNotNull(), F.expr(f"(tp - t0) div {_DAY_US}")
+        )
+        .otherwise(F.expr(f"(tmax - t0) div {_DAY_US}"))
+        .alias("day"),
+        F.col("tp").isNotNull().alias("converted"),
+    )
+    grid = durs.groupBy("day").agg(
+        F.count_if(F.col("converted")).alias("n_converted"),
+        F.count_if(~F.col("converted")).alias("n_censored"),
+    )
+    n_total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = grid.crossJoin(F.broadcast(n_total)).select(
+        "day",
+        "n_converted",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_converted") + F.col("n_censored")).over(
+                    w_prev
+                ),
+                F.lit(0),
+            )
+        ).alias("n_at_risk"),
+    )
+    return (
+        km.select(
+            "day",
+            "n_at_risk",
+            "n_converted",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.greatest(
+                                F.lit(1.0)
+                                - F.col("n_converted").cast("double")
+                                / F.col("n_at_risk"),
+                                F.lit(1e-300),
+                            )
+                        )
+                    ).over(w_run)
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .where(F.col("n_converted") > 0)
+        .orderBy("day")
+    )
+
+
 _patch_rfm_oracle()
+_patch_pit_oracle()

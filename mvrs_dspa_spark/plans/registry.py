@@ -77,6 +77,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_value_audit",
     "tdigest_value_quantiles",
     "anomaly_mahalanobis_2d",
+    # -- round-6 second wave: temporal/privacy additions (#118-120),
+    # first driver check for each --
+    "point_in_time_state_join",
+    "kaplan_meier_conversion",
+    "l_diversity_report",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -112,9 +117,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "item_cooccurrence_triangles",
     "text_features",
     "train_test_split",
-    "stratified_sample",
-    "source_quota_cap",
-    "pack_sequences",
+    # (stratified_sample / source_quota_cap / pack_sequences rotate to
+    # the next round's re-sweep: the 50-slot window is full)
 )
 
 

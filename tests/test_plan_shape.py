@@ -61,6 +61,7 @@ _SCALAR_BNLJ_OK = {
     "haversine_store_assignment",  # 25-row store-dimension broadcast fan-out
     "entity_resolution_blocking",  # 1-row n_names scalar broadcast
     "graph_degree_stats",  # 1-row n_users scalar broadcast (as triangles)
+    "kaplan_meier_conversion",  # 1-row horizon + total-count scalar broadcasts
 }
 
 
