@@ -504,3 +504,133 @@ def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "priority",
     )
+
+
+# --- DSIR importance-weighted data selection ---------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"  # the curated slice whose distribution we want
+DSIR_TOP_K = 100
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=None,  # built below (needs the tokens/str_code SQL helpers)
+    doc="DSIR data selection (Xie et al. 2023, arXiv:2302.03169): "
+    "score every document by how much it resembles a small target "
+    "domain (here the curated 'src0' slice) under hashed unigram "
+    "importance weights — log p_target(bucket)/p_corpus(bucket) "
+    "averaged over the doc's tokens, add-1 smoothed; keep the top-K. "
+    "Hashed features are the paper's own trick for a bounded, "
+    "mergeable representation: the two distributions live in ONE "
+    f"{DSIR_BUCKETS}-row bucket table (target count via conditional "
+    "aggregation on the same scan), broadcast back to the exploded "
+    "tokens, so corpus-sized work is one explode + one broadcast "
+    "equi-join; orderBy+limit compiles to TakeOrderedAndProject "
+    "(per-partition top-K, no global sort). Weights are rounded "
+    "BEFORE the cutoff with doc_id tiebreak, so both engines select "
+    "the identical K.",
+    tags=("llm", "sampling"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.pmod(H.str_code_col(F.col("tok")), F.lit(DSIR_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+    dist = toks.groupBy("bucket").agg(
+        F.count_if(F.col("source") == DSIR_TARGET_SOURCE).alias("n_t"),
+        F.count(F.lit(1)).alias("n_c"),
+    )
+    tot = dist.agg(
+        F.sum("n_t").alias("tt"), F.sum("n_c").alias("tc")
+    )
+    log_ratio = F.log(
+        (F.col("n_t") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS)
+    ) - F.log(
+        (F.col("n_c") + 1).cast("double") / (F.col("tc") + DSIR_BUCKETS)
+    )
+    scored = (
+        toks.join(F.broadcast(dist), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(log_ratio), 6).alias("weight"),
+        )
+    )
+    top = scored.orderBy(F.col("weight").desc(), "doc_id").limit(DSIR_TOP_K)
+    w = Window.orderBy(F.col("weight").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).alias("sel_rank"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "weight",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+    )
+
+
+def _patch_dsir_oracle() -> None:
+    import dataclasses
+
+    from mvrs_dspa_spark.functions import text as T
+    from mvrs_dspa_spark.plans.registry import _REGISTRY
+
+    spec = _REGISTRY["dsir_importance_weights"]
+    if spec.oracle is not None:
+        return
+    bucket = f"({H.str_code_sql('tok')}) % {DSIR_BUCKETS}"
+    _REGISTRY["dsir_importance_weights"] = dataclasses.replace(
+        spec,
+        oracle=f"""
+            WITH toks AS (
+                SELECT doc_id, source, lang,
+                       unnest({T.tokens_sql('lower(text)')}) AS tok
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, source, lang, {bucket} AS bucket FROM toks
+            ),
+            dist AS (
+                SELECT bucket,
+                       count_if(source = '{DSIR_TARGET_SOURCE}') AS n_t,
+                       COUNT(*) AS n_c
+                FROM b GROUP BY bucket
+            ),
+            tot AS (SELECT SUM(n_t) AS tt, SUM(n_c) AS tc FROM dist),
+            scored AS (
+                SELECT doc_id, source, lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       ROUND(AVG(
+                           LN(CAST(n_t + 1 AS DOUBLE)
+                              / (tt + {DSIR_BUCKETS}))
+                           - LN(CAST(n_c + 1 AS DOUBLE)
+                                / (tc + {DSIR_BUCKETS}))), 6) AS weight
+                FROM b JOIN dist USING (bucket) CROSS JOIN tot
+                GROUP BY doc_id, source, lang
+            )
+            SELECT CAST(ROW_NUMBER() OVER
+                       (ORDER BY weight DESC, doc_id) AS INT) AS sel_rank,
+                   doc_id, source, lang, n_tokens, weight,
+                   (source = '{DSIR_TARGET_SOURCE}') AS is_target
+            FROM scored
+            ORDER BY weight DESC, doc_id
+            LIMIT {DSIR_TOP_K}
+        """,
+    )
+
+
+_patch_dsir_oracle()

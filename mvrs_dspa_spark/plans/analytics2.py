@@ -289,17 +289,19 @@ _HAVERSINE_SQL = f"""
         ),
         dists AS (
             SELECT c_custkey, store_key, store_name,
-                   ROUND({_HAVERSINE_SQL}, 4) AS d,
+                   CAST(ROUND(({_HAVERSINE_SQL}) * 10000, 0) AS BIGINT)
+                       AS d_i,
                    ROW_NUMBER() OVER (
                        PARTITION BY c_custkey
-                       ORDER BY ROUND({_HAVERSINE_SQL}, 4), store_key
+                       ORDER BY CAST(ROUND(({_HAVERSINE_SQL}) * 10000, 0)
+                                     AS BIGINT), store_key
                    ) AS rn
             FROM custs CROSS JOIN stores
         )
         SELECT store_key, store_name,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               ROUND(AVG(d), 4) AS avg_dist_km,
-               ROUND(MAX(d), 4) AS max_dist_km
+               ROUND(SUM(d_i) / 10000.0 / COUNT(*), 4) AS avg_dist_km,
+               ROUND(MAX(d_i) / 10000.0, 4) AS max_dist_km
         FROM dists WHERE rn = 1
         GROUP BY store_key, store_name
         ORDER BY store_key
@@ -341,11 +343,16 @@ def haversine_store_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    d = F.round(hav, 4)
-    w = Window.partitionBy("c_custkey").orderBy("d", "store_key")
+    # integer 0.1-metre distances: the rank AND the aggregates run on
+    # exact int64 values, so float summation ORDER can never move an
+    # average across a rounding boundary between engines (the sum of
+    # rounded doubles still diverges in the last ulp; the sum of their
+    # integer codes cannot)
+    d_i = F.round(hav * 10000, 0).cast("long")
+    w = Window.partitionBy("c_custkey").orderBy("d_i", "store_key")
     dists = (
         custs.crossJoin(F.broadcast(stores))
-        .select("c_custkey", "store_key", "store_name", d.alias("d"))
+        .select("c_custkey", "store_key", "store_name", d_i.alias("d_i"))
         .withColumn("rn", F.row_number().over(w))
     )
     return (
@@ -353,8 +360,10 @@ def haversine_store_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("store_key", "store_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("d"), 4).alias("avg_dist_km"),
-            F.round(F.max("d"), 4).alias("max_dist_km"),
+            F.round(F.sum("d_i") / 10000.0 / F.count(F.lit(1)), 4).alias(
+                "avg_dist_km"
+            ),
+            F.round(F.max("d_i") / 10000.0, 4).alias("max_dist_km"),
         )
         .orderBy("store_key")
     )

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "point_in_time_state_join",
     "kaplan_meier_conversion",
     "l_diversity_report",
+    "dsir_importance_weights",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,9 +117,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "recommendation_agreement",
     "item_cooccurrence_triangles",
     "text_features",
-    "train_test_split",
-    # (stratified_sample / source_quota_cap / pack_sequences rotate to
-    # the next round's re-sweep: the 50-slot window is full)
+    # (train_test_split / stratified_sample / source_quota_cap /
+    # pack_sequences rotate to the next round's re-sweep: the 50-slot
+    # window is full)
 )
 
 

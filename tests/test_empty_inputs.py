@@ -33,6 +33,7 @@ _NONEMPTY_ON_EMPTY = {
     "q6_forecast_revenue": 1,
     "q19_disjunctive_revenue": 1,
     "q17_small_quantity_revenue": 1,
+    "entity_resolution_blocking": 3,  # one scalar summary row per strategy
 }
 
 

@@ -62,6 +62,7 @@ _SCALAR_BNLJ_OK = {
     "entity_resolution_blocking",  # 1-row n_names scalar broadcast
     "graph_degree_stats",  # 1-row n_users scalar broadcast (as triangles)
     "kaplan_meier_conversion",  # 1-row horizon + total-count scalar broadcasts
+    "dsir_importance_weights",  # 1-row token-totals scalar broadcast
 }
 
 
