@@ -910,3 +910,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- exact substring-level duplication (Lee et al. 2022) ---------------------
+
+SUBSTR_WINDOW = 50
+SUBSTR_STRIDE = 10
+
+
+@register(
+    "substring_dup_rate",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   substr(text, CAST(pos AS INT), {SUBSTR_WINDOW}) AS win
+            FROM documents,
+                 UNNEST(generate_series(
+                     1, GREATEST(length(text) - {SUBSTR_WINDOW - 1}, 0),
+                     {SUBSTR_STRIDE})) AS t(pos)
+        ),
+        stats AS (
+            SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(count_if(nd >= 2) AS BIGINT) AS n_shared,
+               ROUND(count_if(nd >= 2) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS dup_rate
+        FROM w JOIN stats USING (win)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Exact substring-level duplication rate (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better', "
+    f"arXiv:2107.06499): {SUBSTR_WINDOW}-char windows every "
+    f"{SUBSTR_STRIDE} chars; a window whose exact text appears in at "
+    "least one OTHER document is duplicated content, and the per-doc "
+    "share of such windows is the removal signal (the doc-level form "
+    "of the paper's ExactSubstr; shingles/MinHash in #31 catch "
+    "near-dup DOCUMENTS, this catches verbatim PASSAGES embedded in "
+    "otherwise-distinct documents — quotes, licenses, templates). "
+    "Window explosion is len/stride per doc (documented fan-out, "
+    "stride trades recall for volume); the window vocabulary "
+    "aggregates once and joins back by exact window text — "
+    "boilerplate windows are Zipf-hot, the same AQE skew-join shape "
+    "as the unigram-LM scorer. At 100 TB: hash the window to int64 "
+    "for the shuffle and keep one exact-verify pass per colliding "
+    "bucket; here windows are 50 chars and the exact text IS the "
+    "join key, so there is no collision step to verify.",
+    tags=("llm", "dedup"),
+)
+def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= SUBSTR_WINDOW,
+        F.sequence(
+            F.lit(1),
+            F.length("text") - (SUBSTR_WINDOW - 1),
+            F.lit(SUBSTR_STRIDE),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    w = d.select(
+        "doc_id", F.explode(positions).alias("pos"), "text"
+    ).select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("pos"), SUBSTR_WINDOW).alias("win"),
+    )
+    stats = w.groupBy("win").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared = F.count_if(F.col("nd") >= 2)
+    return (
+        w.join(stats, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.alias("n_shared"),
+            F.round(
+                shared / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )
