@@ -110,6 +110,12 @@ EXTRA_QUERIES = [
     "graph_degree_stats",
     "doc_stopword_entropy",
     "anomaly_mahalanobis_2d",
+    # round 6 second wave: temporal join against the SCD2 dimension,
+    # survival curve, substring-window explode, hashed-unigram scoring
+    "point_in_time_state_join",
+    "kaplan_meier_conversion",
+    "dsir_importance_weights",
+    "substring_dup_rate",
 ]
 
 
