@@ -1073,5 +1073,73 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- leave-one-out target encoding -------------------------------------------
+
+
+@register(
+    "target_encoding_loo",
+    oracle="""
+        WITH coded AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_i
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   SUM(v_i) AS s_i, COUNT(*) AS n
+            FROM coded GROUP BY event_type
+        )
+        SELECT event_id, event_type,
+               ROUND(v_i / 100.0, 2) AS value,
+               CASE WHEN n > 1
+                    THEN ROUND((s_i - v_i) / (100.0 * (n - 1)), 6)
+               END AS loo_encoding
+        FROM coded JOIN stats USING (event_type)
+        ORDER BY event_id
+    """,
+    doc="Leave-one-out target encoding of the event-type category "
+    "against value — the supervised-ML categorical encoder that "
+    "excludes each row's own target from its category mean, the "
+    "standard guard against target leakage (a plain mean encoding "
+    "memorizes single-row categories). Per-category sufficient "
+    "statistics are ONE corpus aggregation broadcast back; the "
+    "encoding is pure arithmetic per row. All sums run on exact "
+    "int64 cent codes (CAST(ROUND(value*100)) — value itself is not "
+    "binary-exact), so float summation order cannot move an encoding "
+    "across the rounding boundary between engines; a singleton "
+    "category encodes NULL rather than leaking its own target.",
+    tags=("analytics", "llm"),
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    coded = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_i"),
+    )
+    stats = coded.groupBy("event_type").agg(
+        F.sum("v_i").alias("s_i"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        coded.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("v_i") / 100.0, 2).alias("value"),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s_i") - F.col("v_i"))
+                    / (100.0 * (F.col("n") - 1)),
+                    6,
+                ),
+            ).alias("loo_encoding"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _patch_rfm_oracle()
 _patch_pit_oracle()

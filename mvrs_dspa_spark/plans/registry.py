@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "l_diversity_report",
     "dsir_importance_weights",
     "substring_dup_rate",
+    "target_encoding_loo",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,10 +117,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "similar_users_jaccard",
     "similar_users_minhash_lsh",
     "recommendation_agreement",
-    "item_cooccurrence_triangles",
-    # (text_features / train_test_split / stratified_sample /
-    # source_quota_cap / pack_sequences rotate to the next round's
-    # re-sweep: the 50-slot window is full)
+    # (item_cooccurrence_triangles / text_features / train_test_split /
+    # stratified_sample / source_quota_cap / pack_sequences rotate to
+    # the next round's re-sweep: the 50-slot window is full)
 )
 
 

@@ -1,0 +1,59 @@
+"""Shuffle-count budgets for the headline queries (SURVEY §4).
+
+A silent extra exchange is the classic scale regression: the query
+stays correct, the small-SF timing barely moves, and at 100 TB the new
+shuffle doubles the job's network volume. Each headline plan gets a
+ceiling equal to its audited shuffle count (pre-AQE physical plan, so
+the budget is deterministic); a refactor that adds an exchange must
+consciously raise the budget in this file."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mvrs_dspa_spark.plans.registry import all_queries
+
+# audited shuffle counts (round 6); equality allowed, exceeding fails
+_SHUFFLE_BUDGET = {
+    "q1_pricing_summary": 2,       # agg exchange + result range-sort
+    "q3_shipping_priority": 1,     # fact-fact join (dims broadcast)
+    "q5_supplier_volume": 2,
+    "sliding_activity_stats": 4,
+    "user_sessions": 2,
+    "similar_users_jaccard": 9,
+    "similar_users_minhash_lsh": 6,
+    "dedup_minhash_lsh": 3,        # signature agg + band join + sort
+    "ann_cosine_topk": 2,
+    "kmeans_embeddings": 1,
+    "hourly_event_rollup": 3,
+    "latest_events_snapshot": 2,
+    "q6_forecast_revenue": 1,      # single partial+final agg pair
+    "point_in_time_state_join": 5,
+    "substring_dup_rate": 5,
+    "dsir_importance_weights": 6,
+}
+
+_EXCHANGE_RE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
+def _shuffles(spark, sf_small, name: str) -> int:
+    df = all_queries()[name].fn(spark, sf_small)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    return len(_EXCHANGE_RE.findall(plan))
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_small, name):
+    n = _shuffles(spark, sf_small, name)
+    assert n <= _SHUFFLE_BUDGET[name], (
+        f"{name} plans {n} shuffles, budget {_SHUFFLE_BUDGET[name]} — "
+        "a new exchange appeared; justify it and raise the budget "
+        "consciously, or remove it"
+    )
