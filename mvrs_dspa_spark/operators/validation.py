@@ -580,3 +580,112 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, bad = quarantine_split(table(spark, sf_dir, "events"))
     return bad.select("event_id", "reasons").orderBy("event_id")
+
+
+# --- GDPR erasure-cascade audit ----------------------------------------------
+
+ERASE_PCT = 1  # simulated right-to-be-forgotten cohort: 1% of keys
+
+
+def _erase_cohort_sql(key: str) -> str:
+    from mvrs_dspa_spark.functions import hashing as H
+
+    salted = "'gdpr:' || (" + key + ")::VARCHAR"
+    return f"({H.str_code_sql(salted)}) % 100 < {ERASE_PCT}"
+
+
+def _erase_cohort_col(key: F.Column) -> F.Column:
+    from mvrs_dspa_spark.functions import hashing as H
+
+    return (
+        H.str_code_col(F.concat(F.lit("gdpr:"), key.cast("string"))) % 100
+        < ERASE_PCT
+    )
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle=f"""
+        WITH del_cust AS (
+            SELECT c_custkey FROM customer
+            WHERE {_erase_cohort_sql('c_custkey')}
+        ),
+        del_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+        ),
+        del_li AS (
+            SELECT l_orderkey FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+        ),
+        del_ev AS (
+            SELECT user_id FROM events
+            WHERE {_erase_cohort_sql('user_id')}
+        )
+        SELECT * FROM (
+            SELECT 'customer' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS rows_to_erase,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS keys_affected
+            FROM del_cust
+            UNION ALL
+            SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM del_orders
+            UNION ALL
+            SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+            FROM del_li
+            UNION ALL
+            SELECT 'events', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM del_ev
+        )
+        ORDER BY table_name
+    """,
+    doc="GDPR right-to-be-forgotten erasure audit: given a deletion "
+    f"cohort ({ERASE_PCT}% of subject keys by salted hash — in "
+    "production the request table), report every row the erasure "
+    "cascade must touch across the star schema BEFORE running it: the "
+    "customers themselves, their orders, the lineitems of those orders "
+    "(two-hop cascade through the foreign-key chain), and the "
+    "subjects' event-log rows. The pre-flight sizing/sign-off report a "
+    "deletion pipeline emits before a destructive MERGE DELETE. "
+    "Cascades are semi joins down the key chain — each hop shuffles on "
+    "its own join key exactly once, no row ever widens — and the "
+    "output is one row per table. The same predicate drives the actual "
+    "delete, so audit and deletion cannot drift.",
+    tags=("validation", "relational"),
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    del_cust = cust.where(_erase_cohort_col(F.col("c_custkey"))).select(
+        "c_custkey"
+    )
+    del_orders = orders.join(
+        del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_custkey")
+    del_li = li.join(
+        del_orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    ).select("l_orderkey")
+    del_ev = ev.where(_erase_cohort_col(F.col("user_id"))).select("user_id")
+
+    def summary(df: DataFrame, name: str, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("rows_to_erase"),
+            F.countDistinct(key).alias("keys_affected"),
+        )
+
+    return (
+        summary(del_cust, "customer", "c_custkey")
+        .unionByName(summary(del_orders, "orders", "o_custkey"))
+        .unionByName(summary(del_li, "lineitem", "l_orderkey"))
+        .unionByName(summary(del_ev, "events", "user_id"))
+        .orderBy("table_name")
+    )

@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "substring_dup_rate",
     "target_encoding_loo",
+    "gdpr_erasure_audit",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,10 +117,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "session_conversion",
     "similar_users_jaccard",
     "similar_users_minhash_lsh",
-    "recommendation_agreement",
-    # (item_cooccurrence_triangles / text_features / train_test_split /
-    # stratified_sample / source_quota_cap / pack_sequences rotate to
-    # the next round's re-sweep: the 50-slot window is full)
+    # (recommendation_agreement / item_cooccurrence_triangles /
+    # text_features / train_test_split / stratified_sample /
+    # source_quota_cap / pack_sequences rotate to the next round's
+    # re-sweep: the 50-slot window is full)
 )
 
 

@@ -34,6 +34,7 @@ _NONEMPTY_ON_EMPTY = {
     "q19_disjunctive_revenue": 1,
     "q17_small_quantity_revenue": 1,
     "entity_resolution_blocking": 3,  # one scalar summary row per strategy
+    "gdpr_erasure_audit": 4,  # one all-zero summary row per audited table
 }
 
 
