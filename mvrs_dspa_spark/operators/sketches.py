@@ -863,3 +863,173 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# --- theta sketch pairwise intersections ------------------------------------
+
+
+@register(
+    "theta_sketch_overlap",
+    oracle=f"""
+        WITH codes AS (
+            SELECT DISTINCT event_type,
+                   {H.affine_sql("user_id", *_THETA_AB)} AS code
+            FROM events
+        ),
+        types AS (SELECT DISTINCT event_type FROM codes),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        per_type AS (
+            SELECT event_type,
+                   COUNT(*) AS n_exact,
+                   CASE WHEN COUNT(*) < {THETA_K} THEN COUNT(*)::DOUBLE
+                        ELSE ({THETA_K} - 1) * {H.P}::DOUBLE
+                             / MAX(CASE WHEN rn = {THETA_K} THEN code END)
+                   END AS est
+            FROM (
+                SELECT event_type, code,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY code) AS rn
+                FROM codes
+            ) GROUP BY event_type
+        ),
+        pair_codes AS (
+            SELECT DISTINCT p.type_a, p.type_b, m.code
+            FROM pairs p
+            JOIN codes m ON m.event_type IN (p.type_a, p.type_b)
+        ),
+        pair_union AS (
+            SELECT type_a, type_b,
+                   COUNT(*) AS u_exact,
+                   CASE WHEN COUNT(*) < {THETA_K} THEN COUNT(*)::DOUBLE
+                        ELSE ({THETA_K} - 1) * {H.P}::DOUBLE
+                             / MAX(CASE WHEN rn = {THETA_K} THEN code END)
+                   END AS est_union
+            FROM (
+                SELECT type_a, type_b, code,
+                       ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                          ORDER BY code) AS rn
+                FROM pair_codes
+            ) GROUP BY type_a, type_b
+        ),
+        pair_exact AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS inter_exact
+            FROM codes a JOIN codes b
+              ON a.code = b.code AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT u.type_a, u.type_b,
+               CAST(COALESCE(x.inter_exact, 0) AS BIGINT) AS inter_exact,
+               ROUND(GREATEST(pa.est + pb.est - u.est_union, 0), 4)
+                   AS est_inter,
+               ROUND(u.est_union, 4) AS est_union,
+               ROUND(pa.est, 4) AS est_a,
+               ROUND(pb.est, 4) AS est_b
+        FROM pair_union u
+        JOIN per_type pa ON pa.event_type = u.type_a
+        JOIN per_type pb ON pb.event_type = u.type_b
+        LEFT JOIN pair_exact x
+          ON x.type_a = u.type_a AND x.type_b = u.type_b
+        ORDER BY u.type_a, u.type_b
+    """,
+    doc="Pairwise audience-overlap estimates from the theta/KMV "
+    "sketches (#108's promised set algebra, executed): for every "
+    "unordered event-type pair, estimated intersection by "
+    "inclusion-exclusion (est_a + est_b - est_union, clamped at 0) "
+    "where the union estimate re-selects the k smallest codes of the "
+    "merged sample — the 'how many users do segments A and B share' "
+    "question sketches exist to answer without re-scanning either "
+    "segment. Exact intersections ride along as the comparison twin "
+    "(published-estimator convention of #85). The pair fan-out joins "
+    "each distinct (type, code) row against the broadcast "
+    "type-pair table (bounded x(T-1) duplication, same shape as the "
+    "lag-offset broadcast in #88); at production T this is sketch "
+    "algebra over stored k-row sketches, never a corpus re-scan.",
+    tags=("sketch", "analytics"),
+)
+def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    codes = ev.select(
+        "event_type",
+        H.affine_col(F.col("user_id"), *_THETA_AB).alias("code"),
+    ).distinct()
+
+    types = codes.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+
+    w_t = Window.partitionBy("event_type").orderBy("code")
+    n = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == THETA_K, F.col("code")))
+    est_expr = F.when(n < THETA_K, n.cast("double")).otherwise(
+        F.lit(float(THETA_K - 1)) * F.lit(float(H.P)) / kth
+    )
+    per_type = (
+        codes.withColumn("rn", F.row_number().over(w_t))
+        .groupBy("event_type")
+        .agg(est_expr.alias("est"))
+    )
+
+    fanned = codes.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    merged = fanned.select("type_a", "type_b", "code").distinct()
+    w_p = Window.partitionBy("type_a", "type_b").orderBy("code")
+    pair_union = (
+        merged.withColumn("rn", F.row_number().over(w_p))
+        .groupBy("type_a", "type_b")
+        .agg(est_expr.alias("est_union"))
+    )
+
+    a = codes.select(F.col("event_type").alias("type_a"), "code")
+    b = codes.select(F.col("event_type").alias("type_b"), "code")
+    pair_exact = (
+        a.join(b, "code")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a_raw")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b_raw")
+    )
+    return (
+        pair_union.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .join(pair_exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("inter_exact", F.lit(0)).cast("long").alias(
+                "inter_exact"
+            ),
+            F.round(
+                F.greatest(
+                    F.col("est_a_raw")
+                    + F.col("est_b_raw")
+                    - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("est_inter"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round("est_a_raw", 4).alias("est_a"),
+            F.round("est_b_raw", 4).alias("est_b"),
+        )
+        .orderBy("type_a", "type_b")
+    )

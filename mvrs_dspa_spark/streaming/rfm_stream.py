@@ -84,6 +84,16 @@ class RfmMaintainer:
         self.stats = merged.localCheckpoint(eager=True)
         self.n_batches += 1
 
+    def erase_users(self, user_ids) -> None:
+        """GDPR erasure for the streaming stats table (see
+        `scd2_stream.Scd2Maintainer.erase_users`): the subject's
+        sufficient statistics vanish; if they reappear, recency/
+        frequency/monetary accumulate from zero."""
+        ids = list(user_ids)
+        self.stats = self.stats.where(
+            ~F.col("user_id").isin(ids)
+        ).localCheckpoint(eager=True)
+
     def segments(self) -> DataFrame:
         from mvrs_dspa_spark.plans.analytics import rfm_scores_from_stats
 

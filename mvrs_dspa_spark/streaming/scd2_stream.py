@@ -133,6 +133,22 @@ class Scd2Maintainer:
         self.history = new_hist.localCheckpoint(eager=True)
         self.n_batches += 1
 
+    def erase_users(self, user_ids) -> None:
+        """GDPR right-to-be-forgotten enforcement for STREAMING state
+        (the stateful twin of `validation.gdpr_erasure_audit`): drop
+        every dimension row of the requested subjects from the
+        checkpointed history. Deletion requests arrive out-of-band of
+        the event stream, so this is an operator API, not a batch
+        transform; if the subject reappears later, their history
+        restarts from scratch (version 1) — exactly the erase-then-new
+        semantics the regulation requires. The filter is a broadcast
+        NOT-IN over the (small) request list; at cluster scale the
+        same contract is a MERGE DELETE on the dimension table."""
+        ids = list(user_ids)
+        self.history = self.history.where(
+            ~F.col("user_id").isin(ids)
+        ).localCheckpoint(eager=True)
+
 
 def run_scd2_stream(source: DataFrame, checkpoint: str) -> Scd2Maintainer:
     """Drive a bounded event stream to completion; returns the

@@ -98,6 +98,16 @@ class TemporalJoinMaintainer:
         self.enriched = new_ledger.localCheckpoint(eager=True)
         self.n_batches += 1
 
+    def erase_users(self, user_ids) -> None:
+        """GDPR erasure across BOTH maintained states: the SCD2
+        dimension rows and the enriched event ledger of the requested
+        subjects (see `scd2_stream.Scd2Maintainer.erase_users`)."""
+        ids = list(user_ids)
+        self.scd2.erase_users(ids)
+        self.enriched = self.enriched.where(
+            ~F.col("user_id").isin(ids)
+        ).localCheckpoint(eager=True)
+
     def rollup(self) -> DataFrame:
         """The (prior_state x event_type) summary in the batch
         operator's shape, served from the accumulated ledger."""

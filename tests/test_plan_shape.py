@@ -63,6 +63,7 @@ _SCALAR_BNLJ_OK = {
     "graph_degree_stats",  # 1-row n_users scalar broadcast (as triangles)
     "kaplan_meier_conversion",  # 1-row horizon + total-count scalar broadcasts
     "dsir_importance_weights",  # 1-row token-totals scalar broadcast
+    "theta_sketch_overlap",  # bounded type-pair broadcast fan-out (10 rows)
 }
 
 

@@ -199,3 +199,38 @@ def test_tdigest_query_monotone_and_sane(spark, sf_medium):
             # generous 5%-of-range absolute band
             assert abs(e - x) <= 12.0, (t, e, x)
     con.close()
+
+
+def test_theta_overlap_partial_synthetic(spark, tmp_path):
+    """Controlled partial overlap: type A = users 0..999, type B =
+    users 500..1499 -> true intersection 500, union 1500. The
+    inclusion-exclusion estimate from K=128 KMV sketches must land
+    within 30% (per-sketch std err ~1/sqrt(K-2) ~ 9%, three estimates
+    compound); the sf tables' fully-overlapping types can't exercise
+    this case."""
+    import datetime as dt
+
+    from mvrs_dspa_spark.operators.sketches import theta_sketch_overlap
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), uid, t, 1.0, "{}")
+        for i, (uid, t) in enumerate(
+            [(u, "click") for u in range(1000)]
+            + [(u, "view") for u in range(500, 1500)]
+        )
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = theta_sketch_overlap(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("click", "view")
+    assert r.inter_exact == 500
+    assert abs(r.est_inter - 500) / 500 < 0.30
+    assert abs(r.est_union - 1500) / 1500 < 0.15
