@@ -1023,3 +1023,140 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- embedding truncation (Matryoshka) retrieval eval ------------------------
+
+TRUNC_DIMS = (16, 32)
+
+
+def _trunc_topk_sql(d: int | None, tag: str) -> str:
+    """CTE text: top-K neighbor lists with embeddings truncated to the
+    first d dims (None = full width), the ann_cosine_topk pipeline."""
+    emb = "embedding" if d is None else f"embedding[1:{d}]"
+    return f"""
+        v_{tag} AS (
+            SELECT vec_id, {emb} AS e,
+                   sqrt({_dot_sql(emb, emb)}) AS nrm
+            FROM embeddings
+        ),
+        q_{tag} AS (SELECT * FROM v_{tag}
+                    WHERE vec_id % {QUERY_MOD} = 0
+                      AND vec_id < {QUERY_MOD * MAX_QUERIES}),
+        topk_{tag} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND({_dot_sql('q.e', 'v.e')}
+                                          / (q.nrm * v.nrm), 6) DESC,
+                                    v.vec_id) AS rn
+                FROM q_{tag} q JOIN v_{tag} v ON q.vec_id <> v.vec_id
+            ) WHERE rn <= {TOP_K}
+        )
+    """
+
+
+@register(
+    "embedding_truncation_eval",
+    oracle="WITH "
+    + ",".join(
+        [_trunc_topk_sql(None, "full")]
+        + [_trunc_topk_sql(d, f"d{d}") for d in TRUNC_DIMS]
+    )
+    + "".join(
+        f"""
+        , recall_{d} AS (
+            SELECT {d} AS dims,
+                   (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)
+                    FROM topk_full) AS n_queries,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM topk_d{d} t JOIN topk_full f
+                      ON t.query_id = f.query_id
+                     AND t.neighbor_id = f.neighbor_id) AS n_matches
+        )
+        """
+        for d in TRUNC_DIMS
+    )
+    + " SELECT dims, n_queries, n_matches, ROUND(n_matches / (n_queries * "
+    + f"{TOP_K}.0), 4) AS recall_at_{TOP_K} FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM recall_{d}" for d in TRUNC_DIMS)
+    + ") ORDER BY dims",
+    doc="Embedding-truncation retrieval evaluation (the Matryoshka "
+    "question, Kusupati et al. 2022 arXiv:2205.13147: how much "
+    "retrieval quality survives using only the first d dimensions?): "
+    f"recall@{TOP_K} of cosine top-K under the first "
+    f"{'/'.join(map(str, TRUNC_DIMS))} dims against the full-width "
+    "ground truth, over the same capped broadcast query subset as "
+    "ann_cosine_topk. The decision input for storing truncated "
+    "vectors (x4 less I/O and memory bandwidth at serving time) "
+    "before committing to int8/PQ compression (#65/65b evaluate the "
+    "orthogonal axis). Each width is the proven brute-force pipeline "
+    "on sliced vectors; recall reduces to one equi-join between "
+    "bounded top-K lists, output is one row per width.",
+    tags=("ann", "llm"),
+)
+def embedding_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+
+    def topk(d: int | None) -> DataFrame:
+        e = (
+            F.col("embedding")
+            if d is None
+            else F.slice(F.col("embedding"), 1, d)
+        )
+        v = emb.select(
+            "vec_id",
+            e.alias("e"),
+        ).withColumn("nrm", F.sqrt(dot_col(F.col("e"), F.col("e"))))
+        q = v.where(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+        )
+        qa, vb = q.alias("q"), v.alias("v")
+        cos = dot_col(F.col("q.e"), F.col("v.e")) / (
+            F.col("q.nrm") * F.col("v.nrm")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            F.broadcast(qa)
+            .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("v.vec_id").alias("neighbor_id"),
+                F.round(cos, 6).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(None)
+    n_q = full.agg(
+        F.countDistinct("query_id").alias("n_queries")
+    )
+    out = None
+    for d in TRUNC_DIMS:
+        matches = topk(d).join(full, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_matches")
+        )
+        row = (
+            matches.crossJoin(F.broadcast(n_q))
+            .select(
+                F.lit(d).alias("dims"),
+                "n_queries",
+                "n_matches",
+                F.when(
+                    F.col("n_queries") > 0,
+                    F.round(
+                        F.col("n_matches")
+                        / (F.col("n_queries") * float(TOP_K)),
+                        4,
+                    ),
+                ).alias(f"recall_at_{TOP_K}"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dims")

@@ -214,3 +214,35 @@ def test_ivf_index_save_load_serving_parity(spark, sf_small, tmp_path):
     # the cluster equi-join must reach the scan as a partition filter
     plan = ivf_query(loaded_lists, loaded_cents, queries)._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan
+
+
+def test_truncation_eval_monotone_and_prefix_perfect(spark, sf_small, tmp_path):
+    """More dims can only help (recall@10 rises 16 -> 32 on the sf
+    data), and when ALL information lives in the first 16 dims
+    (suffix identically zero) truncation is lossless: recall 1.0."""
+    from mvrs_dspa_spark.operators.ann import embedding_truncation_eval
+
+    rows = {r.dims: r for r in embedding_truncation_eval(spark, sf_small).collect()}
+    assert set(rows) == {16, 32}
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_10 <= 1.0
+    assert rows[32].recall_at_10 >= rows[16].recall_at_10
+
+    # prefix-only synthetic: 120 vectors, dims 16..63 all zero
+    data = [
+        (
+            i,
+            [float((i * 31 + j * 7) % 97) / 97.0 for j in range(16)]
+            + [0.0] * 48,
+            0,
+        )
+        for i in range(120)
+    ]
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    out = {r.dims: r for r in embedding_truncation_eval(spark, str(tmp_path)).collect()}
+    assert out[16].recall_at_10 == 1.0
+    assert out[32].recall_at_10 == 1.0

@@ -35,6 +35,7 @@ _NONEMPTY_ON_EMPTY = {
     "q17_small_quantity_revenue": 1,
     "entity_resolution_blocking": 3,  # one scalar summary row per strategy
     "gdpr_erasure_audit": 4,  # one all-zero summary row per audited table
+    "embedding_truncation_eval": 2,  # one scalar summary row per width
 }
 
 

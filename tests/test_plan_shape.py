@@ -64,6 +64,7 @@ _SCALAR_BNLJ_OK = {
     "kaplan_meier_conversion",  # 1-row horizon + total-count scalar broadcasts
     "dsir_importance_weights",  # 1-row token-totals scalar broadcast
     "theta_sketch_overlap",  # bounded type-pair broadcast fan-out (10 rows)
+    "embedding_truncation_eval",  # broadcast query-point set (as topk)
 }
 
 
