@@ -164,3 +164,54 @@ def bpe_encode_vocab(
     return sym.select(
         "w", "freq", col.alias("symbols"), F.size(col).alias("n_pieces")
     )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=None,  # iterative merge training is not SQL-expressible
+    doc="Tokenizer fertility per language — tokens-per-word under the "
+    f"trained {BPE_ROUNDS}-merge BPE (#92), the standard multilingual "
+    "tokenizer-equity metric (a tokenizer trained on mixed text "
+    "segments under-represented languages into more pieces, inflating "
+    "their effective sequence length and training cost; fertility is "
+    "the number models like BLOOM/XLM-R publish per language). Also "
+    "reports chars-per-token (compression). The corpus is touched "
+    "once for the (lang, word) counts; training and encoding run on "
+    "the word VOCABULARY (bpe_train_merges / bpe_encode_vocab, "
+    "vocabulary-bounded); per-language rollup is integer sums joined "
+    "through the encoded vocab — no float order sensitivity. "
+    "Invariants pytest-pinned: fertility >= 1, and applying MORE "
+    "merges can never increase any language's token count.",
+    tags=("llm", "text", "rows_gate"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lang_w = (
+        d.select(
+            "lang", F.explode(T.tokens_col(F.col("text"))).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = lang_w.groupBy("w").agg(F.sum("n").alias("freq"))
+    merges = bpe_train_merges(vocab)
+    enc = bpe_encode_vocab(vocab, merges).select("w", "n_pieces")
+    return (
+        lang_w.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces")).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_pieces"))
+                / F.sum("n").cast("double"),
+                4,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("n") * F.length("w"))
+                / F.sum(F.col("n") * F.col("n_pieces")).cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

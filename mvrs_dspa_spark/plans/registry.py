@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gdpr_erasure_audit",
     "theta_sketch_overlap",
     "embedding_truncation_eval",
+    "tokenizer_fertility",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,8 +117,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sliding_activity_stats",
     "hourly_event_rollup",
     "user_sessions",
-    "session_conversion",
-    # (similar_users_jaccard / similar_users_minhash_lsh /
+    # (session_conversion / similar_users_jaccard /
+    # similar_users_minhash_lsh /
     # recommendation_agreement / item_cooccurrence_triangles /
     # text_features / train_test_split / stratified_sample /
     # source_quota_cap / pack_sequences rotate to the next round's

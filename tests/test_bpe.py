@@ -121,3 +121,49 @@ def test_bpe_encode_round_trips_and_compresses(spark):
         total_pieces += r.n_pieces * r.freq
         total_chars += len(r.w) * r.freq
     assert total_pieces < total_chars, "merges did not compress"
+
+
+def test_tokenizer_fertility_invariants(spark, sf_small):
+    """Fertility >= 1 (a word is at least one piece), char totals are
+    conserved, and applying MORE merges never increases any
+    language's token count (each merge only fuses adjacent pieces)."""
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.functions import text as T
+    from mvrs_dspa_spark.operators.bpe import (
+        bpe_encode_vocab,
+        bpe_train_merges,
+        tokenizer_fertility,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    out = tokenizer_fertility(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.fertility >= 1.0
+        assert r.n_tokens >= r.n_words
+        assert r.chars_per_token >= 1.0
+
+    d = table(spark, sf_small, "documents")
+    lang_w = (
+        d.select("lang", F.explode(T.tokens_col(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = lang_w.groupBy("w").agg(F.sum("n").alias("freq"))
+    merges = bpe_train_merges(vocab)
+
+    def tokens_with(ms):
+        enc = bpe_encode_vocab(vocab, ms).select("w", "n_pieces")
+        return {
+            r.lang: r.t
+            for r in lang_w.join(enc, "w")
+            .groupBy("lang")
+            .agg(F.sum(F.col("n") * F.col("n_pieces")).alias("t"))
+            .collect()
+        }
+
+    few, full = tokens_with(merges[:4]), tokens_with(merges)
+    assert set(few) == set(full)
+    for lang in full:
+        assert full[lang] <= few[lang], lang
