@@ -1160,3 +1160,135 @@ def embedding_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dims")
+
+
+# --- kNN confidence calibration ----------------------------------------------
+
+
+@register(
+    "knn_confidence_calibration",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM v
+              WHERE vec_id % {QUERY_MOD} = 0
+                AND vec_id < {QUERY_MOD * MAX_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   v.label AS n_label,
+                   ROUND({_dot_sql('q.embedding', 'v.embedding')}
+                         / (q.nrm * v.nrm), 6) AS cos_sim,
+                   v.vec_id AS neighbor_id
+            FROM q JOIN v ON q.vec_id <> v.vec_id
+        ),
+        topk AS (
+            SELECT query_id, true_label, n_label
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM scored
+            )
+            WHERE rn <= {KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, n_label, COUNT(*) AS c
+            FROM topk GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT query_id, true_label, n_label AS pred_label, c AS conf
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY c DESC, n_label) AS rn
+                FROM votes
+            )
+            WHERE rn = 1
+        )
+        SELECT CAST(conf AS BIGINT) AS vote_count,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(count_if(pred_label = true_label) AS BIGINT)
+                   AS n_correct,
+               ROUND(count_if(pred_label = true_label)
+                     / COUNT(*)::DOUBLE, 6) AS accuracy
+        FROM pred
+        GROUP BY conf
+        ORDER BY vote_count
+    """,
+    doc=f"kNN confidence calibration (reliability readout for #99): "
+    f"probes bucketed by the winning label's vote count (1..{KNN_K} — "
+    "the classifier's only confidence signal), empirical accuracy per "
+    "bucket. A calibrated classifier's accuracy rises with vote "
+    "count; a flat curve means votes carry no signal (the honest "
+    "expectation on these synthetic labels, which the pytest pins via "
+    "bucket-count conservation rather than slope). Same broadcast-"
+    "probe pipeline and deterministic tiebreaks as #99; the bucketing "
+    "adds one aggregation on the probe-sized frame.",
+    tags=("ann", "validation", "llm"),
+)
+def knn_confidence_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = v.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    )
+    qa, vb = q.alias("q"), v.alias("v")
+    cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
+        F.col("q.nrm") * F.col("v.nrm")
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("true_label"),
+            F.col("v.label").alias("n_label"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            F.col("c").alias("conf"),
+        )
+    )
+    correct = F.count_if(F.col("pred_label") == F.col("true_label"))
+    return (
+        pred.groupBy(F.col("conf").cast("long").alias("vote_count"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            correct.alias("n_correct"),
+            F.round(correct / F.count(F.lit(1)).cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("vote_count")
+    )

@@ -1141,5 +1141,74 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- DAU / WAU stickiness -----------------------------------------------------
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle=f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+            FROM events
+        ),
+        cover AS (
+            SELECT user_id, day + off AS day
+            FROM ud, UNNEST(generate_series(0, 6)) AS t(off)
+        ),
+        wau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS wau
+            FROM cover GROUP BY day
+        ),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+        SELECT d.day,
+               CAST(d.dau AS BIGINT) AS dau,
+               CAST(w.wau AS BIGINT) AS wau,
+               ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+        FROM dau d JOIN wau w USING (day)
+        ORDER BY d.day
+    """,
+    doc="DAU/WAU stickiness — the product-analytics engagement ratio "
+    "(daily actives over trailing-7-day actives, per day; ~1.0 means "
+    "the weekly audience shows up daily). WAU is an EXACT sliding "
+    "distinct computed by the offset-explode idiom of the sliding-HLL "
+    "rollup (#93): each distinct (user, active-day) pair covers the 7 "
+    "window days it contributes to (bounded x7 fan-out), then one "
+    "distinct count per day — never a re-scan of the event span per "
+    "window, and the day grid joins bound every frame after the first "
+    "distinct. Integer day buckets (epoch-microsecond div), integer "
+    "counts, one division — no float order sensitivity.",
+    tags=("analytics", "temporal"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+    ).distinct()
+    cover = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select("user_id", (F.col("day") + F.col("off")).alias("day"))
+    wau = cover.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 _patch_rfm_oracle()
 _patch_pit_oracle()

@@ -89,6 +89,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "theta_sketch_overlap",
     "embedding_truncation_eval",
     "tokenizer_fertility",
+    "dau_wau_stickiness",
+    "knn_confidence_calibration",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -115,9 +117,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "token_coverage_curve",
     "sliding_activity_stats",
-    "hourly_event_rollup",
-    "user_sessions",
-    # (session_conversion / similar_users_jaccard /
+    # (hourly_event_rollup / user_sessions /
+    # session_conversion / similar_users_jaccard /
     # similar_users_minhash_lsh /
     # recommendation_agreement / item_cooccurrence_triangles /
     # text_features / train_test_split / stratified_sample /

@@ -1,0 +1,53 @@
+"""Pins for DAU/WAU stickiness (#128) and kNN confidence calibration
+(#129)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.operators.ann import (
+    KNN_K,
+    knn_confidence_calibration,
+    knn_label_eval,
+)
+from mvrs_dspa_spark.plans.analytics2 import dau_wau_stickiness
+from mvrs_dspa_spark.tables import table
+
+
+def test_dau_wau_bounds(spark, sf_small):
+    out = dau_wau_stickiness(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.wau >= r.dau > 0, "weekly actives contain daily actives"
+        assert 0.0 < r.stickiness <= 1.0
+    days = [r.day for r in out]
+    assert days == sorted(days)
+    # every active day appears exactly once
+    ev = table(spark, sf_small, "events")
+    n_days = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("d")
+        )
+        .distinct()
+        .count()
+    )
+    assert len(out) == n_days
+
+
+def test_knn_calibration_conserves_probes(spark, sf_small):
+    calib = knn_confidence_calibration(spark, sf_small).collect()
+    assert len(calib) > 0
+    for r in calib:
+        # majority vote count ranges from ceil(K/majority splits) to K
+        assert 1 <= r.vote_count <= KNN_K
+        assert 0 <= r.n_correct <= r.n_probes
+        assert 0.0 <= r.accuracy <= 1.0
+    # bucket counts partition the probe set of the per-class eval (#99)
+    per_class = knn_label_eval(spark, sf_small).collect()
+    assert sum(r.n_probes for r in calib) == sum(
+        r.n_queries for r in per_class
+    )
+    # correctness totals agree between the two views of the same preds
+    assert sum(r.n_correct for r in calib) == sum(
+        r.n_correct for r in per_class
+    )

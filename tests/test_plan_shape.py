@@ -65,6 +65,7 @@ _SCALAR_BNLJ_OK = {
     "dsir_importance_weights",  # 1-row token-totals scalar broadcast
     "theta_sketch_overlap",  # bounded type-pair broadcast fan-out (10 rows)
     "embedding_truncation_eval",  # broadcast query-point set (as topk)
+    "knn_confidence_calibration",  # broadcast probe set (same bound as topk)
 }
 
 
