@@ -1210,5 +1210,110 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- market-basket lift -------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "basket_lift_pairs",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+        supp AS (
+            SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_pair
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b,
+               CAST(n_pair AS BIGINT) AS n_pair,
+               CAST(sa.n_item AS BIGINT) AS n_a,
+               CAST(sb.n_item AS BIGINT) AS n_b,
+               ROUND(n_pair / CAST(sa.n_item AS DOUBLE), 6)
+                   AS confidence_a_to_b,
+               ROUND(n.n_baskets * n_pair
+                     / (sa.n_item * CAST(sb.n_item AS DOUBLE)), 6) AS lift
+        FROM pairs
+        JOIN supp sa ON sa.l_partkey = part_a
+        JOIN supp sb ON sb.l_partkey = part_b
+        CROSS JOIN n
+        ORDER BY part_a, part_b
+    """,
+    doc="Market-basket association rules over order baskets (Agrawal "
+    "et al. 1993 support/confidence/lift): part pairs co-purchased in "
+    f">= {BASKET_MIN_SUPPORT} orders, with directional confidence and "
+    "lift (observed co-purchase rate over the independence "
+    "expectation; > 1 means genuinely associated). The retail "
+    "RELATIONAL twin of the event co-occurrence graph (#20c): the "
+    "pair self-join is an equi-join on l_orderkey whose fan-out is "
+    "bounded by basket size squared (TPC-H baskets are <= 7 lines; at "
+    "100 TB an oversized-basket cap is the standard guard), supports "
+    "are one item aggregation, and the basket total is a 1-row "
+    "broadcast. All counts integer; lift is one final division.",
+    tags=("relational", "analytics"),
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_baskets")
+                * F.col("n_pair")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
 _patch_rfm_oracle()
 _patch_pit_oracle()

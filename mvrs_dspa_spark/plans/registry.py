@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility",
     "dau_wau_stickiness",
     "knn_confidence_calibration",
+    "basket_lift_pairs",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,8 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "tfidf_top_terms",
     "token_coverage_curve",
-    "sliding_activity_stats",
-    # (hourly_event_rollup / user_sessions /
+    # (sliding_activity_stats / hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /
     # similar_users_minhash_lsh /
     # recommendation_agreement / item_cooccurrence_triangles /

@@ -66,6 +66,7 @@ _SCALAR_BNLJ_OK = {
     "theta_sketch_overlap",  # bounded type-pair broadcast fan-out (10 rows)
     "embedding_truncation_eval",  # broadcast query-point set (as topk)
     "knn_confidence_calibration",  # broadcast probe set (same bound as topk)
+    "basket_lift_pairs",  # 1-row basket-total scalar broadcast
 }
 
 
