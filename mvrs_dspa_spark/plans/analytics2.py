@@ -1315,5 +1315,132 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- Markov removal-effect attribution ----------------------------------------
+
+
+@register(
+    "markov_attribution",
+    oracle=None,  # absorption probabilities need a linear solve
+    doc="Markov removal-effect channel attribution (Anderl et al. "
+    "2014, the data-driven alternative to last-touch): user journeys "
+    "become a first-order Markov chain over channels (non-purchase "
+    "event types) with absorbing states CONVERSION (next event is a "
+    "purchase) and NULL (journey ends unconverted); a channel's "
+    "removal effect is the relative drop in start->conversion "
+    "absorption probability when its transitions are redirected to "
+    "NULL, and attribution shares normalize the removal effects. "
+    "Corpus-sized work is ONE ordered-LAG transition aggregation (the "
+    "10ad shape); the chain itself is a (channels+2)^2 cell grid, so "
+    "the absorption solve — a (I-Q)x = b linear system per removal — "
+    "runs on the driver over a <=6x6 matrix (the k-means "
+    "bounded-fit discipline, never per-row work). Gauss elimination "
+    "with partial pivoting on exact transition fractions; "
+    "deterministic. Closed-form chains pytest-pinned (a channel on "
+    "every converting path has removal effect 1, an unused channel "
+    "0).",
+    tags=("analytics", "temporal", "rows_gate"),
+)
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_raw"),
+        F.row_number().over(w).alias("pos"),
+    )
+    # transitions: start -> first state; state -> next (purchase
+    # absorbs as 'conversion', journey end absorbs as 'null');
+    # purchase itself is the absorbing event, not a channel state
+    firsts = steps.where(F.col("pos") == 1).select(
+        F.lit("start").alias("src"), F.col("state").alias("dst")
+    )
+    chans = steps.where(F.col("state") != "purchase").select(
+        F.col("state").alias("src"),
+        F.when(F.col("next_raw").isNull(), F.lit("null"))
+        .when(F.col("next_raw") == "purchase", F.lit("conversion"))
+        .otherwise(F.col("next_raw"))
+        .alias("dst"),
+    )
+    trans = (
+        firsts.unionByName(chans)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    counts: dict = {}
+    for r in trans:
+        counts.setdefault(r.src, {})[r.dst] = r.n
+    channels = sorted(s for s in counts if s != "start")
+    states = ["start"] + channels  # transient states
+
+    def conv_prob(removed: str | None) -> float:
+        # P(absorb in conversion | start), with `removed`'s outgoing
+        # transitions redirected to null (rows of removed -> identity
+        # to null; transitions INTO removed still occur and then die)
+        n = len(states)
+        q = [[0.0] * n for _ in range(n)]
+        b = [0.0] * n
+        for i, s in enumerate(states):
+            row = counts.get(s, {})
+            tot = sum(row.values())
+            if s == removed or tot == 0:
+                continue
+            for dst, c in row.items():
+                p = c / tot
+                if dst == "conversion":
+                    b[i] += p
+                elif dst in ("null",):
+                    pass
+                elif dst in states:
+                    q[i][states.index(dst)] += p
+        # solve (I - Q) x = b by Gauss elimination w/ partial pivot
+        a = [
+            [(1.0 if i == j else 0.0) - q[i][j] for j in range(n)]
+            + [b[i]]
+            for i in range(n)
+        ]
+        for col in range(n):
+            piv = max(range(col, n), key=lambda r_: abs(a[r_][col]))
+            a[col], a[piv] = a[piv], a[col]
+            if abs(a[col][col]) < 1e-15:
+                continue
+            for r_ in range(n):
+                if r_ != col and a[r_][col] != 0.0:
+                    f = a[r_][col] / a[col][col]
+                    for c_ in range(col, n + 1):
+                        a[r_][c_] -= f * a[col][c_]
+        x = [
+            a[i][n] / a[i][i] if abs(a[i][i]) > 1e-15 else 0.0
+            for i in range(n)
+        ]
+        return x[0]
+
+    base = conv_prob(None)
+    rows = []
+    for ch in channels:
+        without = conv_prob(ch)
+        effect = 0.0 if base == 0 else max(0.0, 1.0 - without / base)
+        rows.append((ch, effect))
+    total = sum(e for _, e in rows)
+    out = [
+        (
+            ch,
+            round(base, 6),
+            round(e, 6),
+            round(e / total, 6) if total > 0 else None,
+        )
+        for ch, e in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, base_conversion double, removal_effect double, "
+        "attribution_share double",
+    ).orderBy("channel")
+
+
 _patch_rfm_oracle()
 _patch_pit_oracle()

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dau_wau_stickiness",
     "knn_confidence_calibration",
     "basket_lift_pairs",
+    "markov_attribution",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,8 +117,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "bm25_search",
     "tfidf_top_terms",
-    "token_coverage_curve",
-    # (sliding_activity_stats / hourly_event_rollup / user_sessions /
+    # (token_coverage_curve / sliding_activity_stats /
+    # hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /
     # similar_users_minhash_lsh /
     # recommendation_agreement / item_cooccurrence_triangles /

@@ -51,3 +51,50 @@ def test_knn_calibration_conserves_probes(spark, sf_small):
     assert sum(r.n_correct for r in calib) == sum(
         r.n_correct for r in per_class
     )
+
+
+def test_markov_attribution_closed_form(spark, tmp_path):
+    """Hand-checkable chain: two users convert via signup->click->
+    purchase, one user views and leaves. Removing signup OR click
+    kills every converting path (removal effect 1, equal shares);
+    view is on no converting path (effect 0). Base conversion 2/3."""
+    import datetime as dt
+
+    from mvrs_dspa_spark.plans.analytics2 import markov_attribution
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "signup"), (1, "click"), (1, "purchase"),
+        (2, "signup"), (2, "click"), (2, "purchase"),
+        (3, "view"),
+    ]
+    spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=i), uid, t, 1.0, "{}")
+            for i, (uid, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = {r.channel: r for r in markov_attribution(spark, str(tmp_path)).collect()}
+    assert set(out) == {"signup", "click", "view"}
+    assert out["signup"].base_conversion == round(2 / 3, 6)
+    assert out["signup"].removal_effect == 1.0
+    assert out["click"].removal_effect == 1.0
+    assert out["view"].removal_effect == 0.0
+    assert out["signup"].attribution_share == 0.5
+    assert out["click"].attribution_share == 0.5
+    assert out["view"].attribution_share == 0.0
+
+
+def test_markov_attribution_shares_normalize(spark, sf_small):
+    from mvrs_dspa_spark.plans.analytics2 import markov_attribution
+
+    out = markov_attribution(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert 0.0 < r.base_conversion <= 1.0
+    assert abs(sum(r.attribution_share for r in out) - 1.0) < 1e-4

@@ -109,7 +109,11 @@ def test_10x_events_scale_linear_no_spill(spark, tmp_path):
     _write_events(spark, EV_SMALL * SCALE, big)
     spill0 = _total_spill(spark)
     q = all_queries()
-    for name in ("sliding_activity_stats", "salted_event_rollup"):
+    for name in (
+        "sliding_activity_stats",
+        "salted_event_rollup",
+        "point_in_time_state_join",
+    ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
         assert t10 / t1 < MAX_RATIO, (name, t1, t10)
@@ -124,10 +128,15 @@ def test_10x_documents_scale_linear_no_spill(spark, tmp_path):
     _write_documents(spark, DOC_SMALL, small)
     _write_documents(spark, DOC_SMALL * SCALE, big)
     spill0 = _total_spill(spark)
-    fn = all_queries()["dedup_minhash_lsh"].fn
-    t1 = _timed(fn, small, spark)
-    t10 = _timed(fn, big, spark)
-    assert t10 / t1 < MAX_RATIO, (t1, t10)
-    print(f"SCALE dedup_minhash_lsh: 1x={t1:.2f}s 10x={t10:.2f}s "
-          f"ratio={t10 / t1:.1f}")
+    q = all_queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dsir_importance_weights",
+        "substring_dup_rate",
+    ):
+        t1 = _timed(q[name].fn, small, spark)
+        t10 = _timed(q[name].fn, big, spark)
+        assert t10 / t1 < MAX_RATIO, (name, t1, t10)
+        print(f"SCALE {name}: 1x={t1:.2f}s 10x={t10:.2f}s "
+              f"ratio={t10 / t1:.1f}")
     assert _total_spill(spark) - spill0 == 0, "scale run spilled"
