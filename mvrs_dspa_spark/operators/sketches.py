@@ -1033,3 +1033,127 @@ def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- engine-portable Bloom filter -------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4     # hash functions
+_BLOOM_ABS = H.hash_params(BLOOM_K, seed=7272)
+
+
+@register(
+    "bloom_membership_report",
+    oracle=f"""
+        WITH known AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 3 <> 0
+        ),
+        probes AS (SELECT DISTINCT user_id FROM events),
+        bits AS (
+            SELECT DISTINCT bit FROM known, (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}) AS h(i),
+            LATERAL (SELECT CASE h.i {" ".join(f"WHEN {i} THEN ({H.affine_sql('user_id', *ab)}) % {BLOOM_M}" for i, ab in enumerate(_BLOOM_ABS))} END AS bit) b
+        ),
+        probe_bits AS (
+            SELECT p.user_id, h.i,
+                   CASE h.i {" ".join(f"WHEN {i} THEN ({H.affine_sql('user_id', *ab)}) % {BLOOM_M}" for i, ab in enumerate(_BLOOM_ABS))} END AS bit
+            FROM probes p, (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}) AS h(i)
+        ),
+        claimed AS (
+            SELECT pb.user_id
+            FROM probe_bits pb JOIN bits b ON pb.bit = b.bit
+            GROUP BY pb.user_id
+            HAVING COUNT(DISTINCT pb.i) = {BLOOM_K}
+        )
+        SELECT {BLOOM_M} AS m_bits, {BLOOM_K} AS k_hashes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM known) AS n_known,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM claimed) AS n_claimed,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM claimed c
+                JOIN known k ON c.user_id = k.user_id) AS n_true_members,
+               ROUND((SELECT COUNT(*) FROM claimed c
+                      ANTI JOIN known k ON c.user_id = k.user_id)
+                     / GREATEST((SELECT COUNT(*) FROM probes p
+                                 ANTI JOIN known k2
+                                 ON p.user_id = k2.user_id), 1)::DOUBLE,
+                     6) AS fp_rate,
+               ROUND(POWER((SELECT COUNT(*) FROM bits)
+                           / {BLOOM_M}.0, {BLOOM_K}), 6)
+                   AS fp_theoretical
+    """,
+    doc="Engine-portable Bloom filter (Bloom 1970) — the MEMBERSHIP "
+    "sketch completing the portable family (HLL #84 distinct, CMS #75 "
+    "frequency, theta #108 set algebra, t-digest #116 quantiles): a "
+    f"{BLOOM_M}-bit / {BLOOM_K}-hash filter built over the known-user "
+    "set (same explicit affine hash discipline — the transparent twin "
+    "of Spark's opaque runtime bloom pruning, 29l), probed with every "
+    "user; a probe is claimed present iff ALL k bit positions are "
+    "set. Measured false-positive rate over true non-members rides "
+    "next to the (bits_set/m)^k theoretical rate, and NO member may "
+    "be missed (zero false negatives, the Bloom guarantee — "
+    "pytest-pinned). The bit table is bounded by m; build and probe "
+    "are each one distinct + k-way bounded fan-out; the bit-match "
+    "join keys on bit position over a <=m-row build side.",
+    tags=("sketch", "validation"),
+)
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    known = users.where(F.col("user_id") % 3 != 0)
+    hash_cols = [
+        (H.affine_col(F.col("user_id"), *ab) % BLOOM_M).alias(f"b{i}")
+        for i, ab in enumerate(_BLOOM_ABS)
+    ]
+    bits = (
+        known.select(F.explode(F.array(*hash_cols)).alias("bit"))
+        .distinct()
+    )
+    probe_bits = users.select(
+        "user_id",
+        F.posexplode(F.array(*hash_cols)).alias("i", "bit"),
+    )
+    claimed = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("user_id")
+        .agg(F.countDistinct("i").alias("nh"))
+        .where(F.col("nh") == BLOOM_K)
+        .select("user_id")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    n_known = known.agg(F.count(F.lit(1)).alias("n_known"))
+    n_probes = users.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_claimed = claimed.agg(F.count(F.lit(1)).alias("n_claimed"))
+    n_true = claimed.join(known, "user_id").agg(
+        F.count(F.lit(1)).alias("n_true_members")
+    )
+    n_fp = claimed.join(known, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    n_nonmem = users.join(known, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_nonmem")
+    )
+    return (
+        n_bits.crossJoin(F.broadcast(n_known))
+        .crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(n_claimed))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_fp))
+        .crossJoin(F.broadcast(n_nonmem))
+        .select(
+            F.lit(BLOOM_M).alias("m_bits"),
+            F.lit(BLOOM_K).alias("k_hashes"),
+            "bits_set",
+            "n_known",
+            "n_probes",
+            "n_claimed",
+            "n_true_members",
+            F.round(
+                F.col("n_fp")
+                / F.greatest(F.col("n_nonmem"), F.lit(1)).cast("double"),
+                6,
+            ).alias("fp_rate"),
+            F.round(
+                F.pow(F.col("bits_set") / float(BLOOM_M), BLOOM_K), 6
+            ).alias("fp_theoretical"),
+        )
+    )

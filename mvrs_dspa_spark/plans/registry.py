@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_confidence_calibration",
     "basket_lift_pairs",
     "markov_attribution",
+    "bloom_membership_report",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,8 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_counts",
     "doc_fingerprint",
     "bm25_search",
-    "tfidf_top_terms",
-    # (token_coverage_curve / sliding_activity_stats /
+    # (tfidf_top_terms / token_coverage_curve / sliding_activity_stats /
     # hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /
     # similar_users_minhash_lsh /

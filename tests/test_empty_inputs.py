@@ -36,6 +36,7 @@ _NONEMPTY_ON_EMPTY = {
     "entity_resolution_blocking": 3,  # one scalar summary row per strategy
     "gdpr_erasure_audit": 4,  # one all-zero summary row per audited table
     "embedding_truncation_eval": 2,  # one scalar summary row per width
+    "bloom_membership_report": 1,  # scalar aggregate: one all-zero row
 }
 
 

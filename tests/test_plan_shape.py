@@ -67,6 +67,7 @@ _SCALAR_BNLJ_OK = {
     "embedding_truncation_eval",  # broadcast query-point set (as topk)
     "knn_confidence_calibration",  # broadcast probe set (same bound as topk)
     "basket_lift_pairs",  # 1-row basket-total scalar broadcast
+    "bloom_membership_report",  # seven 1-row count scalars cross-joined
 }
 
 

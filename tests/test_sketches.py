@@ -234,3 +234,18 @@ def test_theta_overlap_partial_synthetic(spark, tmp_path):
     assert r.inter_exact == 500
     assert abs(r.est_inter - 500) / 500 < 0.30
     assert abs(r.est_union - 1500) / 1500 < 0.15
+
+
+def test_bloom_no_false_negatives(spark, sf_small, sf_medium):
+    """The Bloom guarantee: every known member must be claimed present
+    (n_true_members == n_known); the measured false-positive rate on
+    true non-members should sit near the (bits_set/m)^k theory."""
+    from mvrs_dspa_spark.operators.sketches import bloom_membership_report
+
+    for sf in (sf_small, sf_medium):
+        r = bloom_membership_report(spark, sf).collect()[0]
+        assert r.n_true_members == r.n_known, "false negative!"
+        assert r.n_claimed >= r.n_known
+        assert 0.0 <= r.fp_rate <= 1.0
+        # theory is the expected rate; allow generous sampling slack
+        assert r.fp_rate <= max(5 * r.fp_theoretical, 0.05)
