@@ -992,3 +992,56 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- ingest-order novelty -----------------------------------------------------
+
+
+@register(
+    "doc_novelty_rate",
+    oracle=f"""
+        WITH items AS ({_DOC_SHINGLE_ITEMS_SQL}),
+        first_seen AS (
+            SELECT code, MIN(doc_id) AS first_doc FROM items GROUP BY code
+        )
+        SELECT i.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(count_if(f.first_doc = i.doc_id) AS BIGINT) AS n_novel,
+               ROUND(count_if(f.first_doc = i.doc_id)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+        FROM items i JOIN first_seen f ON i.code = f.code
+        GROUP BY i.doc_id
+        ORDER BY i.doc_id
+    """,
+    doc="Ingest-order content novelty — per document, the share of its "
+    "shingles whose FIRST appearance (minimum doc_id, the ingest "
+    "order) is this document. The streaming-corpus curation signal "
+    "('is this crawl batch adding anything new?') and the per-doc "
+    "complement of the corpus-level boilerplate share (#51): a late "
+    "near-duplicate scores ~0, fresh content ~1, and a monotone "
+    "corpus-growth curve falls out of averaging by doc_id range. "
+    "Reuses the ONE shared shingle scan every dedup query uses; "
+    "first-seen is a min-aggregate over shingle codes, joined back by "
+    "code (Zipf-hot boilerplate shingles = the standard AQE skew-join "
+    "shape). At ingest time the same first-seen table is maintained "
+    "incrementally (the dedup_incremental asymmetric pattern).",
+    tags=("llm", "dedup"),
+)
+def doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _doc_shingle_items(spark, sf_dir)
+    first_seen = items.groupBy("code").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return (
+        items.join(first_seen, "code")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )

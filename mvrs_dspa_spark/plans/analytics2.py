@@ -1442,5 +1442,66 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("channel")
 
 
+
+
+# --- supplier ship-latency profile -------------------------------------------
+
+
+@register(
+    "supplier_ship_latency",
+    oracle="""
+        SELECT l_suppkey AS suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(date_diff('day', o_orderdate, l_shipdate))
+                    AS BIGINT) AS total_latency_days,
+               ROUND(SUM(date_diff('day', o_orderdate, l_shipdate))
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS avg_latency_days,
+               CAST(MIN(date_diff('day', o_orderdate, l_shipdate))
+                    AS BIGINT) AS min_latency_days,
+               CAST(MAX(date_diff('day', o_orderdate, l_shipdate))
+                    AS BIGINT) AS max_latency_days,
+               ROUND(count_if(l_shipdate < o_orderdate)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS impossible_rate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+        ORDER BY suppkey
+    """,
+    doc="Supplier ship-latency profile — days from order date to each "
+    "lineitem's ship date, aggregated per supplier, with the "
+    "IMPOSSIBLE-date rate (shipped before ordered) as the embedded "
+    "data-quality flag (this synthetic generator draws the two dates "
+    "independently, so the flag fires — exactly what the report "
+    "exists to surface in a real supply chain). One fact-fact "
+    "equi-join on l_orderkey (AQE-planned), one supplier aggregate; "
+    "all latency arithmetic is INTEGER day diffs summed exactly, so "
+    "the average is one deterministic division.",
+    tags=("relational", "validation"),
+)
+def supplier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    n = F.count(F.lit(1))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            n.alias("n_items"),
+            F.sum(lag).cast("long").alias("total_latency_days"),
+            F.round(F.sum(lag) / n.cast("double"), 4).alias(
+                "avg_latency_days"
+            ),
+            F.min(lag).cast("long").alias("min_latency_days"),
+            F.max(lag).cast("long").alias("max_latency_days"),
+            F.round(
+                F.count_if(F.col("l_shipdate") < F.col("o_orderdate"))
+                / n.cast("double"),
+                6,
+            ).alias("impossible_rate"),
+        )
+        .orderBy("suppkey")
+    )
+
+
 _patch_rfm_oracle()
 _patch_pit_oracle()

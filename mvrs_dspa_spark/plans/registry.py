@@ -94,6 +94,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "basket_lift_pairs",
     "markov_attribution",
     "bloom_membership_report",
+    "supplier_ship_latency",
+    "doc_novelty_rate",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -115,9 +117,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_id",
     "doc_quality",
     "token_counts",
-    "doc_fingerprint",
-    "bm25_search",
-    # (tfidf_top_terms / token_coverage_curve / sliding_activity_stats /
+    # (doc_fingerprint / bm25_search / tfidf_top_terms /
+    # token_coverage_curve / sliding_activity_stats /
     # hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /
     # similar_users_minhash_lsh /

@@ -48,3 +48,30 @@ def test_substring_dup_rate_flags_shared_passage(spark, tmp_path):
     for r in out.values():
         assert 0.0 <= r.dup_rate <= 1.0
         assert r.n_shared <= r.n_windows
+
+
+def test_doc_novelty_first_doc_and_duplicate(spark, tmp_path):
+    """The first document is fully novel; an exact later duplicate of
+    it contributes nothing new (novelty 0)."""
+    from mvrs_dspa_spark.operators.dedup import doc_novelty_rate
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = [(0, base), (1, other), (2, base)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in doc_novelty_rate(spark, str(tmp_path)).collect()}
+    assert out[0].novelty_rate == 1.0
+    assert out[1].novelty_rate == 1.0
+    assert out[2].novelty_rate == 0.0
+    assert out[2].n_shingles == out[0].n_shingles
