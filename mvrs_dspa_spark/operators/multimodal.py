@@ -175,17 +175,12 @@ from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table as _table
 
 
-@register(
-    "media_features",
-    oracle=None,  # binary payload + sha256 stage; pytest pins the values
-    doc="Multimodal feature extraction on the driver-checked surface: "
-    "synthesize a binary media table from documents (64-byte "
-    "md5-derived payloads, kind image/audio/video), run the Arrow "
-    "mapInPandas decode->feature stage (fake codec), project the "
-    "payload away. Payloads never touch the driver.",
-    tags=("multimodal", "llm", "rows_gate"),
-)
-def media_features(spark, sf_dir: str) -> DataFrame:
+def synth_media(spark, sf_dir: str) -> DataFrame:
+    """Deterministic binary media table from documents (64-byte
+    md5-derived payloads, kind image/audio/video) — shared by the
+    driver-checked media queries. Identical document text yields an
+    identical payload, so the corpus's planted exact-dup docs become
+    exact-dup MEDIA payloads (what the pHash dedup detects)."""
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     payload = F.concat(
         *[
@@ -197,9 +192,25 @@ def media_features(spark, sf_dir: str) -> DataFrame:
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), kind.alias("kind"), payload.alias("payload")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
     )
+
+
+@register(
+    "media_features",
+    oracle=None,  # binary payload + sha256 stage; pytest pins the values
+    doc="Multimodal feature extraction on the driver-checked surface: "
+    "synthesize a binary media table from documents (64-byte "
+    "md5-derived payloads, kind image/audio/video), run the Arrow "
+    "mapInPandas decode->feature stage (fake codec), project the "
+    "payload away. Payloads never touch the driver.",
+    tags=("multimodal", "llm", "rows_gate"),
+)
+def media_features(spark, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir)
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -228,4 +239,117 @@ def media_features(spark, sf_dir: str) -> DataFrame:
     return (
         media.mapInPandas(stage, schema="media_id long, kind string, n_bytes long, f0 double")
         .orderBy("media_id")
+    )
+
+
+# --- perceptual-hash media near-dup -----------------------------------------
+
+PHASH_BITS = 32
+PHASH_BANDS = 4  # 4 bands x 8 bits: lossless for hamming <= 3 (pigeonhole)
+PHASH_HAMMING_MAX = 3
+
+
+def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """(media_id, kind, phash) via the Arrow mapInPandas stage — the
+    pHash twin of `extract_features`. The fake codec hashes the raw
+    payload (so only exact payloads collide); a real one decodes to
+    pixels, downsamples to 8x8, and thresholds against the median
+    (classic aHash/pHash), making VISUALLY similar media collide."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real perceptual hashing requires PIL; not available"
+                )
+            ph = [
+                int.from_bytes(
+                    _hl.sha256(bytes(p)).digest()[:4], "big"
+                )
+                for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": _pd.Series(ph, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        stage, schema="media_id long, kind string, phash long"
+    )
+
+
+@register(
+    "media_phash_dedup",
+    oracle=None,  # binary payload + sha256 stage; pytest pins the values
+    doc="Perceptual-hash media near-duplicate pairs — the MEDIA twin "
+    "of text SimHash (#32), same banded-LSH shape: Arrow mapInPandas "
+    f"computes a {PHASH_BITS}-bit pHash per payload (fake codec "
+    "hashes bytes; a real one downsamples pixels, so visually-similar "
+    "media collide), then candidate pairs share one of "
+    f"{PHASH_BANDS} 8-bit bands (pigeonhole-lossless for Hamming <= "
+    f"{PHASH_HAMMING_MAX}) and verify by XOR popcount. The payload "
+    "is projected away BEFORE the join — only 8-byte hashes shuffle, "
+    "never megabyte payloads, which is the whole point of the design "
+    "at 100 TB of media. Candidate volume is band-bucket-bounded "
+    "exactly like the text LSH family.",
+    tags=("multimodal", "dedup", "rows_gate"),
+)
+def media_phash_dedup(spark, sf_dir: str) -> DataFrame:
+    return phash_pairs(media_phash(synth_media(spark, sf_dir)))
+
+
+def phash_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded near-dup pairs from a (media_id, phash) table — the
+    join stage of `media_phash_dedup`, separated so the pigeonhole
+    banding + Hamming verification is testable on crafted hashes
+    (sha256 fakes can't produce <=3-bit neighbors on demand)."""
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("phash"), 8 * i)
+                        % F.lit(256)
+                    ).cast("int")
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("id_a", "id_b")
     )

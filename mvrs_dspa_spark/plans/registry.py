@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_membership_report",
     "supplier_ship_latency",
     "doc_novelty_rate",
+    "media_phash_dedup",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,8 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_value_regression",
     "lang_id",
     "doc_quality",
-    "token_counts",
-    # (doc_fingerprint / bm25_search / tfidf_top_terms /
+    # (token_counts / doc_fingerprint / bm25_search / tfidf_top_terms /
     # token_coverage_curve / sliding_activity_stats /
     # hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /

@@ -91,3 +91,53 @@ def test_media_features_registered_query_deterministic(spark, sf_small):
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer((h * ((16 * 4) // len(h) + 1))[: 16 * 4], dtype="<u4")
         assert r.f0 == float((raw % 10_000)[0]) / 10_000.0
+
+
+def test_phash_pairs_pigeonhole(spark):
+    """Banding is lossless for Hamming <= 3 (4 bands over 32 bits):
+    a 2-bit neighbor MUST pair, a 3-bit neighbor concentrated in one
+    band must pair, a 4-bits-across-all-bands neighbor must NOT
+    (exceeds the radius), and an unrelated hash must not."""
+    from mvrs_dspa_spark.operators.multimodal import phash_pairs
+
+    base = 0x12345678
+    rows = [
+        (1, "image", base),
+        (2, "image", base ^ 0b101),            # hamming 2 -> pair
+        (3, "image", base ^ 0x07000000),       # hamming 3, one band -> pair
+        (4, "image", base ^ 0x01010101),       # hamming 4, all bands differ
+        (5, "image", 0x0F0F0F0F),              # unrelated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming for r in phash_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 3
+    assert (1, 4) not in got
+    assert all(h <= 3 for h in got.values())
+    assert not any(5 in pair for pair in got)
+
+
+def test_media_phash_dedup_detects_exact_payload_dup(spark, tmp_path):
+    """Two documents with identical text produce identical payloads
+    and must pair at Hamming 0; the sf corpus has no duplicates, so
+    the registered query's empty result there is the true negative."""
+    from mvrs_dspa_spark.operators.multimodal import media_phash_dedup
+
+    docs = [
+        (0, "the same media payload text", "en", "s"),
+        (1, "completely different content here", "en", "s"),
+        (2, "the same media payload text", "en", "s"),
+    ]
+    spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in media_phash_dedup(spark, str(tmp_path)).collect()
+    ]
+    assert out == [(0, 2, 0)]
