@@ -1503,5 +1503,92 @@ def supplier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- quantile (rank) normalization -------------------------------------------
+
+
+@register(
+    "quantile_transform_values",
+    oracle="""
+        WITH coded AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ),
+        grid AS (
+            SELECT event_type, v_c, COUNT(*) AS cnt
+            FROM coded GROUP BY event_type, v_c
+        ),
+        ranked AS (
+            SELECT event_type, v_c, cnt,
+                   COALESCE(SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY v_c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_less,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM grid
+        )
+        SELECT c.event_id, c.event_type,
+               ROUND(c.v_c / 100.0, 2) AS value,
+               ROUND((r.n_less + (r.cnt + 1) / 2.0)
+                     / CAST(r.n AS DOUBLE), 6) AS q_uniform
+        FROM coded c
+        JOIN ranked r
+          ON c.event_type = r.event_type AND c.v_c = r.v_c
+        ORDER BY c.event_id
+    """,
+    doc="Quantile (rank) normalization of value within each event "
+    "type — the scikit-learn QuantileTransformer / rank-gauss feature "
+    "transform, as the exact MIDRANK empirical CDF: q = (#less + "
+    "(#equal+1)/2) / n, mapping any distribution to ~Uniform(0,1) "
+    "with ties at their midpoint. The scale-smart form: instead of a "
+    "per-type percent_rank window over the CORPUS (one partition per "
+    "type = the skew trap), the ECDF is computed on the distinct "
+    "integer cent-code grid — bounded by the value domain, not row "
+    "count — and joined back; all counts are integers, so both "
+    "engines agree bit-for-bit before the single final division "
+    "(same cent-code discipline as target_encoding_loo #123).",
+    tags=("analytics", "llm"),
+)
+def quantile_transform_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    coded = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    grid = coded.groupBy("event_type", "v_c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_less = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = grid.select(
+        "event_type",
+        "v_c",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_less), F.lit(0)).alias("n_less"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        coded.join(ranked, ["event_type", "v_c"])
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("v_c") / 100.0, 2).alias("value"),
+            F.round(
+                (F.col("n_less") + (F.col("cnt") + 1) / 2.0)
+                / F.col("n").cast("double"),
+                6,
+            ).alias("q_uniform"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _patch_rfm_oracle()
 _patch_pit_oracle()

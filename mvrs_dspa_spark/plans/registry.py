@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "supplier_ship_latency",
     "doc_novelty_rate",
     "media_phash_dedup",
+    "quantile_transform_values",
     # -- queries whose implementation changed in round 6 (shared
     # shingle-scan refactor in dedup/ensemble; shared count-table
     # rebuild in sketches) --
@@ -116,8 +117,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hourly_value_momentum",
     "event_value_regression",
     "lang_id",
-    "doc_quality",
-    # (token_counts / doc_fingerprint / bm25_search / tfidf_top_terms /
+    # (doc_quality / token_counts / doc_fingerprint / bm25_search /
+    # tfidf_top_terms /
     # token_coverage_curve / sliding_activity_stats /
     # hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /

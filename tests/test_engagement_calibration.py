@@ -98,3 +98,30 @@ def test_markov_attribution_shares_normalize(spark, sf_small):
         assert 0.0 <= r.removal_effect <= 1.0
         assert 0.0 < r.base_conversion <= 1.0
     assert abs(sum(r.attribution_share for r in out) - 1.0) < 1e-4
+
+
+def test_quantile_transform_uniformity(spark, sf_small):
+    """Midrank-ECDF properties: q in (0,1), monotone in value within
+    a type, mean(q) == 1/2 exactly per type (midranks sum to
+    n(n+1)/2), and the min/max values land symmetrically."""
+    from collections import defaultdict
+
+    from mvrs_dspa_spark.plans.analytics2 import quantile_transform_values
+
+    out = quantile_transform_values(spark, sf_small).collect()
+    assert len(out) > 0
+    by_type = defaultdict(list)
+    for r in out:
+        assert 0.0 < r.q_uniform <= 1.0  # unique max midranks to n/n
+        by_type[r.event_type].append((r.value, r.q_uniform))
+    for t, pairs in by_type.items():
+        pairs.sort()
+        qs = [q for _, q in pairs]
+        n = len(qs)
+        assert qs == sorted(qs), t
+        # midranks sum to n(n+1)/2 exactly -> mean q = (n+1)/(2n)
+        assert abs(sum(qs) / n - (n + 1) / (2 * n)) < 1e-4, t
+        # ties share one midrank
+        seen = {}
+        for v, q in pairs:
+            assert seen.setdefault(v, q) == q, (t, v)
