@@ -116,6 +116,15 @@ EXTRA_QUERIES = [
     "kaplan_meier_conversion",
     "dsir_importance_weights",
     "substring_dup_rate",
+    # round 6 later waves: sliding-distinct engagement, truncated-dim
+    # retrieval eval, basket pair join, chain-solve attribution,
+    # bounded-grid rank transform, bloom build+probe
+    "dau_wau_stickiness",
+    "embedding_truncation_eval",
+    "basket_lift_pairs",
+    "markov_attribution",
+    "quantile_transform_values",
+    "bloom_membership_report",
 ]
 
 

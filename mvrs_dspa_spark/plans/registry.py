@@ -77,8 +77,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_value_audit",
     "tdigest_value_quantiles",
     "anomaly_mahalanobis_2d",
-    # -- round-6 second wave: temporal/privacy additions (#118-120),
-    # first driver check for each --
+    # -- round-6 later waves (#118-136): temporal join + survival +
+    # privacy, data selection + dedup + feature encoders, sketch
+    # algebra + retrieval/cluster evals, basket/attribution/geo, media
+    # pHash, rank normalization. First driver check for each;
+    # rows-gated by design: tokenizer_fertility, markov_attribution,
+    # media_phash_dedup (the rest oracle-gated). --
     "point_in_time_state_join",
     "kaplan_meier_conversion",
     "l_diversity_report",
