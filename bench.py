@@ -125,6 +125,11 @@ EXTRA_QUERIES = [
     "markov_attribution",
     "quantile_transform_values",
     "bloom_membership_report",
+    # feature-engineering / release block (#137-140)
+    "woe_information_value",
+    "wilson_ctr_ranking",
+    "zorder_clustering",
+    "dp_event_counts",
 ]
 
 

@@ -109,6 +109,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "dedup_method_eval",
     "join_size_estimate",
+    # -- round-6 final wave (plans/features.py #137-140): WOE/IV
+    # encoding, Wilson lower-bound ranking, Z-order layout, DP count
+    # release — first driver check for each, all oracle-gated --
+    "woe_information_value",
+    "wilson_ctr_ranking",
+    "zorder_clustering",
+    "dp_event_counts",
     # -- regression re-sweep: the longest-unverified hash-green rows
     # (last checked r3) fill the remaining slots --
     "event_cube_summary",
@@ -117,12 +124,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_type_transitions",
     "event_value_histogram",
     "user_hourly_gapfill",
-    "retention_cohorts",
-    "hourly_value_momentum",
-    "event_value_regression",
-    "lang_id",
-    # (doc_quality / token_counts / doc_fingerprint / bm25_search /
-    # tfidf_top_terms /
+    # (retention_cohorts / hourly_value_momentum /
+    # event_value_regression / lang_id / doc_quality / token_counts /
+    # doc_fingerprint / bm25_search / tfidf_top_terms /
     # token_coverage_curve / sliding_activity_stats /
     # hourly_event_rollup / user_sessions /
     # session_conversion / similar_users_jaccard /
@@ -165,6 +169,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from mvrs_dspa_spark.plans import (  # noqa: F401
         analytics,
         analytics2,
+        features,
         tpch,
         tpch_extra,
     )
