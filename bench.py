@@ -130,6 +130,9 @@ EXTRA_QUERIES = [
     "wilson_ctr_ranking",
     "zorder_clustering",
     "dp_event_counts",
+    # distributed model fits (#141-142)
+    "quality_classifier_lr",
+    "als_implicit_recs",
 ]
 
 

@@ -196,7 +196,8 @@ _Z2 = 3.8416  # 1.96^2, the 95% normal quantile squared
         WITH stats AS (
             SELECT user_id,
                    COUNT(*) AS n_events,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_purchases
             FROM events GROUP BY user_id
         ),

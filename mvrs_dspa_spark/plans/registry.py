@@ -116,15 +116,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wilson_ctr_ranking",
     "zorder_clustering",
     "dp_event_counts",
+    # -- round-6 model fits (operators/mlmodels.py #141-142), both
+    # rows-gated by design (iterative fits) --
+    "quality_classifier_lr",
+    "als_implicit_recs",
     # -- regression re-sweep: the longest-unverified hash-green rows
     # (last checked r3) fill the remaining slots --
     "event_cube_summary",
     "user_event_type_pivot",
     "user_journey_paths",
     "event_type_transitions",
-    "event_value_histogram",
-    "user_hourly_gapfill",
-    # (retention_cohorts / hourly_value_momentum /
+    # (event_value_histogram / user_hourly_gapfill /
+    # retention_cohorts / hourly_value_momentum /
     # event_value_regression / lang_id / doc_quality / token_counts /
     # doc_fingerprint / bm25_search / tfidf_top_terms /
     # token_coverage_curve / sliding_activity_stats /
@@ -163,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         embeddings,
         ensemble,
+        mlmodels,
         retrieval,
         sketches,
     )

@@ -42,6 +42,7 @@ _SCALAR_BNLJ_OK = {
     "source_token_divergence",  # bounded |sources| x vocab smoothing grid
     "woe_information_value",  # 1-row pos/neg-total scalar broadcast
     "zorder_clustering",  # 1-row extent (min/max) scalar broadcast
+    "als_implicit_recs",  # cap-bounded 20-user serving sample broadcast
     "hybrid_search",  # 1-row pinned query-vector broadcast
     "value_drift_ks",  # 1-row time-range scalar broadcast
     "user_rfm_segments",  # 1-row now + quintile-edges scalar broadcasts
