@@ -23,6 +23,8 @@ below); the expression form stays on the oracle-checkable queries.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1291,4 +1293,172 @@ def knn_confidence_calibration(
             ),
         )
         .orderBy("vote_count")
+    )
+
+
+# --- ranked-retrieval quality: NDCG@K / precision@K --------------------------
+#
+# The ranking-metric companion to the classification view of
+# knn_label_eval: same probe set, same deterministic neighbor order,
+# but graded as a RANKED list (binary same-label relevance) — the
+# metric a retrieval/RAG stack actually tunes for. Discount gains
+# 1/log2(rank+1) are precomputed HOST-side as 1e-6 int codes and
+# inlined as literals in BOTH engines, so no transcendental is ever
+# evaluated by either engine and per-query DCG sums are exact int64.
+
+_NDCG_GAINS = tuple(
+    int(round(1e6 / math.log2(r + 1))) for r in range(1, TOP_K + 1)
+)
+_NDCG_IDCG = tuple(
+    sum(_NDCG_GAINS[: m + 1]) for m in range(TOP_K)
+)  # _NDCG_IDCG[m-1] = ideal DCG code with m relevant items available
+
+
+def _gain_case_sql(rank: str) -> str:
+    whens = " ".join(
+        f"WHEN {r + 1} THEN {g}" for r, g in enumerate(_NDCG_GAINS)
+    )
+    return f"CASE {rank} {whens} END"
+
+
+def _idcg_case_sql(avail: str) -> str:
+    whens = " ".join(
+        f"WHEN {m + 1} THEN {c}" for m, c in enumerate(_NDCG_IDCG)
+    )
+    return f"CASE LEAST({avail}, {TOP_K}) {whens} END"
+
+
+@register(
+    "ann_ndcg_eval",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        lc AS (SELECT label, COUNT(*) AS n_label FROM v GROUP BY label),
+        q AS (SELECT * FROM v
+              WHERE vec_id % {QUERY_MOD} = 0
+                AND vec_id < {QUERY_MOD * MAX_QUERIES}),
+        ranked AS (
+            SELECT query_id, true_label, n_label_val, rn,
+                   CASE WHEN n_label_val = true_label THEN 1 ELSE 0 END
+                       AS rel
+            FROM (
+                SELECT q.vec_id AS query_id, q.label AS true_label,
+                       v.label AS n_label_val,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND({_dot_sql('q.embedding',
+                                                    'v.embedding')}
+                                          / (q.nrm * v.nrm), 6) DESC,
+                                    v.vec_id) AS rn
+                FROM q JOIN v ON q.vec_id <> v.vec_id
+            )
+            WHERE rn <= {TOP_K}
+        ),
+        per_q AS (
+            SELECT query_id, true_label,
+                   CAST(SUM(rel) AS BIGINT) AS n_hits,
+                   SUM(rel * ({_gain_case_sql('rn')})) AS dcg_code
+            FROM ranked GROUP BY query_id, true_label
+        )
+        SELECT p.query_id,
+               CAST(p.true_label AS BIGINT) AS label,
+               p.n_hits,
+               ROUND(p.n_hits / {TOP_K}.0, 6) AS precision_at_k,
+               ROUND(p.dcg_code
+                     / CAST(({_idcg_case_sql('l.n_label - 1')})
+                            AS DOUBLE), 6) AS ndcg_at_k
+        FROM per_q p JOIN lc l ON l.label = p.true_label
+        WHERE l.n_label > 1
+        ORDER BY p.query_id
+    """,
+    doc=f"Ranked-retrieval quality of the exact cosine top-{TOP_K}: "
+    "per probe, binary same-label relevance graded as a ranking — "
+    f"precision@{TOP_K} and NDCG@{TOP_K} (Järvelin & Kekäläinen "
+    "2002), the metric a retrieval/RAG stack tunes for, next to "
+    "knn_label_eval's classification view of the same probe set. "
+    "IDCG uses the label's true availability (class size - 1, "
+    f"capped at {TOP_K}), so a probe from a small class can still "
+    "reach NDCG 1.0. Determinism: the 1/log2(rank+1) discount gains "
+    "are precomputed host-side as 1e-6 int codes and inlined as CASE "
+    "literals in BOTH engines — no transcendental inside either "
+    "engine, per-query DCG is an exact int64 sum, and the single "
+    "float division happens once, rounded to 6. Neighbor order is "
+    "the house deterministic one (rounded cosine desc, vec_id). "
+    "Same <= 1024-probe broadcast bound as ann_cosine_topk; at "
+    "corpus scale the identical grading runs over the IVF shortlist.",
+    tags=("ann", "validation", "llm"),
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    lc = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    q = v.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    )
+    qa, vb = q.alias("q"), v.alias("v")
+    cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
+        F.col("q.nrm") * F.col("v.nrm")
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("true_label"),
+            F.col("v.label").alias("n_label_val"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    gains = F.array(*[F.lit(g).cast("long") for g in _NDCG_GAINS])
+    idcgs = F.array(*[F.lit(c).cast("long") for c in _NDCG_IDCG])
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .withColumn(
+            "rel",
+            F.when(F.col("n_label_val") == F.col("true_label"), 1).otherwise(
+                0
+            ),
+        )
+    )
+    per_q = ranked.groupBy("query_id", "true_label").agg(
+        F.sum("rel").alias("n_hits"),
+        F.sum(
+            F.col("rel") * F.element_at(gains, F.col("rn"))
+        ).alias("dcg_code"),
+    )
+    avail = F.least(F.col("n_label") - 1, F.lit(TOP_K).cast("long"))
+    return (
+        per_q.join(
+            F.broadcast(lc),
+            per_q["true_label"] == lc["label"],
+        )
+        .where(F.col("n_label") > 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("label"),
+            "n_hits",
+            F.round(F.col("n_hits") / float(TOP_K), 6).alias(
+                "precision_at_k"
+            ),
+            F.round(
+                F.col("dcg_code")
+                / F.element_at(idcgs, avail.cast("int")).cast("double"),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
     )

@@ -492,3 +492,220 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", "partkey", "rank", "score")
         .orderBy("custkey", "rank")
     )
+
+
+# --- multinomial Naive Bayes language classifier ------------------------------
+#
+# The third model family: where the LR distillation is gradient-descent
+# (rows-gated by its iterative fit), multinomial NB is CLOSED-FORM —
+# the model IS a pair of count tables — so the entire train+predict+
+# evaluate round trip is oracle-checkable SQL. Laplace (+1) smoothing
+# over the train vocabulary; per-token log-likelihoods are carried as
+# exact 1e-6-scaled int64 codes so the per-document summation order
+# cannot move the argmax between engines.
+
+NB_TRAIN_PCT = 80  # of 100 deterministic doc_id hash buckets
+_NB_SPLIT_A, _NB_SPLIT_B = H.hash_params(1, seed=616_263)[0]
+
+
+@register(
+    "nb_lang_classifier",
+    oracle=f"""
+        WITH split AS (
+            SELECT doc_id, lang, lower(text) AS text,
+                   {H.affine_sql("doc_id", _NB_SPLIT_A, _NB_SPLIT_B)} % 100
+                       AS bucket
+            FROM documents
+        ),
+        train_toks AS (
+            SELECT lang, unnest(list_filter(
+                       string_split_regex(text, '\\s+'), t -> t <> ''))
+                       AS tok
+            FROM split WHERE bucket < {NB_TRAIN_PCT}
+        ),
+        cnt AS (
+            SELECT lang, tok, COUNT(*) AS c
+            FROM train_toks GROUP BY lang, tok
+        ),
+        vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train_toks),
+        stats AS (
+            SELECT c.lang, SUM(c.c) AS tot, ANY_VALUE(v.v) AS v
+            FROM cnt c CROSS JOIN vocab v GROUP BY c.lang
+        ),
+        priors AS (
+            SELECT s.lang, s.tot, s.v,
+                   n_docs,
+                   CAST(ROUND(LN(n_docs * 1.0
+                                 / (SUM(n_docs) OVER ())) * 1e6)
+                        AS BIGINT) AS prior_code
+            FROM stats s JOIN (
+                SELECT lang, COUNT(*) AS n_docs
+                FROM split WHERE bucket < {NB_TRAIN_PCT} GROUP BY lang
+            ) d USING (lang)
+        ),
+        test_toks AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(text, '\\s+'), t -> t <> ''))
+                       AS tok
+            FROM split WHERE bucket >= {NB_TRAIN_PCT}
+        ),
+        tok_scores AS (
+            SELECT t.doc_id, p.lang,
+                   SUM(CAST(ROUND(LN((COALESCE(c.c, 0) + 1.0)
+                                     / GREATEST(p.tot + p.v, 1)) * 1e6)
+                            AS BIGINT)) AS tok_code
+            FROM test_toks t
+            CROSS JOIN priors p
+            LEFT JOIN cnt c ON c.tok = t.tok AND c.lang = p.lang
+            GROUP BY t.doc_id, p.lang
+        ),
+        scored AS (
+            SELECT s.doc_id, s.lang AS true_lang, p.lang AS cand_lang,
+                   p.prior_code + COALESCE(k.tok_code, 0) AS score_code
+            FROM split s
+            CROSS JOIN priors p
+            LEFT JOIN tok_scores k
+              ON k.doc_id = s.doc_id AND k.lang = p.lang
+            WHERE s.bucket >= {NB_TRAIN_PCT}
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand_lang AS pred_lang
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_code DESC, cand_lang) AS rn
+                FROM scored
+            )
+            WHERE rn = 1
+        )
+        SELECT true_lang AS lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(1.0 * COUNT(*)
+                     / SUM(COUNT(*)) OVER (PARTITION BY true_lang), 6)
+                   AS recall
+        FROM pred
+        GROUP BY true_lang, pred_lang
+        ORDER BY lang, pred_lang
+    """,
+    doc="Multinomial Naive Bayes language classifier, trained and "
+    "evaluated inside the engine (McCallum & Nigam 1998): Laplace-"
+    "smoothed per-(lang, token) likelihoods from the deterministic "
+    "80% hash split, argmax posterior over the held-out 20%, "
+    "confusion matrix with per-class recall. The closed-form sibling "
+    "of the GD-trained LR distillation (#141) — the model is two "
+    "count tables, so unlike the iterative fits the ENTIRE train/"
+    "predict/evaluate round trip is oracle-gated. Supervised "
+    "upgrade of the stopword-heuristic lang_id (#37) over the same "
+    "label space. Determinism: every log-likelihood is LN of a "
+    "ratio of exact integers (one division, one LN on identical "
+    "inputs), rounded to a 1e-6 int64 code BEFORE the per-document "
+    "sum, so float summation order cannot flip the argmax; argmax "
+    "tiebreak is (score desc, lang asc). Plan shape: one explode "
+    "feeds the count model; scoring is test-tokens x 5 candidate "
+    "langs (a bounded broadcast dim) left-joined to the likelihood "
+    "table on (tok, lang) — Zipf-skewed exactly like the unigram "
+    "scorer (#59), which AQE skew-split handles; the vocabulary "
+    "table itself is never collected or broadcast.",
+    tags=("ml", "text", "llm"),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.functions.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.lower(F.col("text")).alias("text"),
+        (
+            H.affine_col(F.col("doc_id").cast("long"), _NB_SPLIT_A, _NB_SPLIT_B)
+            % 100
+        ).alias("bucket"),
+    )
+    train = docs.where(F.col("bucket") < NB_TRAIN_PCT)
+    test = docs.where(F.col("bucket") >= NB_TRAIN_PCT)
+
+    train_toks = train.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    cnt = train_toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = train_toks.agg(F.count_distinct("tok").alias("v"))
+    stats = (
+        cnt.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .crossJoin(F.broadcast(vocab))
+    )
+    n_docs = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    priors = (
+        stats.join(n_docs, "lang")
+        .withColumn(
+            "prior_code",
+            F.round(
+                F.log(
+                    F.col("n_docs")
+                    * 1.0
+                    / F.sum("n_docs").over(w_all)
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+
+    test_toks = test.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0).cast("long")) + 1.0)
+        / F.greatest(F.col("tot") + F.col("v"), F.lit(1).cast("long"))
+    )
+    cand = priors.select(
+        F.col("lang").alias("cand_lang"), "tot", "v", "prior_code"
+    )
+    likelihood = cnt.select(
+        F.col("lang").alias("cand_lang"), F.col("tok"), F.col("c")
+    )
+    tok_scores = (
+        test_toks.crossJoin(
+            F.broadcast(cand.select("cand_lang", "tot", "v"))
+        )
+        .join(likelihood, ["cand_lang", "tok"], "left")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(F.round(logp * 1e6).cast("long")).alias("tok_code"))
+    )
+    scored = (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(cand.select("cand_lang", "prior_code")))
+        .join(tok_scores, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            (
+                F.col("prior_code")
+                + F.coalesce(F.col("tok_code"), F.lit(0).cast("long"))
+            ).alias("score_code"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_code"), F.asc("cand_lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    w_lang = Window.partitionBy("true_lang")
+    return (
+        pred.groupBy(
+            F.col("true_lang").alias("lang"), F.col("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "recall",
+            F.round(
+                F.lit(1.0) * F.col("n")
+                / F.sum("n").over(Window.partitionBy("lang")),
+                6,
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )

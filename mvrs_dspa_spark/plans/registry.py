@@ -120,13 +120,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rows-gated by design (iterative fits) --
     "quality_classifier_lr",
     "als_implicit_recs",
-    # -- regression re-sweep: the longest-unverified hash-green rows
-    # (last checked r3) fill the remaining slots --
-    "event_cube_summary",
-    "user_event_type_pivot",
-    "user_journey_paths",
-    "event_type_transitions",
-    # (event_value_histogram / user_hourly_gapfill /
+    # -- round-6 seventh wave (#143-146): gaps-and-islands streaks,
+    # STL decomposition, closed-form NB classifier, NDCG ranking
+    # eval — first driver check for each, all oracle-gated. These
+    # take the 4 slots the r3-era re-sweep block would have used:
+    # first-time checks outrank re-verification of hash-green rows;
+    # that block rotates in next round. --
+    "user_activity_streaks",
+    "hourly_stl_decomposition",
+    "nb_lang_classifier",
+    "ann_ndcg_eval",
+    # (re-sweep queue for the next rotation: event_cube_summary /
+    # user_event_type_pivot / user_journey_paths /
+    # event_type_transitions / event_value_histogram / user_hourly_gapfill /
     # retention_cohorts / hourly_value_momentum /
     # event_value_regression / lang_id / doc_quality / token_counts /
     # doc_fingerprint / bm25_search / tfidf_top_terms /
@@ -173,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from mvrs_dspa_spark.plans import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         features,
         tpch,
         tpch_extra,

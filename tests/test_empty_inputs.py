@@ -37,6 +37,7 @@ _NONEMPTY_ON_EMPTY = {
     "gdpr_erasure_audit": 4,  # one all-zero summary row per audited table
     "embedding_truncation_eval": 2,  # one scalar summary row per width
     "bloom_membership_report": 1,  # scalar aggregate: one all-zero row
+    "quality_classifier_lr": 10,  # fixed 10-row score-decile report
 }
 
 
