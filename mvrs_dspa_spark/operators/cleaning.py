@@ -326,3 +326,122 @@ def entity_resolution_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("strategy")
+
+
+# --- category blocklist filter report (C4-style badwords gate) ---------------
+#
+# The safety-filter member the cleaning family was missing next to PII
+# scrubbing (#46) and repetition metrics (#47): C4 drops any document
+# containing a term from a category blocklist (Raffel et al. 2020,
+# "List of Dirty, Naughty ..."); production pipelines audit the gate
+# per category before enforcing it. Lists here are a configurable
+# stand-in over the synthetic vocabulary — the mechanism (token-exact
+# multi-category matching, per-category and combined keep rates) is
+# the operator.
+
+BLOCKLISTS: dict[str, tuple[str, ...]] = {
+    "latency_complaints": ("slow",),
+    "duplication_markers": ("dup",),
+    "vendor_terms": ("spark",),
+}
+
+
+@register(
+    "blocklist_filter_report",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest({T.tokens_sql('lower(text)')}) AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT category, doc_id, COUNT(*) AS n_hits
+            FROM (
+                {" UNION ALL ".join(
+                    f'''SELECT '{cat}' AS category, doc_id
+                        FROM toks WHERE tok IN ({", ".join(
+                            f"'{w}'" for w in words)})'''
+                    for cat, words in sorted(BLOCKLISTS.items())
+                )}
+            ) h
+            GROUP BY category, doc_id
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        per_cat AS (
+            SELECT category,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_flagged,
+                   CAST(SUM(n_hits) AS BIGINT) AS n_token_hits
+            FROM hits GROUP BY category
+        ),
+        combined AS (
+            SELECT 'ANY' AS category,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                       AS n_docs_flagged,
+                   CAST(SUM(n_hits) AS BIGINT) AS n_token_hits
+            FROM hits
+        )
+        SELECT category, n_docs_flagged, n_token_hits,
+               CASE WHEN n.n_docs > 0
+                    THEN ROUND(n_docs_flagged
+                               / CAST(n.n_docs AS DOUBLE), 6)
+               END AS flag_rate
+        FROM (SELECT * FROM per_cat UNION ALL SELECT * FROM combined)
+        CROSS JOIN n
+        ORDER BY category
+    """,
+    doc="Category-blocklist audit of the C4-style badwords gate "
+    "(Raffel et al. 2020): per category, documents containing any "
+    "listed term (token-exact match on the house tokenizer), total "
+    "token hits, and the flag rate; plus the combined ANY row — the "
+    "keep-rate a pipeline owner reviews before enforcing the drop. "
+    "Completes the cleaning family's safety side next to PII "
+    "scrubbing (#46) and repetition (#47). Plan: one explode feeds "
+    "every category via a unioned IN-list filter (the blocklists are "
+    "plan literals — no join, no broadcast table); the per-doc "
+    "rollup bounds the DISTINCT in the combined row by flagged docs "
+    "only. All counts exact int64; the one float is the final rate.",
+    tags=("cleaning", "llm"),
+)
+def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    flagged = None
+    for cat, words in sorted(BLOCKLISTS.items()):
+        part = toks.where(F.col("tok").isin(*words)).select(
+            F.lit(cat).alias("category"), "doc_id"
+        )
+        flagged = part if flagged is None else flagged.unionAll(part)
+    hits = flagged.groupBy("category", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_cat = hits.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_docs_flagged"),
+        F.sum("n_hits").alias("n_token_hits"),
+    )
+    combined = hits.agg(
+        F.lit("ANY").alias("category"),
+        F.count_distinct("doc_id").alias("n_docs_flagged"),
+        F.sum("n_hits").alias("n_token_hits"),
+    ).select("category", "n_docs_flagged", "n_token_hits")
+    return (
+        per_cat.unionAll(combined)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "category",
+            "n_docs_flagged",
+            F.coalesce("n_token_hits", F.lit(0).cast("long")).alias(
+                "n_token_hits"
+            ),
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(
+                    F.col("n_docs_flagged") / F.col("n_docs").cast("double"),
+                    6,
+                ),
+            ).alias("flag_rate"),
+        )
+        .orderBy("category")
+    )

@@ -634,3 +634,126 @@ def _patch_dsir_oracle() -> None:
 
 
 _patch_dsir_oracle()
+
+
+# --- DoReMi-style domain mixture reweighting ----------------------------------
+
+DOREMI_ETA = 1.0  # exponentiated-gradient step size
+
+
+@register(
+    "doremi_domain_weights",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS n_w FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(n_w) AS n FROM freq),
+        per_src AS (
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   SUM(CAST(ROUND(-log2(1.0 * f.n_w / o.n) * 1e6)
+                            AS BIGINT)) AS bits_code
+            FROM toks t JOIN freq f USING (tok) CROSS JOIN tot o
+            GROUP BY t.source
+        ),
+        nd AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        scored AS (
+            SELECT p.source, nd.n_docs, p.n_tokens,
+                   p.bits_code / (1e6 * p.n_tokens) AS bpt,
+                   GREATEST(
+                       p.bits_code / (1e6 * p.n_tokens)
+                       - SUM(p.bits_code) OVER ()
+                         / (1e6 * SUM(p.n_tokens) OVER ()),
+                       0.0) AS excess
+            FROM per_src p JOIN nd USING (source)
+        ),
+        coded AS (
+            SELECT source, n_docs, n_tokens, bpt, excess,
+                   CAST(ROUND(
+                       (n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+                       * EXP({DOREMI_ETA} * excess) * 1e9)
+                       AS BIGINT) AS t_code
+            FROM scored
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(bpt, 6) AS bits_per_token,
+               ROUND(excess, 6) AS excess_bits,
+               ROUND(t_code / CAST(SUM(t_code) OVER () AS DOUBLE), 6)
+                   AS domain_weight
+        FROM coded
+        ORDER BY source
+    """,
+    doc="DoReMi-style domain mixture reweighting (Xie et al. 2023, "
+    "arXiv:2305.10429): one exponentiated-gradient step that "
+    "up-weights domains with EXCESS loss over the corpus reference — "
+    "here the per-source bits/token under the corpus's own unigram "
+    "LM (the same proxy #59 scores documents with; DoReMi proper "
+    "iterates this with a trained proxy model). Completes the "
+    "mixing family: temperature smoothing (#49) reweights by SIZE, "
+    "this reweights by LEARNABILITY. Determinism: per-token bits are "
+    "1e-6 int codes summed exactly; reference loss comes from the "
+    "SAME integer sums via analytic windows over the bounded "
+    "source-level table; the EG weight is coded to 1e-9 ints before "
+    "the one normalizing division. Plan: one explode feeds the "
+    "vocabulary aggregate and the scoring join (Zipf-skew handled "
+    "by AQE exactly as in #59); everything after is arithmetic over "
+    "one row per source.",
+    tags=("sampling", "llm"),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.functions.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = freq.agg(F.sum("n_w").alias("n"))
+    bits_code = F.round(
+        -F.log2(F.lit(1.0) * F.col("n_w") / F.col("n")) * 1e6
+    ).cast("long")
+    per_src = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits_code).alias("bits_code"),
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    bpt = F.col("bits_code") / (F.lit(1e6) * F.col("n_tokens"))
+    ref = F.sum("bits_code").over(w_all) / (
+        F.lit(1e6) * F.sum("n_tokens").over(w_all)
+    )
+    scored = per_src.join(nd, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        bpt.alias("bpt"),
+        F.greatest(bpt - ref, F.lit(0.0)).alias("excess"),
+    )
+    t_code = F.round(
+        (F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double"))
+        * F.exp(F.lit(DOREMI_ETA) * F.col("excess"))
+        * 1e9
+    ).cast("long")
+    coded = scored.withColumn("t_code", t_code)
+    return coded.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("bpt", 6).alias("bits_per_token"),
+        F.round("excess", 6).alias("excess_bits"),
+        F.round(
+            F.col("t_code") / F.sum("t_code").over(w_all).cast("double"), 6
+        ).alias("domain_weight"),
+    ).orderBy("source")

@@ -973,3 +973,104 @@ def doc_stopword_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- n-gram diversity (distinct-n) report ------------------------------------
+
+_DIVERSITY_NS = (1, 2, 3)
+
+
+def _ngrams_col(toks, n: int):
+    """Contiguous n-grams of a token array as space-joined strings;
+    empty array when the document is shorter than n (guarded because
+    Spark's sequence(1, 0) counts DOWN instead of returning empty)."""
+    if n == 1:
+        return toks
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngrams_sql(lst: str, n: int) -> str:
+    if n == 1:
+        return lst
+    parts = " || ' ' || ".join(f"{lst}[i + {off}]" for off in range(n))
+    return (
+        f"CASE WHEN len({lst}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({lst}) - {n - 1}), "
+        f"i -> {parts}) ELSE [] END"
+    )
+
+
+@register(
+    "ngram_diversity_report",
+    oracle=f"""
+        WITH toked AS (
+            SELECT source, {T.tokens_sql('lower(text)')} AS toks
+            FROM documents
+        ),
+        grams AS (
+            {" UNION ALL ".join(
+                f'''SELECT source, {n} AS n,
+                           unnest({_ngrams_sql('toks', n)}) AS gram
+                    FROM toked'''
+                for n in _DIVERSITY_NS
+            )}
+        )
+        SELECT source, n,
+               CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+               ROUND(COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS distinct_ratio
+        FROM grams
+        GROUP BY source, n
+        ORDER BY source, n
+    """,
+    doc="Per-source n-gram diversity (distinct-1/2/3 of Li et al. "
+    "2016): unique-over-total ratio for unigrams, bigrams, trigrams "
+    "— the corpus-health metric that flags mode-collapsed or "
+    "template-generated sources (low distinct-n) next to the "
+    "repetition view of single documents (#47) and the boilerplate "
+    "shingle share (#51). N-gram construction is a pure projection "
+    "(list transform over the token array, no shuffle); the one "
+    "exchange is the (source, n) rollup whose count-distinct Spark "
+    "executes as a two-phase partial aggregation. Counts exact "
+    "int64; the ratio is one division, rounded on both engines.",
+    tags=("text", "llm"),
+)
+def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = None
+    for n in _DIVERSITY_NS:
+        part = docs.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(_ngrams_col(F.col("toks"), n)).alias("gram"),
+        )
+        grams = part if grams is None else grams.unionAll(part)
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct("gram").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source", "n")
+    )

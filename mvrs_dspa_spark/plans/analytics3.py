@@ -228,3 +228,316 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# --- Theil-Sen robust trend ----------------------------------------------------
+#
+# Median-of-pairwise-slopes estimator (Theil 1950, Sen 1968): 29.3%
+# breakdown point where OLS (10ai) breaks on one bad hour. The pair
+# set is quadratic in the series length, which is SAFE here by
+# construction: the hourly series is bounded by the retention window
+# (not by data volume), and pairs stay per-type parallel.
+
+
+@register(
+    "hourly_theil_sen_trend",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_HOUR_US} AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        rel AS (
+            SELECT event_type,
+                   hr - MIN(hr) OVER (PARTITION BY event_type) AS hr_rel,
+                   n
+            FROM hourly
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.n - a.n) / CAST(b.hr_rel - a.hr_rel AS DOUBLE)
+                       AS slope
+            FROM rel a JOIN rel b
+              ON a.event_type = b.event_type AND a.hr_rel < b.hr_rel
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY slope) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM slopes
+        ),
+        med AS (
+            SELECT event_type,
+                   AVG(slope) AS ts_slope,
+                   ANY_VALUE(cnt) AS n_pairs
+            FROM ranked
+            WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+            GROUP BY event_type
+        ),
+        resid AS (
+            SELECT r.event_type,
+                   r.n - m.ts_slope * r.hr_rel AS res,
+                   m.ts_slope, m.n_pairs
+            FROM rel r JOIN med m USING (event_type)
+        ),
+        rranked AS (
+            SELECT event_type, res, ts_slope, n_pairs,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY res) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM resid
+        )
+        SELECT event_type,
+               CAST(ANY_VALUE(cnt) AS BIGINT) AS n_hours,
+               CAST(ANY_VALUE(n_pairs) AS BIGINT) AS n_pairs,
+               ROUND(ANY_VALUE(ts_slope), 6) AS slope_per_hour,
+               ROUND(AVG(res), 6) AS intercept
+        FROM rranked
+        WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Theil-Sen robust trend per event type over the hourly count "
+    "series (Theil 1950, Sen 1968): slope = median of all pairwise "
+    "slopes, intercept = median residual at the relative-hour "
+    "origin — the 29%-breakdown robust companion to the OLS fit "
+    "(10ai) and the MAD outlier screen (#77). Determinism: each "
+    "pairwise slope is ONE division of exact int64 deltas; the "
+    "median picks the middle row(s) of a ROW_NUMBER ordering and "
+    "averages at most two doubles (commutative — no summation-order "
+    "exposure). Scale: the pair set is quadratic in the series "
+    "LENGTH, which the retention window bounds independent of data "
+    "volume (720 hours -> 259k pairs per type), and wholly per-type "
+    "parallel; the event scan itself contributes only the initial "
+    "hourly rollup.",
+    tags=("analytics", "timeseries"),
+)
+def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_type = Window.partitionBy("event_type")
+    rel = hourly.select(
+        "event_type",
+        (F.col("hr") - F.min("hr").over(w_type)).alias("hr_rel"),
+        "n",
+    )
+    a, b = rel.alias("a"), rel.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.hr_rel") < F.col("b.hr_rel")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n"))
+            / (F.col("b.hr_rel") - F.col("a.hr_rel")).cast("double")
+        ).alias("slope"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_type).alias("cnt"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg("slope").alias("ts_slope"),
+            F.any_value("cnt").alias("n_pairs"),
+        )
+    )
+    resid = rel.join(med, "event_type").select(
+        "event_type",
+        (F.col("n") - F.col("ts_slope") * F.col("hr_rel")).alias("res"),
+        "ts_slope",
+        "n_pairs",
+    )
+    w_rrank = Window.partitionBy("event_type").orderBy("res")
+    rranked = resid.select(
+        "event_type",
+        "res",
+        "ts_slope",
+        "n_pairs",
+        F.row_number().over(w_rrank).alias("rn"),
+        F.count(F.lit(1)).over(w_type).alias("cnt"),
+    )
+    return (
+        rranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.any_value("cnt").cast("long").alias("n_hours"),
+            F.any_value("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.any_value("ts_slope"), 6).alias("slope_per_hour"),
+            F.round(F.avg("res"), 6).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- seasonal-naive forecast backtest (MASE) -----------------------------------
+
+_MASE_H = 24  # holdout horizon: the last day of hours
+
+
+@register(
+    "forecast_backtest_mase",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_HOUR_US} AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, g.hr
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hr
+                        FROM bounds) g
+        ),
+        filled AS (
+            SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+            FROM grid g LEFT JOIN hourly h
+              ON h.event_type = g.event_type AND h.hr = g.hr
+        ),
+        lagged AS (
+            SELECT f.event_type, f.hr, f.n,
+                   LAG(f.n, {_MASE_H}) OVER (
+                       PARTITION BY f.event_type ORDER BY f.hr) AS n_lag,
+                   b.h0, b.h1
+            FROM filled f CROSS JOIN bounds b
+        ),
+        lt AS (
+            SELECT l.event_type, l.n AS n_last_train
+            FROM lagged l WHERE l.hr = l.h1 - {_MASE_H}
+        ),
+        agg AS (
+            SELECT l.event_type,
+                   SUM(CASE WHEN l.hr > l.h1 - {_MASE_H}
+                            THEN ABS(l.n - t.n_last_train) END)
+                       AS err_naive,
+                   SUM(CASE WHEN l.hr > l.h1 - {_MASE_H}
+                            THEN ABS(l.n - l.n_lag) END) AS err_seasonal,
+                   SUM(CASE WHEN l.hr >= l.h0 + {_MASE_H}
+                                 AND l.hr <= l.h1 - {_MASE_H}
+                            THEN ABS(l.n - l.n_lag) END) AS den_sum,
+                   SUM(CASE WHEN l.hr >= l.h0 + {_MASE_H}
+                                 AND l.hr <= l.h1 - {_MASE_H}
+                            THEN 1 END) AS den_cnt
+            FROM lagged l JOIN lt t USING (event_type)
+            GROUP BY l.event_type
+        )
+        SELECT event_type,
+               ROUND(err_naive / {_MASE_H}.0, 6) AS mae_naive,
+               ROUND(err_seasonal / {_MASE_H}.0, 6) AS mae_seasonal,
+               CASE WHEN den_sum > 0 THEN
+                   ROUND((err_naive * den_cnt)
+                         / CAST({_MASE_H} * den_sum AS DOUBLE), 6)
+               END AS mase_naive,
+               CASE WHEN den_sum > 0 THEN
+                   ROUND((err_seasonal * den_cnt)
+                         / CAST({_MASE_H} * den_sum AS DOUBLE), 6)
+               END AS mase_seasonal
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest with MASE per event type "
+    "(Hyndman & Koehler 2006): hold out the final 24 hours, forecast "
+    "them with (a) the last training value and (b) the value 24 "
+    "hours earlier, and scale each MAE by the in-sample seasonal-"
+    "naive MAE — MASE < 1 beats the in-sample seasonal baseline; "
+    "seasonal-naive beating flat-naive confirms the daily cycle the "
+    "STL split (#144) models. The eval harness half of the "
+    "forecasting loop (10ah momentum and 10ak autocorrelation are "
+    "the diagnostics half). Determinism: all errors are ABS of "
+    "exact int64 count deltas summed exactly; each reported float "
+    "is ONE division (cross-multiplied MASE so numerator/denominator "
+    "stay integer), rounded on both engines. Plan: the dense "
+    "(type x hour) grid is bounded by types x retention window; one "
+    "LAG window per type and one rollup — the event scan feeds a "
+    "single hourly aggregation.",
+    tags=("analytics", "timeseries"),
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(bounds).select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("hr")
+    lagged = filled.withColumn(
+        "n_lag", F.lag("n", _MASE_H).over(w_lag)
+    ).crossJoin(F.broadcast(bounds))
+    lt = lagged.where(F.col("hr") == F.col("h1") - _MASE_H).select(
+        "event_type", F.col("n").alias("n_last_train")
+    )
+    is_test = F.col("hr") > F.col("h1") - _MASE_H
+    in_den = (F.col("hr") >= F.col("h0") + _MASE_H) & (
+        F.col("hr") <= F.col("h1") - _MASE_H
+    )
+    agg = (
+        lagged.join(F.broadcast(lt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(is_test, F.abs(F.col("n") - F.col("n_last_train")))
+            ).alias("err_naive"),
+            F.sum(
+                F.when(is_test, F.abs(F.col("n") - F.col("n_lag")))
+            ).alias("err_seasonal"),
+            F.sum(
+                F.when(in_den, F.abs(F.col("n") - F.col("n_lag")))
+            ).alias("den_sum"),
+            F.sum(F.when(in_den, F.lit(1))).alias("den_cnt"),
+        )
+    )
+    mase = lambda err: F.when(  # noqa: E731
+        F.col("den_sum") > 0,
+        F.round(
+            (err * F.col("den_cnt"))
+            / (F.lit(_MASE_H) * F.col("den_sum")).cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("err_naive") / float(_MASE_H), 6).alias("mae_naive"),
+        F.round(F.col("err_seasonal") / float(_MASE_H), 6).alias(
+            "mae_seasonal"
+        ),
+        mase(F.col("err_naive")).alias("mase_naive"),
+        mase(F.col("err_seasonal")).alias("mase_seasonal"),
+    ).orderBy("event_type")
