@@ -1462,3 +1462,165 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- exact KNN-Shapley data valuation -----------------------------------------
+#
+# Jia et al. 2019 (arXiv:1908.08619): for K-NN utility the Shapley
+# value of every training point has a CLOSED FORM — rank training
+# points by similarity to a probe, then
+#   s_N = rel_N / N,   s_j = s_{j+1} + (rel_j - rel_{j+1}) / max(K, j)
+# which is a reverse cumulative sum over the rank order: exactly a
+# window frame (CURRENT ROW .. UNBOUNDED FOLLOWING). No sampling, no
+# retraining — the data-VALUATION family member next to the data-
+# SELECTION ones (DSIR #121, curriculum #90, quality gates #53).
+
+
+@register(
+    "knn_shapley_data_values",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM v
+              WHERE vec_id % {QUERY_MOD} = 0
+                AND vec_id < {QUERY_MOD * MAX_QUERIES}),
+        ranked AS (
+            SELECT q.vec_id AS probe_id,
+                   v.vec_id AS train_id, v.label AS y_t,
+                   CASE WHEN v.label = q.label THEN 1 ELSE 0 END AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_dot_sql('q.embedding',
+                                                'v.embedding')}
+                                      / (q.nrm * v.nrm), 6) DESC,
+                                v.vec_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY q.vec_id) AS n_train
+            FROM q JOIN v ON q.vec_id <> v.vec_id
+        ),
+        contrib AS (
+            SELECT probe_id, train_id, y_t, rn,
+                   CASE WHEN rel_next IS NULL
+                        THEN CAST(ROUND(1e9 * rel / n_train) AS BIGINT)
+                        ELSE CAST(ROUND(1e9 * (rel - rel_next)
+                                        / GREATEST({KNN_K}, rn))
+                                  AS BIGINT) END AS c_code
+            FROM (
+                SELECT *, LEAD(rel) OVER (
+                           PARTITION BY probe_id ORDER BY rn) AS rel_next
+                FROM ranked
+            )
+        ),
+        coded AS (
+            SELECT probe_id, train_id, y_t,
+                   SUM(c_code) OVER (
+                       PARTITION BY probe_id ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS s_code
+            FROM contrib
+        )
+        SELECT train_id AS vec_id,
+               CAST(ANY_VALUE(y_t) AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               ROUND(SUM(s_code) / (1e9 * COUNT(*)), 6) AS mean_shapley
+        FROM coded
+        GROUP BY train_id
+        ORDER BY mean_shapley DESC, vec_id
+        LIMIT 100
+    """,
+    doc="Exact KNN-Shapley data valuation (Jia et al. 2019): the "
+    "Shapley value of each training vector for the K-NN probe "
+    "utility, via the closed-form rank recurrence s_j = s_(j+1) + "
+    f"(rel_j - rel_(j+1))/max({KNN_K}, j) — computed as a reverse "
+    "cumulative window sum, no retraining or sampling. Averaged "
+    "over the probe set and reporting the top-100 most valuable "
+    "points: the principled data-pruning/weighting shortlist the "
+    "selection family (DSIR #121, curriculum #90) consumes, and the "
+    "third lens on the labeled embeddings after classification "
+    "(knn_label_eval) and ranking (ann_ndcg_eval). Determinism: "
+    "each recurrence term is ONE division of small exact ints, "
+    "rounded to a 1e-9 int64 code BEFORE the cumulative sum, so "
+    "both engines accumulate identical integers; the probe average "
+    "is one final division. Efficiency axiom (sum of values = "
+    "top-K hit rate) pytest-pinned. Scale: same <= 1024-probe "
+    "broadcast bound as ann_cosine_topk; the per-probe ranking "
+    "window is the same width as the existing brute-force scorer, "
+    "and at corpus scale the recurrence runs on the IVF shortlist "
+    "(the all-miss tail contributes only its base term).",
+    tags=("ann", "llm", "validation"),
+)
+def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = v.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES)
+    )
+    qa, vb = q.alias("q"), v.alias("v")
+    cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
+        F.col("q.nrm") * F.col("v.nrm")
+    )
+    w_probe = Window.partitionBy("probe_id")
+    w_rank = w_probe.orderBy(F.col("cos_sim").desc(), F.col("train_id"))
+    ranked = (
+        F.broadcast(qa)
+        .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("train_id"),
+            F.col("v.label").alias("y_t"),
+            F.when(F.col("v.label") == F.col("q.label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_train", F.count(F.lit(1)).over(w_probe))
+    )
+    w_rn = w_probe.orderBy("rn")
+    contrib = ranked.withColumn(
+        "rel_next", F.lead("rel").over(w_rn)
+    ).withColumn(
+        "c_code",
+        F.when(
+            F.col("rel_next").isNull(),
+            F.round(F.lit(1e9) * F.col("rel") / F.col("n_train")).cast(
+                "long"
+            ),
+        ).otherwise(
+            F.round(
+                F.lit(1e9)
+                * (F.col("rel") - F.col("rel_next"))
+                / F.greatest(F.lit(KNN_K), F.col("rn"))
+            ).cast("long")
+        ),
+    )
+    w_tail = w_probe.orderBy("rn").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    coded = contrib.withColumn("s_code", F.sum("c_code").over(w_tail))
+    return (
+        coded.groupBy("train_id")
+        .agg(
+            F.any_value("y_t").cast("long").alias("label"),
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(
+                F.sum("s_code") / (F.lit(1e9) * F.count(F.lit(1))), 6
+            ).alias("mean_shapley"),
+        )
+        .select(
+            F.col("train_id").alias("vec_id"),
+            "label",
+            "n_probes",
+            "mean_shapley",
+        )
+        .orderBy(F.desc("mean_shapley"), "vec_id")
+        .limit(100)
+    )

@@ -541,3 +541,115 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         mase(F.col("err_naive")).alias("mase_naive"),
         mase(F.col("err_seasonal")).alias("mase_seasonal"),
     ).orderBy("event_type")
+
+
+# --- burstiness / index-of-dispersion profile ----------------------------------
+
+
+@register(
+    "hourly_burstiness",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_HOUR_US} AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, g.hr
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hr
+                        FROM bounds) g
+        ),
+        filled AS (
+            SELECT g.event_type, COALESCE(h.n, 0) AS n
+            FROM grid g LEFT JOIN hourly h
+              ON h.event_type = g.event_type AND h.hr = g.hr
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(n) AS BIGINT) AS s1,
+                   CAST(SUM(n * n) AS BIGINT) AS s2
+            FROM filled GROUP BY event_type
+        )
+        SELECT event_type, n_hours,
+               ROUND(s1 / CAST(n_hours AS DOUBLE), 6) AS mean_rate,
+               CASE WHEN n_hours > 1 AND s1 > 0 THEN
+                   ROUND((n_hours * s2 - s1 * s1)
+                         / CAST((n_hours - 1) * s1 AS DOUBLE), 6)
+               END AS dispersion,
+               CASE WHEN n_hours > 1 AND s1 > 0 THEN
+                   ROUND((n_hours * s2 - s1 * s1) * n_hours
+                         / CAST((n_hours - 1) * s1 * s1 AS DOUBLE), 6)
+               END AS cv_squared
+        FROM s
+        ORDER BY event_type
+    """,
+    doc="Burstiness profile per event type over the gap-filled hourly "
+    "series: index of dispersion (variance-to-mean ratio; 1 under a "
+    "Poisson arrival process, > 1 = bursty/overdispersed — the "
+    "capacity-planning statistic) and the squared coefficient of "
+    "variation. Sits next to the inter-arrival profile (10as) as the "
+    "count-domain view of the same burstiness question. Determinism: "
+    "variance comes from the exact integer identity n*S2 - S1^2 over "
+    "int64 count sums, and each reported statistic is ONE division "
+    "of integer products (cross-multiplied), rounded on both "
+    "engines. Plan: one hourly rollup, a bounded types x hours gap "
+    "fill, and a 5-row aggregate.",
+    tags=("analytics", "timeseries"),
+)
+def hourly_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(bounds).select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    s = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    var_num = F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    ok = (F.col("n_hours") > 1) & (F.col("s1") > 0)
+    return s.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("s1") / F.col("n_hours").cast("double"), 6).alias(
+            "mean_rate"
+        ),
+        F.when(
+            ok,
+            F.round(
+                var_num
+                / ((F.col("n_hours") - 1) * F.col("s1")).cast("double"),
+                6,
+            ),
+        ).alias("dispersion"),
+        F.when(
+            ok,
+            F.round(
+                var_num
+                * F.col("n_hours")
+                / (
+                    (F.col("n_hours") - 1) * F.col("s1") * F.col("s1")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("cv_squared"),
+    ).orderBy("event_type")

