@@ -133,6 +133,20 @@ EXTRA_QUERIES = [
     # distributed model fits (#141-142)
     "quality_classifier_lr",
     "als_implicit_recs",
+    # waves 7-8 (#143-153): the scan-heavy / window-heavy additions —
+    # pair-quadratic robust trend (bounded series), probe-window
+    # Shapley valuation, token-explode NB scoring and EG reweighting
+    "user_activity_streaks",
+    "hourly_stl_decomposition",
+    "nb_lang_classifier",
+    "ann_ndcg_eval",
+    "ngram_diversity_report",
+    "doremi_domain_weights",
+    "hourly_theil_sen_trend",
+    "forecast_backtest_mase",
+    "knn_shapley_data_values",
+    "blocklist_filter_report",
+    "hourly_burstiness",
 ]
 
 

@@ -354,39 +354,34 @@ BLOCKLISTS: dict[str, tuple[str, ...]] = {
                    unnest({T.tokens_sql('lower(text)')}) AS tok
             FROM documents
         ),
+        lex(category, tok) AS (
+            VALUES {", ".join(
+                f"('{cat}', '{w}')"
+                for cat, words in sorted(BLOCKLISTS.items())
+                for w in words
+            )}
+        ),
         hits AS (
-            SELECT category, doc_id, COUNT(*) AS n_hits
-            FROM (
-                {" UNION ALL ".join(
-                    f'''SELECT '{cat}' AS category, doc_id
-                        FROM toks WHERE tok IN ({", ".join(
-                            f"'{w}'" for w in words)})'''
-                    for cat, words in sorted(BLOCKLISTS.items())
-                )}
-            ) h
-            GROUP BY category, doc_id
+            SELECT l.category, t.doc_id, COUNT(*) AS n_hits
+            FROM toks t JOIN lex l ON l.tok = t.tok
+            GROUP BY l.category, t.doc_id
         ),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        per_cat AS (
-            SELECT category,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs_flagged,
-                   CAST(SUM(n_hits) AS BIGINT) AS n_token_hits
-            FROM hits GROUP BY category
-        ),
-        combined AS (
-            SELECT 'ANY' AS category,
+        rolled AS (
+            SELECT CASE WHEN GROUPING(category) = 1
+                        THEN 'ANY' ELSE category END AS category,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT)
                        AS n_docs_flagged,
                    CAST(SUM(n_hits) AS BIGINT) AS n_token_hits
             FROM hits
+            GROUP BY ROLLUP (category)
         )
         SELECT category, n_docs_flagged, n_token_hits,
                CASE WHEN n.n_docs > 0
                     THEN ROUND(n_docs_flagged
                                / CAST(n.n_docs AS DOUBLE), 6)
                END AS flag_rate
-        FROM (SELECT * FROM per_cat UNION ALL SELECT * FROM combined)
-        CROSS JOIN n
+        FROM rolled CROSS JOIN n
         ORDER BY category
     """,
     doc="Category-blocklist audit of the C4-style badwords gate "
@@ -395,11 +390,13 @@ BLOCKLISTS: dict[str, tuple[str, ...]] = {
     "token hits, and the flag rate; plus the combined ANY row — the "
     "keep-rate a pipeline owner reviews before enforcing the drop. "
     "Completes the cleaning family's safety side next to PII "
-    "scrubbing (#46) and repetition (#47). Plan: one explode feeds "
-    "every category via a unioned IN-list filter (the blocklists are "
-    "plan literals — no join, no broadcast table); the per-doc "
-    "rollup bounds the DISTINCT in the combined row by flagged docs "
-    "only. All counts exact int64; the one float is the final rate.",
+    "scrubbing (#46) and repetition (#47). Plan: ONE explode of one "
+    "document scan, broadcast-joined to the tiny (category, word) "
+    "lexicon — handles overlapping category lists and never rescans "
+    "the corpus per category (a per-category union would plan one "
+    "full scan each); the per-doc rollup bounds the DISTINCT in the "
+    "combined row by flagged docs only. All counts exact int64; the "
+    "one float is the final rate.",
     tags=("cleaning", "llm"),
 )
 def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,28 +404,41 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
     )
-    flagged = None
-    for cat, words in sorted(BLOCKLISTS.items()):
-        part = toks.where(F.col("tok").isin(*words)).select(
-            F.lit(cat).alias("category"), "doc_id"
-        )
-        flagged = part if flagged is None else flagged.unionAll(part)
-    hits = flagged.groupBy("category", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    lex = spark.createDataFrame(
+        [
+            (cat, w)
+            for cat, words in sorted(BLOCKLISTS.items())
+            for w in words
+        ],
+        "category string, tok string",
+    )
+    hits = (
+        toks.join(F.broadcast(lex), "tok")
+        .groupBy("category", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    per_cat = hits.groupBy("category").agg(
-        F.count(F.lit(1)).alias("n_docs_flagged"),
-        F.sum("n_hits").alias("n_token_hits"),
+    # per-category rows AND the cross-category ANY row from ONE pass:
+    # (category, doc_id) is unique, so per-cat COUNT(DISTINCT doc_id)
+    # equals the row count, while the rollup total deduplicates docs
+    # flagged by several categories.
+    rolled = (
+        hits.rollup("category")
+        .agg(
+            F.grouping("category").alias("g"),
+            F.count_distinct("doc_id").alias("n_docs_flagged"),
+            F.sum("n_hits").alias("n_token_hits"),
+        )
+        .select(
+            F.when(F.col("g") == 1, F.lit("ANY"))
+            .otherwise(F.col("category"))
+            .alias("category"),
+            "n_docs_flagged",
+            "n_token_hits",
+        )
     )
-    combined = hits.agg(
-        F.lit("ANY").alias("category"),
-        F.count_distinct("doc_id").alias("n_docs_flagged"),
-        F.sum("n_hits").alias("n_token_hits"),
-    ).select("category", "n_docs_flagged", "n_token_hits")
     return (
-        per_cat.unionAll(combined)
-        .crossJoin(F.broadcast(n))
+        rolled.crossJoin(F.broadcast(n))
         .select(
             "category",
             "n_docs_flagged",

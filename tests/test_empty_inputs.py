@@ -38,7 +38,6 @@ _NONEMPTY_ON_EMPTY = {
     "embedding_truncation_eval": 2,  # one scalar summary row per width
     "bloom_membership_report": 1,  # scalar aggregate: one all-zero row
     "quality_classifier_lr": 10,  # fixed 10-row score-decile report
-    "blocklist_filter_report": 1,  # the combined ANY row is scalar
 }
 
 

@@ -33,6 +33,20 @@ _SHUFFLE_BUDGET = {
     "point_in_time_state_join": 5,
     "substring_dup_rate": 5,
     "dsir_importance_weights": 6,
+    # waves 7-8 (audited round 6). Unbounded-data exchanges are 1-2
+    # per plan (the first rollup / explode agg); the rest ride grids
+    # bounded by the retention window, vocabulary, or probe cap.
+    "user_activity_streaks": 3,
+    "hourly_stl_decomposition": 4,
+    "nb_lang_classifier": 16,
+    "ann_ndcg_eval": 3,
+    "ngram_diversity_report": 3,
+    "doremi_domain_weights": 6,
+    "hourly_theil_sen_trend": 7,
+    "forecast_backtest_mase": 9,
+    "knn_shapley_data_values": 2,
+    "blocklist_filter_report": 5,
+    "hourly_burstiness": 4,
 }
 
 _EXCHANGE_RE = re.compile(
