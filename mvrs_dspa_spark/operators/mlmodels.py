@@ -626,8 +626,17 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_toks = train.select(
         "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
     )
-    cnt = train_toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    vocab = train_toks.agg(F.count_distinct("tok").alias("v"))
+    # the count model feeds BOTH the per-lang totals/priors and the
+    # scoring join; a lazy localCheckpoint materializes the one
+    # train-token scan instead of re-running the explode+aggregate
+    # per consumer (dedup_method_eval precedent). Size is bounded by
+    # vocabulary x languages, not corpus volume.
+    cnt = (
+        train_toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = cnt.agg(F.count_distinct("tok").alias("v"))
     stats = (
         cnt.groupBy("lang")
         .agg(F.sum("c").alias("tot"))

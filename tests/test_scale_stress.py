@@ -133,6 +133,10 @@ def test_10x_documents_scale_linear_no_spill(spark, tmp_path):
         "dedup_minhash_lsh",
         "dsir_importance_weights",
         "substring_dup_rate",
+        # waves 7-8: vocabulary-join NB scoring and the n-gram
+        # list-transform explode — both token-volume-bound
+        "nb_lang_classifier",
+        "ngram_diversity_report",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
