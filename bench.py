@@ -147,6 +147,7 @@ EXTRA_QUERIES = [
     "knn_shapley_data_values",
     "blocklist_filter_report",
     "hourly_burstiness",
+    "ncm_classifier_eval",
 ]
 
 

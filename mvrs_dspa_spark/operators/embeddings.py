@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.registry import register
@@ -364,4 +364,170 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_pq.mse"), 6).alias("recon_mse"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --- nearest-class-mean classifier evaluation ---------------------------------
+#
+# Prototype classifier (Mensink et al. 2013): one centroid per label
+# from the NON-probe vectors, probes classified by the nearest
+# centroid via argmin of |c|^2 - 2 x.c (the |x|^2 term is
+# rank-invariant and dropped). Completes the labeled-embedding
+# evaluation suite: kNN classification (#99), NDCG ranking (#146),
+# Shapley valuation (#152), and now the parametric prototype baseline
+# the neighborhood methods are judged against.
+
+from mvrs_dspa_spark.operators.ann import (  # noqa: E402
+    MAX_QUERIES as _NCM_MAXQ,
+)
+from mvrs_dspa_spark.operators.ann import (  # noqa: E402
+    QUERY_MOD as _NCM_MOD,
+)
+from mvrs_dspa_spark.operators.ann import _dot_sql, dot_col  # noqa: E402
+
+
+@register(
+    "ncm_classifier_eval",
+    oracle=f"""
+        WITH train AS (
+            SELECT * FROM embeddings
+            WHERE NOT (vec_id % {_NCM_MOD} = 0
+                       AND vec_id < {_NCM_MOD * _NCM_MAXQ})
+        ),
+        maxd AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+        dims AS (
+            SELECT t.label, g.i AS dim,
+                   CAST(ROUND(1e6 * t.embedding[g.i]::DOUBLE) AS BIGINT)
+                       AS code
+            FROM train t
+            CROSS JOIN (SELECT unnest(generate_series(1,
+                            (SELECT d FROM maxd))) AS i) g
+            WHERE g.i <= len(t.embedding)
+        ),
+        nl AS (SELECT label, COUNT(*) AS n FROM train GROUP BY label),
+        cent AS (
+            SELECT label, dim, SUM(code) AS scode
+            FROM dims GROUP BY label, dim
+        ),
+        carr AS (
+            SELECT c.label,
+                   list(c.scode / (1e6 * nl.n) ORDER BY c.dim) AS cvec
+            FROM cent c JOIN nl ON nl.label = c.label
+            GROUP BY c.label
+        ),
+        cents AS (
+            SELECT label AS c_label, cvec,
+                   {_dot_sql('cvec', 'cvec')} AS c2
+            FROM carr
+        ),
+        q AS (SELECT vec_id, label, embedding FROM embeddings
+              WHERE vec_id % {_NCM_MOD} = 0
+                AND vec_id < {_NCM_MOD * _NCM_MAXQ}),
+        scored AS (
+            SELECT q.vec_id, q.label AS true_label, c.c_label,
+                   ROUND(c.c2 - 2 * ({_dot_sql('q.embedding', 'c.cvec')}),
+                         6) AS score
+            FROM q CROSS JOIN cents c
+        ),
+        pred AS (
+            SELECT vec_id, true_label, c_label AS pred_label
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY score, c_label) AS rn
+                FROM scored
+            )
+            WHERE rn = 1
+        )
+        SELECT CAST(true_label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(count_if(pred_label = true_label) AS BIGINT)
+                   AS n_correct,
+               ROUND(count_if(pred_label = true_label)
+                     / COUNT(*)::DOUBLE, 6) AS accuracy
+        FROM pred
+        GROUP BY true_label
+        ORDER BY label
+    """,
+    doc="Nearest-class-mean classifier evaluation (Mensink et al. "
+    "2013): per-label centroids fit on the NON-probe vectors (clean "
+    "train/serve split — no leakage), probes assigned to the nearest "
+    "centroid by the rank-equivalent |c|^2 - 2 x.c score, per-class "
+    "accuracy. The parametric prototype baseline against the "
+    "neighborhood methods on the same probe set (kNN #99, NDCG "
+    "#146, Shapley #152) — NCM needs L centroids, not the corpus, "
+    "at serving time. Determinism: per-dim centroid sums are exact "
+    "1e-6 int codes (float summation order cannot move them), the "
+    "centroid value is one division, dot products are the house "
+    "left-to-right fold, and ranking uses the 6-rounded score with "
+    "label tiebreak. Plan: the 64x explode feeds ONE map-side-"
+    "combined (label, dim) aggregation — at 100 TB this is a scan "
+    "plus a 640-cell rollup; scoring is a broadcast of L centroid "
+    "rows against the bounded probe set.",
+    tags=("ann", "validation", "llm"),
+)
+def ncm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    is_probe = (F.col("vec_id") % _NCM_MOD == 0) & (
+        F.col("vec_id") < _NCM_MOD * _NCM_MAXQ
+    )
+    train = emb.where(~is_probe)
+    dims = train.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.lit(1e6) * F.col("val").cast("double"))
+        .cast("long")
+        .alias("code"),
+    )
+    nl = train.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cent = dims.groupBy("label", "dim").agg(F.sum("code").alias("scode"))
+    carr = (
+        cent.join(nl, "label")
+        .select(
+            "label",
+            F.struct("dim", (F.col("scode") / (F.lit(1e6) * F.col("n"))).alias("cval")).alias("dv"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dv")), lambda s: s.cval
+            ).alias("cvec")
+        )
+    )
+    cents = carr.select(
+        F.col("label").alias("c_label"),
+        "cvec",
+        dot_col(F.col("cvec"), F.col("cvec")).alias("c2"),
+    )
+    q = emb.where(is_probe).select("vec_id", "label", "embedding")
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "c_label",
+        F.round(
+            F.col("c2")
+            - 2 * dot_col(F.col("embedding"), F.col("cvec")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "c_label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    correct = F.count_if(F.col("pred_label") == F.col("true_label"))
+    return (
+        pred.groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            correct.alias("n_correct"),
+            F.round(correct / F.count(F.lit(1)).cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
     )

@@ -47,6 +47,7 @@ _SHUFFLE_BUDGET = {
     "knn_shapley_data_values": 2,
     "blocklist_filter_report": 5,
     "hourly_burstiness": 4,
+    "ncm_classifier_eval": 5,
 }
 
 _EXCHANGE_RE = re.compile(

@@ -194,3 +194,39 @@ def test_burstiness_poisson_reference(spark, sf_medium):
         assert r["cv_squared"] == pytest.approx(
             r["dispersion"] / r["mean_rate"], abs=1e-4
         )
+
+
+def test_ncm_perfect_on_separated_clusters(spark, tmp_path):
+    """Three well-separated clusters: NCM must classify every probe
+    correctly. (On the main synthetic embeddings the labels carry
+    ~no geometric signal, so accuracy there sits at chance — this
+    pins that the operator itself is sound.)"""
+    import numpy as np
+
+    rng_off = lambda i, d: ((i * 2654435761 + d * 97) % 1000) / 5000.0  # noqa: E731
+    rows = []
+    for vid in range(180):
+        lab = vid % 3
+        vec = [0.0] * 8
+        vec[lab] = 10.0
+        vec = [v + rng_off(vid, d) for d, v in enumerate(vec)]
+        rows.append((vid, [float(x) for x in vec], lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "ncm_sf")
+    df.write.parquet(f"{sf}/embeddings.parquet")
+    out = _q("ncm_classifier_eval")(spark, sf).collect()
+    # probes: vec_id 0, 50, 100, 150 -> labels 0, 2, 1, 0
+    assert sum(r["n_probes"] for r in out) == 4
+    for r in out:
+        assert r["accuracy"] == 1.0, r
+    assert np is not None
+
+
+def test_ncm_probe_partition_conserved(spark, sf_medium):
+    out = _q("ncm_classifier_eval")(spark, sf_medium).collect()
+    assert sum(r["n_probes"] for r in out) == 10  # sf0.01 probe count
+    for r in out:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert 0 <= r["n_correct"] <= r["n_probes"]
