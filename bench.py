@@ -150,6 +150,12 @@ EXTRA_QUERIES = [
     "ncm_classifier_eval",
 ]
 
+# Multi-iteration model fits amortize codegen across their own
+# iterations and persist/checkpoint intermediate state, so a warmup +
+# min-of-3 protocol quadruples minutes-long wall-clock for no extra
+# signal: these are timed as ONE cold execution.
+ONESHOT_QUERIES = {"als_implicit_recs"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,10 +175,11 @@ def main() -> None:
             # from the previous query's shuffles lands as GC pauses inside
             # the next query's timed run (measured 2x swings)
             spark._jvm.System.gc()
-            if not cold:
+            oneshot = cold or name in ONESHOT_QUERIES
+            if not oneshot:
                 q[name](spark, sf_dir).count()  # untimed: codegen compile
             best = float("inf")
-            for _ in range(1 if cold else 3):
+            for _ in range(1 if oneshot else 3):
                 t0 = time.perf_counter()
                 q[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
