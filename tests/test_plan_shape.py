@@ -71,6 +71,15 @@ _SCALAR_BNLJ_OK = {
     "knn_confidence_calibration",  # broadcast probe set (same bound as topk)
     "basket_lift_pairs",  # 1-row basket-total scalar broadcast
     "bloom_membership_report",  # seven 1-row count scalars cross-joined
+    # waves 7-9:
+    "nb_lang_classifier",  # bounded |langs| candidate broadcast fan-out
+    "ann_ndcg_eval",  # broadcast probe set (same bound as topk)
+    "knn_shapley_data_values",  # broadcast probe set (same bound as topk)
+    "ncm_classifier_eval",  # bounded |labels| centroid broadcast fan-out
+    "doremi_domain_weights",  # 1-row token-total scalar broadcast
+    "forecast_backtest_mase",  # 1-row hour-bounds scalar broadcast
+    "hourly_burstiness",  # 1-row hour-bounds scalar broadcast
+    "blocklist_filter_report",  # 1-row n_docs scalar broadcast
 }
 
 
