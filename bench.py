@@ -148,6 +148,9 @@ EXTRA_QUERIES = [
     "blocklist_filter_report",
     "hourly_burstiness",
     "ncm_classifier_eval",
+    "heaps_law_fit",
+    "zipf_slope_fit",
+    "vocab_good_turing",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -1074,3 +1074,286 @@ def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "n")
     )
+
+
+# --- corpus statistical-law diagnostics (#155-157) ----------------------------
+#
+# Heaps' law vocabulary growth, the Zipf rank-frequency slope, and
+# Good-Turing unseen mass: the three classical corpus diagnostics an
+# LLM-data owner reads before trusting token counts, dedup rates, or
+# tokenizer budgets. Log-log OLS fits carry 1e-6 int-coded logs into
+# exact integer sums (the 1e12 code scale cancels inside the slope
+# ratio), so both engines fit bit-identical lines.
+
+_HEAPS_POINTS = 10
+
+
+def _ols_sums_sql(x: str, y: str) -> dict[str, str]:
+    return {
+        "n": "COUNT(*) OVER ()",
+        "sx": f"SUM({x}) OVER ()",
+        "sy": f"SUM({y}) OVER ()",
+        "sxx": f"SUM({x} * {x}) OVER ()",
+        "sxy": f"SUM({x} * {y}) OVER ()",
+    }
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({T.tokens_sql('lower(text)')}) AS tok
+            FROM documents
+        ),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks
+                   GROUP BY tok),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        cps AS (
+            SELECT i AS checkpoint,
+                   (i * (SELECT n_docs FROM nd)) // {_HEAPS_POINTS} AS thr
+            FROM (SELECT unnest(generate_series(1, {_HEAPS_POINTS})) AS i)
+        ),
+        pts AS (
+            SELECT c.checkpoint,
+                   (SELECT CAST(COALESCE(SUM(p.n), 0) AS BIGINT)
+                    FROM per_doc p WHERE p.doc_id < c.thr) AS n_tokens,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM firsts f WHERE f.first_doc < c.thr) AS vocab
+            FROM cps c
+        ),
+        coded AS (
+            SELECT checkpoint, n_tokens, vocab,
+                   CAST(ROUND(LN(n_tokens) * 1e6) AS BIGINT) AS xc,
+                   CAST(ROUND(LN(vocab) * 1e6) AS BIGINT) AS yc
+            FROM pts WHERE n_tokens > 0 AND vocab > 0
+        ),
+        fit AS (
+            SELECT checkpoint, n_tokens, vocab,
+                   {_ols_sums_sql('xc', 'yc')['n']} AS n,
+                   {_ols_sums_sql('xc', 'yc')['sx']} AS sx,
+                   {_ols_sums_sql('xc', 'yc')['sy']} AS sy,
+                   {_ols_sums_sql('xc', 'yc')['sxx']} AS sxx,
+                   {_ols_sums_sql('xc', 'yc')['sxy']} AS sxy
+            FROM coded
+        )
+        SELECT checkpoint, n_tokens, vocab,
+               ROUND((1.0 * n * sxy - 1.0 * sx * sy)
+                     / (1.0 * n * sxx - 1.0 * sx * sx), 6) AS beta,
+               ROUND(EXP((sy - (1.0 * n * sxy - 1.0 * sx * sy)
+                               / (1.0 * n * sxx - 1.0 * sx * sx) * sx)
+                         / (n * 1e6)), 6) AS k
+        FROM fit
+        ORDER BY checkpoint
+    """,
+    doc="Heaps'-law fit V(N) = K * N^beta of vocabulary growth "
+    "(Heaps 1978): vocabulary and token counts at 10 ingestion-order "
+    "checkpoints from ONE pass (each token's first-occurrence doc is "
+    "a MIN aggregate — no per-checkpoint rescan), then a log-log OLS "
+    "for (K, beta). English text sits near beta ~ 0.5; beta drifting "
+    "up flags vocabulary churn (noise/boilerplate), down flags "
+    "template collapse — the growth-curve companion to the static "
+    "Zipf coverage curve (#68). Determinism: checkpoint counts are "
+    "exact int64; logs are coded to 1e-6 ints before the OLS sums "
+    "(the code scale cancels in the slope ratio); slope/intercept "
+    "are single expressions on identical integer sums, rounded to "
+    "6. Plan: one explode feeds both the first-occurrence MIN and "
+    "the per-doc counts; checkpoints are a 10-row broadcast "
+    "range-join fan-out; the OLS is a window over 10 rows.",
+    tags=("text", "llm"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cps = (
+        F.broadcast(nd)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_HEAPS_POINTS))
+            ).alias("checkpoint"),
+            "n_docs",
+        )
+        .select(
+            "checkpoint",
+            F.expr(f"checkpoint * n_docs div {_HEAPS_POINTS}").alias("thr"),
+        )
+    )
+    n_at = (
+        per_doc.join(F.broadcast(cps), per_doc["doc_id"] < cps["thr"])
+        .groupBy("checkpoint")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    v_at = (
+        firsts.join(F.broadcast(cps), firsts["first_doc"] < cps["thr"])
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    coded = (
+        n_at.join(v_at, "checkpoint")
+        .where((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            "checkpoint",
+            "n_tokens",
+            "vocab",
+            F.round(F.log(F.col("n_tokens")) * 1e6).cast("long").alias("xc"),
+            F.round(F.log(F.col("vocab")) * 1e6).cast("long").alias("yc"),
+        )
+    )
+    w = Window.partitionBy()
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("xc").over(w)
+    sy = F.sum("yc").over(w)
+    sxx = F.sum(F.col("xc") * F.col("xc")).over(w)
+    sxy = F.sum(F.col("xc") * F.col("yc")).over(w)
+    slope = (1.0 * n * sxy - 1.0 * sx * sy) / (
+        1.0 * n * sxx - 1.0 * sx * sx
+    )
+    k = F.exp((sy - slope * sx) / (n * F.lit(1e6)))
+    return (
+        coded.select(
+            "checkpoint",
+            "n_tokens",
+            "vocab",
+            F.round(slope, 6).alias("beta"),
+            F.round(k, 6).alias("k"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+_ZIPF_RANKS = 100
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({T.tokens_sql('lower(text)')}) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_w
+                 FROM toks GROUP BY tok),
+        ranked AS (
+            SELECT tok, n_w,
+                   ROW_NUMBER() OVER (ORDER BY n_w DESC, tok) AS rank
+            FROM freq
+        ),
+        coded AS (
+            SELECT rank, n_w,
+                   CAST(ROUND(LN(rank) * 1e6) AS BIGINT) AS xc,
+                   CAST(ROUND(LN(n_w) * 1e6) AS BIGINT) AS yc
+            FROM ranked WHERE rank <= {_ZIPF_RANKS}
+        )
+        SELECT rank, n_w AS freq,
+               ROUND((1.0 * COUNT(*) OVER () * SUM(xc * yc) OVER ()
+                      - 1.0 * SUM(xc) OVER () * SUM(yc) OVER ())
+                     / (1.0 * COUNT(*) OVER () * SUM(xc * xc) OVER ()
+                        - 1.0 * SUM(xc) OVER () * SUM(xc) OVER ()), 6)
+                   AS zipf_slope
+        FROM coded
+        ORDER BY rank
+    """,
+    doc=f"Zipf rank-frequency slope (Zipf 1949): log-log OLS over the "
+    f"top-{_ZIPF_RANKS} vocabulary ranks — natural text sits near "
+    "slope -1; a flat slope flags synthetic/uniform vocabularies, a "
+    "steep one flags boilerplate domination. The parametric summary "
+    "of the cumulative coverage curve (#68) and the frequency-side "
+    "companion of the Heaps fit (#155). Same integer-coded OLS "
+    "determinism: rank selection orders by (count desc, token), logs "
+    "code to 1e-6 ints, the slope is one expression on exact sums. "
+    "Plan: one explode -> vocabulary aggregate -> distributed "
+    "top-100 (TakeOrderedAndProject; the full vocabulary never "
+    "passes a single-partition sort) -> 100-row analytic fit.",
+    tags=("text", "llm"),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
+    # distributed top-K (TakeOrderedAndProject) instead of a global
+    # row_number window: the full vocabulary never passes through a
+    # single-partition sort; only the 100 survivors get ranked
+    top = freq.orderBy(F.desc("n_w"), F.asc("tok")).limit(_ZIPF_RANKS)
+    w_rank = Window.orderBy(F.desc("n_w"), F.asc("tok"))
+    coded = (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "rank",
+            F.col("n_w"),
+            F.round(F.log(F.col("rank")) * 1e6).cast("long").alias("xc"),
+            F.round(F.log(F.col("n_w")) * 1e6).cast("long").alias("yc"),
+        )
+    )
+    w = Window.partitionBy()
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("xc").over(w)
+    sy = F.sum("yc").over(w)
+    sxx = F.sum(F.col("xc") * F.col("xc")).over(w)
+    sxy = F.sum(F.col("xc") * F.col("yc")).over(w)
+    slope = (1.0 * n * sxy - 1.0 * sx * sy) / (
+        1.0 * n * sxx - 1.0 * sx * sx
+    )
+    return coded.select(
+        "rank",
+        F.col("n_w").alias("freq"),
+        F.round(slope, 6).alias("zipf_slope"),
+    ).orderBy("rank")
+
+
+@register(
+    "vocab_good_turing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({T.tokens_sql('lower(text)')}) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS n_w FROM toks GROUP BY tok)
+        SELECT CAST(COALESCE(SUM(n_w), 0) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(count_if(n_w = 1) AS BIGINT) AS hapax,
+               CAST(count_if(n_w = 2) AS BIGINT) AS dis,
+               CASE WHEN SUM(n_w) > 0 THEN
+                   ROUND(COUNT(*) / CAST(SUM(n_w) AS DOUBLE), 6)
+               END AS type_token_ratio,
+               CASE WHEN SUM(n_w) > 0 THEN
+                   ROUND(count_if(n_w = 1)
+                         / CAST(SUM(n_w) AS DOUBLE), 6)
+               END AS gt_unseen_mass
+        FROM freq
+    """,
+    doc="Good-Turing vocabulary statistics (Good 1953): token/type "
+    "counts, hapax and dis legomena, type-token ratio, and the "
+    "Good-Turing unseen-probability mass N1/N — the closed-corpus "
+    "estimate of how much vocabulary the NEXT shard will introduce, "
+    "which calibrates tokenizer budgets (#92) and OOV handling. One "
+    "vocabulary aggregate, one scalar rollup; all counts exact "
+    "int64, each ratio one guarded division.",
+    tags=("text", "llm"),
+)
+def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = F.sum("n_w")
+    hapax = F.count_if(F.col("n_w") == 1)
+    return freq.agg(
+        F.coalesce(tot, F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        hapax.alias("hapax"),
+        F.count_if(F.col("n_w") == 2).alias("dis"),
+        F.when(
+            tot > 0, F.round(F.count(F.lit(1)) / tot.cast("double"), 6)
+        ).alias("type_token_ratio"),
+        F.when(tot > 0, F.round(hapax / tot.cast("double"), 6)).alias(
+            "gt_unseen_mass"
+        ),
+    )

@@ -38,6 +38,7 @@ _NONEMPTY_ON_EMPTY = {
     "embedding_truncation_eval": 2,  # one scalar summary row per width
     "bloom_membership_report": 1,  # scalar aggregate: one all-zero row
     "quality_classifier_lr": 10,  # fixed 10-row score-decile report
+    "vocab_good_turing": 1,  # scalar aggregate: one all-zero/NULL row
 }
 
 

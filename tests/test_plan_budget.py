@@ -48,6 +48,9 @@ _SHUFFLE_BUDGET = {
     "blocklist_filter_report": 5,
     "hourly_burstiness": 4,
     "ncm_classifier_eval": 5,
+    "heaps_law_fit": 7,
+    "zipf_slope_fit": 2,
+    "vocab_good_turing": 2,
 }
 
 _EXCHANGE_RE = re.compile(

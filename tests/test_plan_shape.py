@@ -80,6 +80,7 @@ _SCALAR_BNLJ_OK = {
     "forecast_backtest_mase",  # 1-row hour-bounds scalar broadcast
     "hourly_burstiness",  # 1-row hour-bounds scalar broadcast
     "blocklist_filter_report",  # 1-row n_docs scalar broadcast
+    "heaps_law_fit",  # 10-row checkpoint broadcast range fan-out
 }
 
 

@@ -230,3 +230,57 @@ def test_ncm_probe_partition_conserved(spark, sf_medium):
     for r in out:
         assert 0.0 <= r["accuracy"] <= 1.0
         assert 0 <= r["n_correct"] <= r["n_probes"]
+
+
+def test_vocab_good_turing_identities(spark, sf_medium):
+    r = _q("vocab_good_turing")(spark, sf_medium).collect()[0]
+    assert r["hapax"] <= r["vocab"] <= r["n_tokens"]
+    assert r["type_token_ratio"] == pytest.approx(
+        r["vocab"] / r["n_tokens"], abs=1e-6
+    )
+    assert r["gt_unseen_mass"] == pytest.approx(
+        r["hapax"] / r["n_tokens"], abs=1e-6
+    )
+
+
+def test_heaps_fit_on_growing_vocabulary(spark, tmp_path):
+    """Docs drawing from a 2000-word hash vocabulary: the vocabulary
+    keeps growing across checkpoints and the fitted growth exponent
+    lands strictly inside (0, 1)."""
+    from pyspark.sql import functions as F
+
+    vocab = 2000
+    words = 30
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(vocab)).cast("string"),
+    )
+    text = F.concat_ws(" ", *[word(i) for i in range(words)])
+    df = spark.range(0, 2000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("syn").alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+    sf = str(tmp_path / "heaps_sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    rows = _q("heaps_law_fit")(spark, sf).collect()
+    assert len(rows) == 10
+    vocabs = [r["vocab"] for r in rows]
+    assert vocabs == sorted(vocabs) and vocabs[0] < vocabs[-1]
+    beta = rows[0]["beta"]
+    assert 0.0 < beta < 1.0
+    # the fitted curve reproduces the observed endpoints reasonably
+    k = rows[0]["k"]
+    pred = k * rows[-1]["n_tokens"] ** beta
+    assert abs(pred - rows[-1]["vocab"]) / rows[-1]["vocab"] < 0.5
+
+
+def test_zipf_slope_is_negative_on_skewed_freqs(spark, sf_medium):
+    rows = _q("zipf_slope_fit")(spark, sf_medium).collect()
+    assert 0 < len(rows) <= 100
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(r["zipf_slope"] == rows[0]["zipf_slope"] for r in rows)
+    assert rows[0]["zipf_slope"] <= 0.0
