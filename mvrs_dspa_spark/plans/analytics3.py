@@ -234,9 +234,12 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Median-of-pairwise-slopes estimator (Theil 1950, Sen 1968): 29.3%
 # breakdown point where OLS (10ai) breaks on one bad hour. The pair
-# set is quadratic in the series length, which is SAFE here by
-# construction: the hourly series is bounded by the retention window
-# (not by data volume), and pairs stay per-type parallel.
+# set is quadratic in the series length, so the series is capped at
+# TS_MAX_POINTS by adaptive hour-bucketing (width = ceil(span/720)):
+# the 10x stress probe caught the unbounded form going quadratic on a
+# span that grows with data volume.
+
+TS_MAX_POINTS = 720
 
 
 @register(
@@ -248,17 +251,30 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n
             FROM events GROUP BY 1, 2
         ),
+        bnds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly),
+        wd AS (
+            SELECT (h1 - h0 + {TS_MAX_POINTS}) // {TS_MAX_POINTS} AS w
+            FROM bnds
+        ),
         rel AS (
-            SELECT event_type,
-                   hr - MIN(hr) OVER (PARTITION BY event_type) AS hr_rel,
-                   n
-            FROM hourly
+            SELECT h.event_type,
+                   ((h.hr - MIN(h.hr) OVER (PARTITION BY h.event_type))
+                        // w.w) * w.w AS hr_rel,
+                   h.n, w.w
+            FROM hourly h CROSS JOIN wd w
+        ),
+        pts AS (
+            SELECT event_type, hr_rel,
+                   CAST(SUM(n) AS BIGINT) AS n,
+                   ANY_VALUE(w) AS w
+            FROM rel GROUP BY event_type, hr_rel
         ),
         slopes AS (
             SELECT a.event_type,
-                   (b.n - a.n) / CAST(b.hr_rel - a.hr_rel AS DOUBLE)
+                   (b.n - a.n)
+                       / CAST(a.w * (b.hr_rel - a.hr_rel) AS DOUBLE)
                        AS slope
-            FROM rel a JOIN rel b
+            FROM pts a JOIN pts b
               ON a.event_type = b.event_type AND a.hr_rel < b.hr_rel
         ),
         ranked AS (
@@ -278,9 +294,10 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         resid AS (
             SELECT r.event_type,
-                   r.n - m.ts_slope * r.hr_rel AS res,
+                   r.n / CAST(r.w AS DOUBLE) - m.ts_slope * r.hr_rel
+                       AS res,
                    m.ts_slope, m.n_pairs
-            FROM rel r JOIN med m USING (event_type)
+            FROM pts r JOIN med m USING (event_type)
         ),
         rranked AS (
             SELECT event_type, res, ts_slope, n_pairs,
@@ -290,7 +307,7 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM resid
         )
         SELECT event_type,
-               CAST(ANY_VALUE(cnt) AS BIGINT) AS n_hours,
+               CAST(ANY_VALUE(cnt) AS BIGINT) AS n_points,
                CAST(ANY_VALUE(n_pairs) AS BIGINT) AS n_pairs,
                ROUND(ANY_VALUE(ts_slope), 6) AS slope_per_hour,
                ROUND(AVG(res), 6) AS intercept
@@ -308,10 +325,13 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "median picks the middle row(s) of a ROW_NUMBER ordering and "
     "averages at most two doubles (commutative — no summation-order "
     "exposure). Scale: the pair set is quadratic in the series "
-    "LENGTH, which the retention window bounds independent of data "
-    "volume (720 hours -> 259k pairs per type), and wholly per-type "
-    "parallel; the event scan itself contributes only the initial "
-    "hourly rollup.",
+    "LENGTH, so the series is adaptively down-sampled — bucket width "
+    "= ceil(span/720), at most 720 points per type regardless of the "
+    "retention span (on a 30-day corpus width is 1 and the series IS "
+    "the hourly one); slopes stay in per-hour units by dividing the "
+    "bucket-total delta by width*hour-delta, and the 10x stress "
+    "probe pins ~flat runtime under a 10x-longer span. Per-type "
+    "parallel; the event scan contributes only the hourly rollup.",
     tags=("analytics", "timeseries"),
 )
 def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,12 +345,25 @@ def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w_type = Window.partitionBy("event_type")
-    rel = hourly.select(
-        "event_type",
-        (F.col("hr") - F.min("hr").over(w_type)).alias("hr_rel"),
-        "n",
+    wd = hourly.agg(
+        F.expr(
+            f"(max(hr) - min(hr) + {TS_MAX_POINTS}) div {TS_MAX_POINTS}"
+        ).alias("w")
     )
-    a, b = rel.alias("a"), rel.alias("b")
+    pts = (
+        hourly.crossJoin(F.broadcast(wd))
+        .select(
+            "event_type",
+            F.expr(
+                "((hr - min(hr) over (partition by event_type)) div w) * w"
+            ).alias("hr_rel"),
+            "n",
+            "w",
+        )
+        .groupBy("event_type", "hr_rel")
+        .agg(F.sum("n").alias("n"), F.any_value("w").alias("w"))
+    )
+    a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
@@ -339,7 +372,9 @@ def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.event_type").alias("event_type"),
         (
             (F.col("b.n") - F.col("a.n"))
-            / (F.col("b.hr_rel") - F.col("a.hr_rel")).cast("double")
+            / (
+                F.col("a.w") * (F.col("b.hr_rel") - F.col("a.hr_rel"))
+            ).cast("double")
         ).alias("slope"),
     )
     w_rank = Window.partitionBy("event_type").orderBy("slope")
@@ -360,9 +395,12 @@ def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("cnt").alias("n_pairs"),
         )
     )
-    resid = rel.join(med, "event_type").select(
+    resid = pts.join(med, "event_type").select(
         "event_type",
-        (F.col("n") - F.col("ts_slope") * F.col("hr_rel")).alias("res"),
+        (
+            F.col("n") / F.col("w").cast("double")
+            - F.col("ts_slope") * F.col("hr_rel")
+        ).alias("res"),
         "ts_slope",
         "n_pairs",
     )
@@ -382,7 +420,7 @@ def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(
-            F.any_value("cnt").cast("long").alias("n_hours"),
+            F.any_value("cnt").cast("long").alias("n_points"),
             F.any_value("n_pairs").cast("long").alias("n_pairs"),
             F.round(F.any_value("ts_slope"), 6).alias("slope_per_hour"),
             F.round(F.avg("res"), 6).alias("intercept"),

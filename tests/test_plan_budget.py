@@ -42,7 +42,10 @@ _SHUFFLE_BUDGET = {
     "ann_ndcg_eval": 3,
     "ngram_diversity_report": 3,
     "doremi_domain_weights": 6,
-    "hourly_theil_sen_trend": 7,
+    # +3 exchanges over the unbucketed form: the width scalar and
+    # the bucket rollup — bought the 720-point series cap (the 10x
+    # stress probe caught the unbounded form going quadratic)
+    "hourly_theil_sen_trend": 10,
     "forecast_backtest_mase": 9,
     "knn_shapley_data_values": 2,
     "blocklist_filter_report": 5,

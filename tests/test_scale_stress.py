@@ -113,6 +113,12 @@ def test_10x_events_scale_linear_no_spill(spark, tmp_path):
         "sliding_activity_stats",
         "salted_event_rollup",
         "point_in_time_state_join",
+        # wave 7: the (user, day) distinct + user-partitioned windows
+        "user_activity_streaks",
+        # wave 8: the pair set is quadratic in the retention-bounded
+        # SERIES length, not event volume — 10x rows should move the
+        # runtime by the hourly-rollup scan cost only (~flat ratio)
+        "hourly_theil_sen_trend",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)

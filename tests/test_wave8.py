@@ -93,7 +93,7 @@ def test_theil_sen_recovers_exact_line(spark, tmp_path):
     out = _q("hourly_theil_sen_trend")(spark, sf).collect()
     assert len(out) == 1
     r = out[0]
-    assert r["n_hours"] == 12
+    assert r["n_points"] == 12
     assert r["n_pairs"] == 12 * 11 // 2
     assert r["slope_per_hour"] == pytest.approx(2.0)
     assert r["intercept"] == pytest.approx(5.0)
