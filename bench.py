@@ -151,6 +151,7 @@ EXTRA_QUERIES = [
     "heaps_law_fit",
     "zipf_slope_fit",
     "vocab_good_turing",
+    "daily_growth_accounting",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -691,3 +691,118 @@ def hourly_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cv_squared"),
     ).orderBy("event_type")
+
+
+# --- daily growth accounting ----------------------------------------------------
+
+
+@register(
+    "daily_growth_accounting",
+    oracle=f"""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // {_DAY_US} AS day
+            FROM events
+        ),
+        maxd AS (SELECT MAX(day) AS max_day FROM days),
+        seq AS (
+            SELECT user_id, day,
+                   LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                       AS prev,
+                   LEAD(day) OVER (PARTITION BY user_id ORDER BY day)
+                       AS next
+            FROM days
+        ),
+        stat AS (
+            SELECT day,
+                   CAST(count_if(prev IS NULL) AS BIGINT) AS n_new,
+                   CAST(count_if(prev = day - 1) AS BIGINT) AS n_retained,
+                   CAST(count_if(prev IS NOT NULL AND prev < day - 1)
+                        AS BIGINT) AS n_resurrected
+            FROM seq GROUP BY day
+        ),
+        churn AS (
+            SELECT s.day + 1 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM seq s CROSS JOIN maxd m
+            WHERE (s.next IS NULL OR s.next > s.day + 1)
+              AND s.day + 1 <= m.max_day
+            GROUP BY s.day + 1
+        )
+        SELECT COALESCE(s.day, c.day) AS day,
+               COALESCE(s.n_new, 0) AS n_new,
+               COALESCE(s.n_retained, 0) AS n_retained,
+               COALESCE(s.n_resurrected, 0) AS n_resurrected,
+               COALESCE(c.n_churned, 0) AS n_churned,
+               CASE WHEN COALESCE(c.n_churned, 0) > 0 THEN
+                   ROUND((COALESCE(s.n_new, 0)
+                          + COALESCE(s.n_resurrected, 0))
+                         / CAST(c.n_churned AS DOUBLE), 6)
+               END AS quick_ratio
+        FROM stat s FULL OUTER JOIN churn c ON s.day = c.day
+        ORDER BY day
+    """,
+    doc="Daily growth accounting (the Social Capital growth framework "
+    "popularized by Chamath Palihapitiya's 'quick ratio'): every "
+    "active (user, day) classified as NEW (first day ever), RETAINED "
+    "(also active the previous day), or RESURRECTED (returning after "
+    "a gap); CHURNED(d) counts users active on d-1 but not d (no "
+    "phantom churn after the observation window's last day). Quick "
+    "ratio = (new + resurrected) / churned — > 1 means the DAU base "
+    "grows. The flow-decomposition companion to the stock views "
+    "(retention cohorts 10ag, DAU/WAU #128, lifecycle #107, streaks "
+    "#143). Pure integer counting from one (user, day) distinct; "
+    "both LAG and LEAD ride the same user-partitioned sort; the two "
+    "bounded day-level rollups meet in a full outer join; the one "
+    "float is the guarded final ratio. At 100 TB: one exchange on "
+    "user_id, then day-grid-bounded everything.",
+    tags=("analytics", "windows"),
+)
+def daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+    ).distinct()
+    maxd = days.agg(F.max("day").alias("max_day"))
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    seq = days.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w_u).alias("prev"),
+        F.lead("day").over(w_u).alias("next"),
+    )
+    stat = seq.groupBy("day").agg(
+        F.count_if(F.col("prev").isNull()).alias("n_new"),
+        F.count_if(F.col("prev") == F.col("day") - 1).alias("n_retained"),
+        F.count_if(
+            F.col("prev").isNotNull() & (F.col("prev") < F.col("day") - 1)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(maxd))
+        .where(
+            (F.col("next").isNull() | (F.col("next") > F.col("day") + 1))
+            & (F.col("day") + 1 <= F.col("max_day"))
+        )
+        .groupBy((F.col("day") + 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    joined = stat.join(churn, "day", "full_outer")
+    n_churned = F.coalesce("n_churned", F.lit(0).cast("long"))
+    gains = F.coalesce("n_new", F.lit(0).cast("long")) + F.coalesce(
+        "n_resurrected", F.lit(0).cast("long")
+    )
+    return joined.select(
+        "day",
+        F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        F.coalesce("n_retained", F.lit(0).cast("long")).alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0).cast("long")).alias(
+            "n_resurrected"
+        ),
+        n_churned.alias("n_churned"),
+        F.when(
+            n_churned > 0,
+            F.round(gains / n_churned.cast("double"), 6),
+        ).alias("quick_ratio"),
+    ).orderBy("day")

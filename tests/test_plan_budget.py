@@ -54,6 +54,9 @@ _SHUFFLE_BUDGET = {
     "heaps_law_fit": 7,
     "zipf_slope_fit": 2,
     "vocab_good_turing": 2,
+    # (user, day) distinct + LAG/LEAD window + two day rollups
+    # meeting in a full-outer join; only the distinct is unbounded
+    "daily_growth_accounting": 8,
 }
 
 _EXCHANGE_RE = re.compile(

@@ -82,6 +82,7 @@ _SCALAR_BNLJ_OK = {
     "blocklist_filter_report",  # 1-row n_docs scalar broadcast
     "heaps_law_fit",  # 10-row checkpoint broadcast range fan-out
     "hourly_theil_sen_trend",  # 1-row bucket-width scalar broadcast
+    "daily_growth_accounting",  # 1-row max-day scalar broadcast
 }
 
 

@@ -284,3 +284,36 @@ def test_zipf_slope_is_negative_on_skewed_freqs(spark, sf_medium):
     assert freqs == sorted(freqs, reverse=True)
     assert all(r["zipf_slope"] == rows[0]["zipf_slope"] for r in rows)
     assert rows[0]["zipf_slope"] <= 0.0
+
+
+def test_growth_accounting_flow_conservation(spark, sf_medium):
+    """DAU(d) = new + retained + resurrected, and the day-over-day
+    identity DAU(d) = DAU(d-1) + new + resurrected - churned must
+    hold exactly — the defining property of growth accounting."""
+    from pyspark.sql import functions as F
+
+    from mvrs_dspa_spark.tables import table
+
+    rows = _q("daily_growth_accounting")(spark, sf_medium).collect()
+    assert rows
+    dau = {
+        r["day"]: r["n_active"]
+        for r in (
+            table(spark, sf_medium, "events")
+            .select(
+                F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                "user_id",
+            )
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .collect()
+        )
+    }
+    for r in rows:
+        active = dau.get(r["day"], 0)
+        assert active == r["n_new"] + r["n_retained"] + r["n_resurrected"], r
+        prev_active = dau.get(r["day"] - 1, 0)
+        assert active == (
+            prev_active + r["n_new"] + r["n_resurrected"] - r["n_churned"]
+        ), r
