@@ -152,6 +152,7 @@ EXTRA_QUERIES = [
     "zipf_slope_fit",
     "vocab_good_turing",
     "daily_growth_accounting",
+    "parts_abc_classification",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -806,3 +806,95 @@ def daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(gains / n_churned.cast("double"), 6),
         ).alias("quick_ratio"),
     ).orderBy("day")
+
+
+# --- ABC (Pareto) inventory classification --------------------------------------
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                              * 100) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, cents,
+                   SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                   SUM(cents) OVER () AS tot
+            FROM rev
+        ),
+        classed AS (
+            SELECT CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+                        WHEN cum * 100 <= 95 * tot THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   cents, tot
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(SUM(cents) / 100.0, 2) AS revenue,
+               ROUND(SUM(cents) / CAST(ANY_VALUE(tot) AS DOUBLE), 6)
+                   AS revenue_share
+        FROM classed
+        GROUP BY abc_class
+        ORDER BY abc_class
+    """,
+    doc="ABC (Pareto) inventory classification of parts by discounted "
+    "revenue — the 80/15/5 cut: class A holds the parts covering the "
+    "first 80% of cumulative revenue, B to 95%, C the tail; the "
+    "classic warehouse prioritization next to the concentration "
+    "views (q11 value concentration, activity Gini 10ar). "
+    "Determinism: per-part revenue is rounded to exact cent codes "
+    "BEFORE the cumulative window (int64 running sum over the "
+    "deterministic (cents desc, partkey) order — no float cumsum), "
+    "class boundaries compare cross-multiplied integers, and the "
+    "two output floats are single divisions. Scale: the global "
+    "ordered window runs over the PART DIMENSION (already one row "
+    "per part after the map-side-combined rollup) — dimension-"
+    "bounded, the house equi-depth/NTILE posture (10aj) — while the "
+    "lineitem fact contributes only the first aggregation.",
+    tags=("relational", "analytics"),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= 80 * F.col("tot"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(abc.alias("abc_class"), "cents", "tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("cents") / F.any_value("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

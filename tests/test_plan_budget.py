@@ -57,6 +57,8 @@ _SHUFFLE_BUDGET = {
     # (user, day) distinct + LAG/LEAD window + two day rollups
     # meeting in a full-outer join; only the distinct is unbounded
     "daily_growth_accounting": 8,
+    # part-dimension rollup + the dimension-bounded global cum window
+    "parts_abc_classification": 5,
 }
 
 _EXCHANGE_RE = re.compile(

@@ -317,3 +317,15 @@ def test_growth_accounting_flow_conservation(spark, sf_medium):
         assert active == (
             prev_active + r["n_new"] + r["n_resurrected"] - r["n_churned"]
         ), r
+
+
+def test_abc_classification_pareto_structure(spark, sf_medium):
+    rows = {r["abc_class"]: r
+            for r in _q("parts_abc_classification")(spark, sf_medium).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    # A covers ~80% of revenue with the fewest-revenue-per-part tail in C
+    assert 0.75 <= rows["A"]["revenue_share"] <= 0.81
+    assert rows["A"]["revenue"] / rows["A"]["n_parts"] > (
+        rows["C"]["revenue"] / rows["C"]["n_parts"]
+    )
