@@ -153,6 +153,7 @@ EXTRA_QUERIES = [
     "vocab_good_turing",
     "daily_growth_accounting",
     "parts_abc_classification",
+    "ab_test_cuped",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

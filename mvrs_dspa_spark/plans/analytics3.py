@@ -898,3 +898,173 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --- CUPED variance-reduced A/B analysis ----------------------------------------
+
+_CUPED_A = 2_654_435_761 % 2_147_483_647  # Knuth multiplicative (as ab_test)
+
+
+@register(
+    "ab_test_cuped",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   (({_CUPED_A}::BIGINT * (user_id % 2147483647))
+                        % 2147483647) % 2 AS arm,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) * 2 < b.t0 + b.t1
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END), 0) AS BIGINT) AS x,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) * 2 >= b.t0 + b.t1
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END), 0) AS BIGINT) AS y
+            FROM events CROSS JOIN bounds b
+            GROUP BY user_id, arm
+        ),
+        arms AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                   SUM(y * y) AS syy
+            FROM per_user GROUP BY arm
+        ),
+        g AS (
+            SELECT arm, n, sx, sy,
+                   SUM(n) OVER () AS gn,
+                   SUM(sx) OVER () AS gsx, SUM(sy) OVER () AS gsy,
+                   SUM(sxx) OVER () AS gsxx,
+                   SUM(sxy) OVER () AS gsxy,
+                   SUM(syy) OVER () AS gsyy
+            FROM arms
+        )
+        SELECT arm, n AS n_users,
+               ROUND(sy / (100.0 * n), 6) AS mean_post,
+               CASE WHEN gn * gsxx - gsx * gsx > 0 THEN
+                   ROUND(sy / (100.0 * n)
+                         - ((1.0 * gn * gsxy - 1.0 * gsx * gsy)
+                            / (1.0 * gn * gsxx - 1.0 * gsx * gsx))
+                           * (sx / (100.0 * n) - gsx / (100.0 * gn)),
+                         6)
+               END AS mean_post_cuped,
+               CASE WHEN gn * gsxx - gsx * gsx > 0 THEN
+                   ROUND((1.0 * gn * gsxy - 1.0 * gsx * gsy)
+                         / (1.0 * gn * gsxx - 1.0 * gsx * gsx), 6)
+               END AS theta,
+               CASE WHEN (gn * gsxx - gsx * gsx) > 0
+                     AND (gn * gsyy - gsy * gsy) > 0 THEN
+                   ROUND((1.0 * gn * gsxy - 1.0 * gsx * gsy)
+                         * (1.0 * gn * gsxy - 1.0 * gsx * gsy)
+                         / ((1.0 * gn * gsxx - 1.0 * gsx * gsx)
+                            * (1.0 * gn * gsyy - 1.0 * gsy * gsy)),
+                         6)
+               END AS var_reduction
+        FROM g
+        ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B analysis (Deng et al. 2013, the "
+    "industry-standard experiment sensitivity booster): per user, "
+    "pre-period purchase revenue (first half of the time range) is "
+    "the covariate, post-period revenue the metric; theta = "
+    "cov(x,y)/var(x) pooled across arms, adjusted per-arm mean = "
+    "mean(y) - theta*(mean_arm(x) - mean(x)), variance reduction = "
+    "corr(x,y)^2. Complements the Welch t-test report (10ap) — the "
+    "same hash-bucketed arms, now with the pre-period adjustment "
+    "that shrinks the confidence interval by the reported factor. "
+    "Determinism: ALL sufficient statistics are exact int64 sums of "
+    "cent codes (per-user products stay < 2^63 at the cent scale; a "
+    "planet-scale deployment would carry dollar codes), theta and "
+    "each adjusted mean are single expressions on identical integer "
+    "sums, every output rounds to 6. Plan: one groupBy to per-user "
+    "(x, y) cents, one 2-row arm rollup, analytic global sums over "
+    "those 2 rows — the CUPED closed form needs no per-user second "
+    "pass.",
+    tags=("analytics", "experimentation"),
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.expr("unix_micros(ts)")).alias("t0"),
+        F.max(F.expr("unix_micros(ts)")).alias("t1"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    in_pre = F.expr("unix_micros(ts) * 2") < F.col("t0") + F.col("t1")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            (
+                (F.lit(_CUPED_A) * (F.col("user_id") % 2147483647))
+                % 2147483647
+                % 2
+            ).alias("arm"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_purchase & in_pre, cents).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(is_purchase & ~in_pre, cents).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = Window.partitionBy()
+    gn = F.sum("n").over(w)
+    gsx = F.sum("sx").over(w)
+    gsy = F.sum("sy").over(w)
+    gsxx = F.sum("sxx").over(w)
+    gsxy = F.sum("sxy").over(w)
+    gsyy = F.sum("syy").over(w)
+    cov_num = 1.0 * gn * gsxy - 1.0 * gsx * gsy
+    varx_num = 1.0 * gn * gsxx - 1.0 * gsx * gsx
+    vary_num = 1.0 * gn * gsyy - 1.0 * gsy * gsy
+    theta = cov_num / varx_num
+    varx_pos = (gn * gsxx - gsx * gsx) > 0
+    return (
+        arms.select(
+            "arm",
+            F.col("n").alias("n_users"),
+            F.round(F.col("sy") / (100.0 * F.col("n")), 6).alias(
+                "mean_post"
+            ),
+            F.when(
+                varx_pos,
+                F.round(
+                    F.col("sy") / (100.0 * F.col("n"))
+                    - theta
+                    * (
+                        F.col("sx") / (100.0 * F.col("n"))
+                        - gsx / (100.0 * gn)
+                    ),
+                    6,
+                ),
+            ).alias("mean_post_cuped"),
+            F.when(varx_pos, F.round(theta, 6)).alias("theta"),
+            F.when(
+                varx_pos & ((gn * gsyy - gsy * gsy) > 0),
+                F.round(cov_num * cov_num / (varx_num * vary_num), 6),
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

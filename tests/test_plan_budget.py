@@ -59,6 +59,7 @@ _SHUFFLE_BUDGET = {
     "daily_growth_accounting": 8,
     # part-dimension rollup + the dimension-bounded global cum window
     "parts_abc_classification": 5,
+    "ab_test_cuped": 4,
 }
 
 _EXCHANGE_RE = re.compile(

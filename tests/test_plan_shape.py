@@ -83,6 +83,7 @@ _SCALAR_BNLJ_OK = {
     "heaps_law_fit",  # 10-row checkpoint broadcast range fan-out
     "hourly_theil_sen_trend",  # 1-row bucket-width scalar broadcast
     "daily_growth_accounting",  # 1-row max-day scalar broadcast
+    "ab_test_cuped",  # 1-row time-range scalar broadcast
 }
 
 

@@ -329,3 +329,18 @@ def test_abc_classification_pareto_structure(spark, sf_medium):
     assert rows["A"]["revenue"] / rows["A"]["n_parts"] > (
         rows["C"]["revenue"] / rows["C"]["n_parts"]
     )
+
+
+def test_cuped_adjustment_preserves_global_mean(spark, sf_medium):
+    """CUPED re-centers per-arm means but the n-weighted global
+    adjusted mean equals the global raw mean (theta*(x - mean_x)
+    sums to zero); theta and var_reduction are arm-invariant."""
+    rows = _q("ab_test_cuped")(spark, sf_medium).collect()
+    assert len(rows) == 2
+    assert rows[0]["theta"] == rows[1]["theta"]
+    assert rows[0]["var_reduction"] == rows[1]["var_reduction"]
+    assert 0.0 <= rows[0]["var_reduction"] <= 1.0
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["n_users"] * r["mean_post"] for r in rows) / n
+    adj = sum(r["n_users"] * r["mean_post_cuped"] for r in rows) / n
+    assert abs(raw - adj) < 1e-3
