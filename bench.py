@@ -154,6 +154,8 @@ EXTRA_QUERIES = [
     "daily_growth_accounting",
     "parts_abc_classification",
     "ab_test_cuped",
+    "supplier_scorecard",
+    "brand_price_elasticity",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

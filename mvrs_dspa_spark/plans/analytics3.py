@@ -1068,3 +1068,199 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- supplier scorecard -----------------------------------------------------------
+
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+        WITH li AS (
+            SELECT l_suppkey,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS rev_cents,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+                   CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc_bp,
+                   l_partkey
+            FROM lineitem
+        ),
+        per_s AS (
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   SUM(rev_cents) AS rev_cents,
+                   CAST(SUM(ret) AS BIGINT) AS n_returned,
+                   SUM(disc_bp) AS disc_bp,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+                       AS n_distinct_parts
+            FROM li JOIN supplier s ON s.s_suppkey = li.l_suppkey
+            GROUP BY s.s_suppkey, s.s_name
+        )
+        SELECT s_suppkey, s_name, n_lineitems, n_distinct_parts,
+               ROUND(rev_cents / 100.0, 2) AS revenue,
+               ROUND(rev_cents / CAST(SUM(rev_cents) OVER () AS DOUBLE),
+                     6) AS revenue_share,
+               ROUND(n_returned / CAST(n_lineitems AS DOUBLE), 6)
+                   AS return_rate,
+               ROUND(disc_bp / (10000.0 * n_lineitems), 6)
+                   AS avg_discount,
+               CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC,
+                                       s_suppkey) AS BIGINT)
+                   AS revenue_rank
+        FROM per_s
+        ORDER BY revenue_rank
+        LIMIT 50
+    """,
+    doc="Supplier scorecard — the procurement-review rollup: per "
+    "supplier the line-item volume, distinct-part breadth, revenue "
+    "and corpus share, return rate (returnflag R), and average "
+    "granted discount, ranked by revenue (top 50). Complements the "
+    "latency profile (#133) with the commercial KPIs. Determinism: "
+    "revenue as exact cent codes, discounts as exact basis-point "
+    "codes, every ratio ONE division; ranking orders by the exact "
+    "integer revenue with suppkey tiebreak. Plan: one fact rollup "
+    "on suppkey (map-side combined; the dimension joins via "
+    "broadcast), share/rank as analytics over the supplier-"
+    "dimension-bounded result, top-50 pushed down.",
+    tags=("relational", "analytics"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    enriched = li.select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        "l_partkey",
+    )
+    per_s = (
+        enriched.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            enriched["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("ret").alias("n_returned"),
+            F.sum("disc_bp").alias("disc_bp"),
+            F.count_distinct("l_partkey").alias("n_distinct_parts"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rev_cents"), F.asc("s_suppkey"))
+    return (
+        per_s.select(
+            "s_suppkey",
+            "s_name",
+            "n_lineitems",
+            "n_distinct_parts",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("rev_cents")
+                / F.sum("rev_cents").over(w_all).cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.round(
+                F.col("n_returned") / F.col("n_lineitems").cast("double"), 6
+            ).alias("return_rate"),
+            F.round(
+                F.col("disc_bp") / (10000.0 * F.col("n_lineitems")), 6
+            ).alias("avg_discount"),
+            F.row_number().over(w_rank).cast("long").alias("revenue_rank"),
+        )
+        .orderBy("revenue_rank")
+        .limit(50)
+    )
+
+
+# --- brand price elasticity -------------------------------------------------------
+
+
+@register(
+    "brand_price_elasticity",
+    oracle="""
+        WITH obs AS (
+            SELECT p.p_brand,
+                   CAST(ROUND(LN(l.l_extendedprice / l.l_quantity)
+                              * 1e4) AS BIGINT) AS xc,
+                   CAST(ROUND(LN(l.l_quantity) * 1e4) AS BIGINT) AS yc
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+        ),
+        s AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   SUM(xc) AS sx, SUM(yc) AS sy,
+                   SUM(xc * xc) AS sxx, SUM(xc * yc) AS sxy
+            FROM obs GROUP BY p_brand
+        )
+        SELECT p_brand, n_obs,
+               CASE WHEN 1.0 * n_obs * sxx - 1.0 * sx * sx > 0 THEN
+                   ROUND((1.0 * n_obs * sxy - 1.0 * sx * sy)
+                         / (1.0 * n_obs * sxx - 1.0 * sx * sx), 6)
+               END AS elasticity
+        FROM s
+        ORDER BY p_brand
+    """,
+    doc="Brand-level price elasticity of demand: per brand, the OLS "
+    "slope of ln(quantity) on ln(unit price) over its line items — "
+    "the constant-elasticity (log-log) demand model of introductory "
+    "econometrics; elasticity < -1 = elastic demand. The same "
+    "integer-coded OLS as the Heaps/Zipf fits (#155/#156), but at the "
+    "1e-4 code scale: per-brand observation counts are fact-sized "
+    "(not 10-100 points), so code products must stay int64 through "
+    "SUM at ~1e9 rows per brand; the final slope/guard expressions "
+    "run in double (identical operation order both engines). Plan: fact scan joins the broadcast "
+    "part dimension, ONE map-side-combined rollup to the bounded "
+    "brand grid. On synthetic uniform prices the elasticity "
+    "correctly lands near its null value — the operator is the "
+    "estimator, not the data.",
+    tags=("relational", "analytics"),
+)
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    obs = (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.round(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1e4
+            )
+            .cast("long")
+            .alias("xc"),
+            F.round(F.log(F.col("l_quantity")) * 1e4)
+            .cast("long")
+            .alias("yc"),
+        )
+    )
+    s = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+    )
+    slope = (
+        1.0 * F.col("n_obs") * F.col("sxy") - 1.0 * F.col("sx") * F.col("sy")
+    ) / (
+        1.0 * F.col("n_obs") * F.col("sxx") - 1.0 * F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "p_brand",
+        "n_obs",
+        F.when(
+            1.0 * F.col("n_obs") * F.col("sxx")
+            - 1.0 * F.col("sx") * F.col("sx")
+            > 0,
+            F.round(slope, 6),
+        ).alias("elasticity"),
+    ).orderBy("p_brand")

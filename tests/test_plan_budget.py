@@ -60,6 +60,8 @@ _SHUFFLE_BUDGET = {
     # part-dimension rollup + the dimension-bounded global cum window
     "parts_abc_classification": 5,
     "ab_test_cuped": 4,
+    "supplier_scorecard": 5,
+    "brand_price_elasticity": 2,
 }
 
 _EXCHANGE_RE = re.compile(

@@ -344,3 +344,26 @@ def test_cuped_adjustment_preserves_global_mean(spark, sf_medium):
     raw = sum(r["n_users"] * r["mean_post"] for r in rows) / n
     adj = sum(r["n_users"] * r["mean_post_cuped"] for r in rows) / n
     assert abs(raw - adj) < 1e-3
+
+
+def test_supplier_scorecard_shares_and_rank(spark, sf_medium):
+    rows = _q("supplier_scorecard")(spark, sf_medium).collect()
+    assert 0 < len(rows) <= 50
+    ranks = [r["revenue_rank"] for r in rows]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["return_rate"] <= 1.0
+        assert 0.0 <= r["avg_discount"] <= 0.2
+        assert r["n_distinct_parts"] <= r["n_lineitems"]
+
+
+def test_elasticity_defined_per_brand(spark, sf_medium):
+    rows = _q("brand_price_elasticity")(spark, sf_medium).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["n_obs"] > 0
+        # unit price = extendedprice/qty is mechanically anti-correlated
+        # with qty on this generator; the estimator must see that
+        assert r["elasticity"] is not None and r["elasticity"] < 0.0
