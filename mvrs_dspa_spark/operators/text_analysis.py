@@ -927,7 +927,8 @@ _STOP_PAIRS_SQL = ", ".join(f"('{lg}', '{w}')" for lg, w in _STOP_PAIRS)
         SELECT doc_id, lang,
                CAST(SUM(c) AS BIGINT) AS n_stop,
                CAST(COUNT(*) AS BIGINT) AS n_distinct_stop,
-               ROUND(-SUM(p * log2(p)), 6) AS entropy_bits
+               ROUND(SUM(CAST(ROUND(-p * log2(p) * 1e9) AS BIGINT))
+                         / 1e9, 6) AS entropy_bits
         FROM probs
         GROUP BY doc_id, lang
         ORDER BY doc_id
@@ -963,13 +964,17 @@ def doc_stopword_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.col("c").alias("c"),
-            (-p * F.log2(p)).alias("term"),
+            # 1e9 int64 term code: float SUMMATION ORDER of the raw
+            # -p*log2(p) doubles differs across engines/builds (this
+            # exact query was the r6 red row); summing exact integers
+            # is order-independent.
+            F.round(-p * F.log2(p) * 1e9).cast("long").alias("term_code"),
         )
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("c").cast("long").alias("n_stop"),
             F.count(F.lit(1)).alias("n_distinct_stop"),
-            F.round(F.sum("term"), 6).alias("entropy_bits"),
+            F.round(F.sum("term_code") / 1e9, 6).alias("entropy_bits"),
         )
         .orderBy("doc_id")
     )

@@ -785,8 +785,9 @@ def event_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(SUM(n) AS BIGINT) AS n_tokens,
                CAST(COUNT(*) AS BIGINT) AS vocab_size,
-               ROUND(-SUM((1.0 * n / total) * log2(1.0 * n / total)), 6)
-                   AS entropy_bits
+               ROUND(SUM(CAST(ROUND(-(1.0 * n / total)
+                                    * log2(1.0 * n / total) * 1e9)
+                              AS BIGINT)) / 1e9, 6) AS entropy_bits
         FROM w
         GROUP BY source
         ORDER BY source
@@ -819,7 +820,12 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").cast("bigint").alias("n_tokens"),
             F.count(F.lit(1)).alias("vocab_size"),
-            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            # 1e9 int64 entropy-term codes: float summation order over
+            # a vocabulary-sized term set differs across engines (the
+            # class that shipped doc_stopword_entropy red in r6).
+            F.round(
+                F.sum(F.round(-p * F.log2(p) * 1e9).cast("long")) / 1e9, 6
+            ).alias("entropy_bits"),
         )
         .orderBy("source")
     )
@@ -2062,8 +2068,9 @@ def rfm_scores_from_stats(stats: DataFrame) -> DataFrame:
         )
         SELECT event_type,
                CAST(SUM(o) AS BIGINT) AS n_events,
-               ROUND(SUM(pow(o - row_n * col_n / n::DOUBLE, 2)
-                         / (row_n * col_n / n::DOUBLE)), 6) AS chisq_term
+               ROUND(SUM(CAST(ROUND(pow(o - row_n * col_n / n::DOUBLE, 2)
+                                    / (row_n * col_n / n::DOUBLE) * 1e9)
+                              AS BIGINT)) / 1e9, 6) AS chisq_term
         FROM margins
         GROUP BY event_type
         ORDER BY event_type
@@ -2097,9 +2104,16 @@ def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         margins.groupBy("event_type")
         .agg(
             F.sum("o").cast("long").alias("n_events"),
-            F.round(F.sum(F.pow(F.col("o") - e, F.lit(2.0)) / e), 6).alias(
-                "chisq_term"
-            ),
+            # 1e9 int64 term codes (house float-summation-order rule).
+            F.round(
+                F.sum(
+                    F.round(
+                        F.pow(F.col("o") - e, F.lit(2.0)) / e * 1e9
+                    ).cast("long")
+                )
+                / 1e9,
+                6,
+            ).alias("chisq_term"),
         )
         .orderBy("event_type")
     )

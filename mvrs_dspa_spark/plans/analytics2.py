@@ -629,7 +629,8 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         ),
         rows_h AS (
-            SELECT prev_type, SUM(n) AS n_total, -SUM(p * log2(p)) AS h
+            SELECT prev_type, SUM(n) AS n_total,
+                   SUM(CAST(ROUND(-p * log2(p) * 1e9) AS BIGINT)) / 1e9 AS h
             FROM (
                 SELECT prev_type, n,
                        n / SUM(n) OVER (PARTITION BY prev_type)::DOUBLE AS p
@@ -669,9 +670,17 @@ def conditional_entropy_transitions(
     wp = Window.partitionBy("prev_type")
     p = F.col("n") / F.sum("n").over(wp).cast("double")
     rows_h = (
-        pairs.select("prev_type", "n", (-p * F.log2(p)).alias("term"))
+        pairs.select(
+            "prev_type",
+            "n",
+            # 1e9 int64 entropy-term codes (house summation-order rule)
+            F.round(-p * F.log2(p) * 1e9).cast("long").alias("term_code"),
+        )
         .groupBy("prev_type")
-        .agg(F.sum("n").alias("n_total"), F.sum("term").alias("h"))
+        .agg(
+            F.sum("n").alias("n_total"),
+            (F.sum("term_code") / 1e9).alias("h"),
+        )
     )
     wall = Window.partitionBy()
     p_prev = F.col("n_total") / F.sum("n_total").over(wall).cast("double")
