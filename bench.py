@@ -197,24 +197,41 @@ def main() -> None:
     timings = run(BENCH_QUERIES)
     extra = run(EXTRA_QUERIES)
     total = round(sum(timings.values()), 3)
+    # Multi-minute one-shot fits are reported in their own field and
+    # excluded from the extras sum so extras-total stays comparable
+    # round-over-round (VERDICT r6 #7).
+    slow = {n: extra.pop(n) for n in list(extra) if n in ONESHOT_QUERIES}
     # host-load calibration constant: q1 is a fixed, never-refactored
     # scan+agg plan, so its min-of-3 moves ONLY with host conditions.
     # Round-over-round comparisons should normalize by this (r4 and r5
     # totals both swung ~20% on driver-host load with zero code change).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "calibration_q1": timings.get("q1_pricing_summary"),
-                "sf": sf,
-                "methodology": "cold-first-run" if cold else "steady-state-min-of-3",
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extra_queries": extra,
+            "extra_total": round(sum(extra.values()), 3),
+            "slow_queries": slow,
+            "calibration_q1": timings.get("q1_pricing_summary"),
+            "sf": sf,
+            "methodology": "cold-first-run" if cold else "steady-state-min-of-3",
+        }
     )
+    # The driver tail-captures stdout and has truncated the JSON line
+    # before (BENCH_r06 lost the headline total): print the JSON FIRST
+    # and also persist it next to the repo so the artifact can't be
+    # lost to capture truncation.
+    print(result)
+    sys.stdout.flush()
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json")
+        with open(out, "w") as f:
+            f.write(result + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -336,11 +336,14 @@ def _solve_side(
         cnts = pdf["cnt"].to_numpy(dtype=np.float64)
         y_all = np.asarray(pdf["fac"].to_list(), dtype=np.float64)
         kdim = y_all.shape[1] if n else ALS_K
-        # one vectorized sort by (key, fac lexicographic) replaces a
-        # per-key pandas sort: same within-key row order as the local
-        # twin's tuple sort, ~zero per-group overhead
+        # one vectorized sort by (key, fac lexicographic, cnt) replaces
+        # a per-key pandas sort: same within-key row order as the local
+        # twin's tuple sort, ~zero per-group overhead. cnt is the final
+        # tiebreak so rows with IDENTICAL factor vectors but different
+        # cnt don't inherit partition-order nondeterminism (ADVICE r6).
         order = np.lexsort(
-            tuple(y_all[:, d] for d in range(kdim - 1, -1, -1))
+            (cnts,)
+            + tuple(y_all[:, d] for d in range(kdim - 1, -1, -1))
             + (keys_arr,)
         )
         keys_arr, cnts, y_all = keys_arr[order], cnts[order], y_all[order]
@@ -444,7 +447,9 @@ def _als_fit_local(rows, iters: int = ALS_ITERS):
         mat = np.asarray([source[k] for k in sorted(source)])
         a_base = mat.T @ mat + ALS_LAMBDA * np.eye(ALS_K)
         for key, pairs in groups.items():
-            pairs = sorted(pairs, key=lambda p: tuple(source[p[0]]))
+            pairs = sorted(
+                pairs, key=lambda p: (tuple(source[p[0]]), p[1])
+            )
             y = np.asarray([source[o] for o, _ in pairs])
             c = 1.0 + ALS_ALPHA * np.asarray([cnt for _, cnt in pairs], float)
             a = a_base + (y * (c - 1.0)[:, None]).T @ y

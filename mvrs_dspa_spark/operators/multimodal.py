@@ -179,12 +179,20 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
     """Deterministic binary media table from documents (64-byte
     md5-derived payloads, kind image/audio/video) — shared by the
     driver-checked media queries. Identical document text yields an
-    identical payload, so the corpus's planted exact-dup docs become
-    exact-dup MEDIA payloads (what the pHash dedup detects)."""
+    identical payload, so exact-dup docs become exact-dup MEDIA
+    payloads. media_id 0 and 1 additionally derive their payload from
+    a pinned constant rather than their text: the corpus is not
+    guaranteed to contain byte-identical texts at every SF, and
+    without a planted duplicate the `media_phash_dedup` driver row
+    returns 0 rows — a vacuously-green gate that can't catch a broken
+    band join (VERDICT r6 'What's wrong' #2)."""
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    content = F.when(
+        F.col("doc_id") <= 1, F.lit("__pinned_dup_payload__")
+    ).otherwise(F.col("text"))
     payload = F.concat(
         *[
-            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":chunk{i}"))))
+            F.unhex(F.md5(F.concat(content, F.lit(f":chunk{i}"))))
             for i in range(4)
         ]
     )

@@ -946,19 +946,19 @@ _CUPED_A = 2_654_435_761 % 2_147_483_647  # Knuth multiplicative (as ab_test)
         )
         SELECT arm, n AS n_users,
                ROUND(sy / (100.0 * n), 6) AS mean_post,
-               CASE WHEN gn * gsxx - gsx * gsx > 0 THEN
+               CASE WHEN 1.0 * gn * gsxx - 1.0 * gsx * gsx > 0 THEN
                    ROUND(sy / (100.0 * n)
                          - ((1.0 * gn * gsxy - 1.0 * gsx * gsy)
                             / (1.0 * gn * gsxx - 1.0 * gsx * gsx))
                            * (sx / (100.0 * n) - gsx / (100.0 * gn)),
                          6)
                END AS mean_post_cuped,
-               CASE WHEN gn * gsxx - gsx * gsx > 0 THEN
+               CASE WHEN 1.0 * gn * gsxx - 1.0 * gsx * gsx > 0 THEN
                    ROUND((1.0 * gn * gsxy - 1.0 * gsx * gsy)
                          / (1.0 * gn * gsxx - 1.0 * gsx * gsx), 6)
                END AS theta,
-               CASE WHEN (gn * gsxx - gsx * gsx) > 0
-                     AND (gn * gsyy - gsy * gsy) > 0 THEN
+               CASE WHEN (1.0 * gn * gsxx - 1.0 * gsx * gsx) > 0
+                     AND (1.0 * gn * gsyy - 1.0 * gsy * gsy) > 0 THEN
                    ROUND((1.0 * gn * gsxy - 1.0 * gsx * gsy)
                          * (1.0 * gn * gsxy - 1.0 * gsx * gsy)
                          / ((1.0 * gn * gsxx - 1.0 * gsx * gsx)
@@ -1040,7 +1040,9 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx_num = 1.0 * gn * gsxx - 1.0 * gsx * gsx
     vary_num = 1.0 * gn * gsyy - 1.0 * gsy * gsy
     theta = cov_num / varx_num
-    varx_pos = (gn * gsxx - gsx * gsx) > 0
+    # guards in DOUBLE like the numerators: raw int64 cent-code products
+    # overflow int64 under ANSI mode at larger scale factors (ADVICE r6)
+    varx_pos = varx_num > 0
     return (
         arms.select(
             "arm",
@@ -1062,7 +1064,7 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_post_cuped"),
             F.when(varx_pos, F.round(theta, 6)).alias("theta"),
             F.when(
-                varx_pos & ((gn * gsyy - gsy * gsy) > 0),
+                varx_pos & (vary_num > 0),
                 F.round(cov_num * cov_num / (varx_num * vary_num), 6),
             ).alias("var_reduction"),
         )

@@ -64,7 +64,9 @@ class EngagementMaintainer:
         the subject's activity days vanish from every future serving."""
         ids = list(user_ids)
         self.pairs = self.pairs.where(
-            ~F.col("user_id").isin(ids)
+            # NULL-safe: ~isin() is NULL for a NULL key, which would
+            # silently erase all null-keyed state too (ADVICE r6)
+            ~F.col("user_id").isin(ids) | F.col("user_id").isNull()
         ).localCheckpoint(eager=True)
 
     def stickiness(self) -> DataFrame:

@@ -91,7 +91,9 @@ class RfmMaintainer:
         frequency/monetary accumulate from zero."""
         ids = list(user_ids)
         self.stats = self.stats.where(
-            ~F.col("user_id").isin(ids)
+            # NULL-safe: ~isin() is NULL for a NULL key, which would
+            # silently erase all null-keyed state too (ADVICE r6)
+            ~F.col("user_id").isin(ids) | F.col("user_id").isNull()
         ).localCheckpoint(eager=True)
 
     def segments(self) -> DataFrame:

@@ -146,7 +146,9 @@ class Scd2Maintainer:
         same contract is a MERGE DELETE on the dimension table."""
         ids = list(user_ids)
         self.history = self.history.where(
-            ~F.col("user_id").isin(ids)
+            # NULL-safe: ~isin() is NULL for a NULL key, which would
+            # silently erase all null-keyed state too (ADVICE r6)
+            ~F.col("user_id").isin(ids) | F.col("user_id").isNull()
         ).localCheckpoint(eager=True)
 
 

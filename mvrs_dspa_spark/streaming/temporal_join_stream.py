@@ -105,7 +105,9 @@ class TemporalJoinMaintainer:
         ids = list(user_ids)
         self.scd2.erase_users(ids)
         self.enriched = self.enriched.where(
-            ~F.col("user_id").isin(ids)
+            # NULL-safe: ~isin() is NULL for a NULL key, which would
+            # silently erase all null-keyed state too (ADVICE r6)
+            ~F.col("user_id").isin(ids) | F.col("user_id").isNull()
         ).localCheckpoint(eager=True)
 
     def rollup(self) -> DataFrame:

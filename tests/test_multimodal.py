@@ -82,10 +82,14 @@ def test_media_features_registered_query_deterministic(spark, sf_small):
     # re-run: identical (pure function of the data)
     again = media_features(spark, sf_small).collect()
     assert rows == again
-    # value-pin a sample against a plain-Python reference
+    # value-pin a sample against a plain-Python reference (ids 0/1
+    # derive from the pinned duplicate constant, not their text)
     for r in rows[:5]:
+        content = (
+            "__pinned_dup_payload__" if r.media_id <= 1 else docs[r.media_id]
+        )
         payload = b"".join(
-            hashlib.md5((docs[r.media_id] + f":chunk{i}").encode()).digest()
+            hashlib.md5((content + f":chunk{i}").encode()).digest()
             for i in range(4)
         )
         h = hashlib.sha256(payload).digest()
@@ -120,15 +124,18 @@ def test_phash_pairs_pigeonhole(spark):
 
 
 def test_media_phash_dedup_detects_exact_payload_dup(spark, tmp_path):
-    """Two documents with identical text produce identical payloads
-    and must pair at Hamming 0; the sf corpus has no duplicates, so
-    the registered query's empty result there is the true negative."""
+    """media_id 0 and 1 derive their payload from a pinned constant,
+    so the registered query returns >= 1 pair on ANY corpus (the r6
+    driver row was vacuously green at 0 rows); documents with
+    identical text (ids > 1) must also pair at Hamming 0."""
     from mvrs_dspa_spark.operators.multimodal import media_phash_dedup
 
     docs = [
-        (0, "the same media payload text", "en", "s"),
-        (1, "completely different content here", "en", "s"),
+        (0, "text ignored for pinned ids", "en", "s"),
+        (1, "also ignored for pinned ids", "en", "s"),
         (2, "the same media payload text", "en", "s"),
+        (3, "the same media payload text", "en", "s"),
+        (4, "completely different content here", "en", "s"),
     ]
     spark.createDataFrame(
         [(i, t, la, so, len(t)) for i, t, la, so in docs],
@@ -140,4 +147,16 @@ def test_media_phash_dedup_detects_exact_payload_dup(spark, tmp_path):
         (r.id_a, r.id_b, r.hamming)
         for r in media_phash_dedup(spark, str(tmp_path)).collect()
     ]
-    assert out == [(0, 2, 0)]
+    assert out == [(0, 1, 0), (2, 3, 0)]
+
+
+def test_media_phash_dedup_nonvacuous_on_sf_corpus(spark, sf_small):
+    """The planted (0, 1) duplicate keeps the driver gate non-vacuous
+    on the real testdata: a broken band join / hash stage can no
+    longer hide behind an empty-but-clean result."""
+    from mvrs_dspa_spark.operators.multimodal import media_phash_dedup
+
+    rows = media_phash_dedup(spark, sf_small).collect()
+    assert any(
+        (r.id_a, r.id_b, r.hamming) == (0, 1, 0) for r in rows
+    ), rows
