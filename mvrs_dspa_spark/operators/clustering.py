@@ -352,3 +352,73 @@ def label_agreement_report(
             ).alias("nmi"),
         )
     )
+
+
+# --- pinned-centroid assignment (the oracle-checkable k-means step) ----------
+#
+# kmeans_embeddings is rows-gated because the FIT is iterative, but its
+# SELECTION step — nearest-centroid argmin — is deterministic given
+# centroids. Pinning the centroids to data-independent constants makes
+# the assignment pass a full hash-gate query (VERDICT r6 #8), so a
+# regression in the distance fold, the tie-break, or the argmin is
+# caught by the driver, not just pytest.
+
+PIN_K = 4
+PIN_DIM = 64
+# dyadic-exact constants (multiples of 1/1024 in [-0.5, 0.5)): every
+# (x - c) subtraction and product is then bit-identical across engines.
+PINNED_CENTROIDS: list[list[float]] = [
+    [(((c * 131 + d * 17) % 1024) - 512) / 1024.0 for d in range(PIN_DIM)]
+    for c in range(PIN_K)
+]
+
+_PIN_CENTS_SQL = ", ".join(
+    f"({c}, [{', '.join(repr(v) for v in vec)}])"
+    for c, vec in enumerate(PINNED_CENTROIDS)
+)
+
+
+@register(
+    "kmeans_assign_pinned",
+    oracle=f"""
+        WITH cents(cid, cvec) AS (VALUES {_PIN_CENTS_SQL}),
+        dists AS (
+            SELECT e.vec_id, c.cid,
+                   list_reduce(list_prepend(0.0, list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (e.embedding[i]::DOUBLE - c.cvec[i])
+                            * (e.embedding[i]::DOUBLE - c.cvec[i]))),
+                       (x, y) -> x + y) AS d
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        ranked AS (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists
+        )
+        SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+               ROUND(sqrt(d), 6) AS dist
+        FROM ranked WHERE rn = 1
+        ORDER BY vec_id
+    """,
+    doc="Nearest-centroid assignment against PINNED dyadic-exact "
+    "centroids — the deterministic selection step of k-means under a "
+    "full value-hash oracle (the iterative fit stays rows-gated in "
+    "kmeans_embeddings). Same map-side argmin plan as assign_clusters: "
+    "centroids ride as literals, zero shuffle before the final sort. "
+    "The left-to-right distance fold is bit-identical across engines "
+    "because each (x-c) term is (float->double) - dyadic constant.",
+    tags=("clustering",),
+)
+def kmeans_assign_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        assign_clusters(emb, "embedding", PINNED_CENTROIDS)
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(F.sqrt("sq_dist"), 6).alias("dist"),
+        )
+        .orderBy("vec_id")
+    )
