@@ -1045,3 +1045,262 @@ def doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- minhash containment join (asymmetric, size-aware) -----------------------
+#
+# Jaccard is symmetric, so near-CONTAINMENT pairs (a quote inside a
+# long article; a doc inside its superset crawl twin) score low and
+# slip past dedup_minhash_lsh. From the SAME signatures and the exact
+# set sizes, the intersection estimate I = m*(n_a+n_b)/(N+m) (solve
+# J = m/N = I/(n_a+n_b-I)) gives the asymmetric containment I/min(n)
+# without any new corpus pass — the sketch-level counterpart of the
+# exact dedup_containment (#96).
+
+_CONT_MIN_MATCHES = 6  # integer candidate floor (est J >= 6/32)
+_CONT_THRESHOLD = 0.5  # on est containment of the smaller set
+
+_CONT_SIZES_SQL = f"""
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n
+    FROM ({_SHINGLES_SQL}) WHERE len(sh) > 0
+"""
+
+
+@register(
+    "minhash_containment_join",
+    oracle=f"""
+        WITH cand AS ({MH.candidate_pairs_sql(_SIG_SQL, "doc_id", N_HASHES, BANDS)}),
+        sized AS (
+            SELECT c.id_a, c.id_b,
+                   ({MH.sig_match_count_sql(N_HASHES)}) AS m,
+                   za.n AS n_a, zb.n AS n_b
+            FROM cand c
+            JOIN ({_SIG_SQL}) sa ON sa.doc_id = c.id_a
+            JOIN ({_SIG_SQL}) sb ON sb.doc_id = c.id_b
+            JOIN ({_CONT_SIZES_SQL}) za ON za.doc_id = c.id_a
+            JOIN ({_CONT_SIZES_SQL}) zb ON zb.doc_id = c.id_b
+        )
+        SELECT id_a AS doc_a, id_b AS doc_b, n_a, n_b,
+               CAST(m AS BIGINT) AS matches,
+               ROUND(m / {N_HASHES}.0, 6) AS est_jaccard,
+               ROUND(1.0 * m * (n_a + n_b)
+                     / (({N_HASHES} + m) * LEAST(n_a, n_b)), 6)
+                   AS est_containment,
+               CASE WHEN n_a <= n_b THEN 'a_in_b' ELSE 'b_in_a' END
+                   AS direction
+        FROM sized
+        WHERE m >= {_CONT_MIN_MATCHES}
+          AND 1.0 * m * (n_a + n_b)
+              / (({N_HASHES} + m) * LEAST(n_a, n_b)) >= {_CONT_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash containment join: near-containment pairs from the "
+    "SAME banded signatures as dedup_minhash_lsh plus exact shingle-"
+    "set sizes — est intersection I = m(n_a+n_b)/(N+m), containment "
+    "= I / min(n), reported with its direction. Catches the subset/"
+    "superset duplicates symmetric Jaccard misses (Broder 1997's "
+    "containment, sketch-level; exact twin is #96). Only signatures "
+    "and two int sizes shuffle; the filter is an integer match floor "
+    "plus one deterministic single-shot float compare. Scale shape "
+    "identical to the LSH family: band-bucket-bounded.",
+    tags=("dedup", "llm"),
+)
+def minhash_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    sigs = sh.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n"),
+        MH.signature_array_col(F.col("sh"), _PARAMS).alias("sg"),
+    )
+    buckets = MH.bucket_rows_from_sig_df(sigs, "sg", N_HASHES, BANDS)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    m = MH.sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            m.alias("m"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.first("m").alias("m"),
+        )
+    )
+    contain = (
+        1.0
+        * F.col("m")
+        * (F.col("n_a") + F.col("n_b"))
+        / ((N_HASHES + F.col("m")) * F.least("n_a", "n_b"))
+    )
+    return (
+        pairs.where(
+            (F.col("m") >= _CONT_MIN_MATCHES)
+            & (contain >= _CONT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.col("m").cast("long").alias("matches"),
+            F.round(F.col("m") / float(N_HASHES), 6).alias("est_jaccard"),
+            F.round(contain, 6).alias("est_containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- similarity-graph percolation profile ------------------------------------
+
+_PERC_TAUS = (0.35, 0.5, 0.65)
+
+
+def _perc_sql() -> str:
+    """Component summaries per threshold off ONE materialized
+    signature/candidate pipeline (inlining it per branch cost the
+    oracle ~9 signature recomputes, 122 s at sf0.01 -> ~14 s)."""
+    rows = N_HASHES // BANDS
+    bucket_branches = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, {MH._band_hash_sql(j, rows)} AS bh "
+        "FROM sig"
+        for j in range(BANDS)
+    )
+    branches = []
+    for i, tau in enumerate(_PERC_TAUS):
+        branches.append(f"""
+        pairs{i} AS (
+            SELECT id_a AS a, id_b AS b FROM scored WHERE est >= {tau}
+        ),
+        edges{i} AS (
+            SELECT a, b FROM pairs{i}
+            UNION ALL SELECT b AS a, a AS b FROM pairs{i}
+        ),
+        reach{i} AS (
+            SELECT DISTINCT a AS doc, a AS comp FROM edges{i}
+            UNION
+            SELECT e.b AS doc, r.comp
+            FROM reach{i} r JOIN edges{i} e ON e.a = r.doc
+        ),
+        comps{i} AS (
+            SELECT doc, MIN(comp) AS comp FROM reach{i} GROUP BY doc
+        ),
+        summary{i} AS (
+            SELECT CAST({tau} AS DOUBLE) AS tau,
+                   CAST((SELECT COUNT(*) FROM comps{i}) AS BIGINT)
+                       AS n_nodes,
+                   CAST((SELECT COUNT(*) FROM pairs{i}) AS BIGINT)
+                       AS n_edges,
+                   CAST((SELECT COUNT(DISTINCT comp) FROM comps{i})
+                        AS BIGINT) AS n_components,
+                   CAST(COALESCE((SELECT MAX(sz) FROM (
+                       SELECT COUNT(*) AS sz FROM comps{i} GROUP BY comp)),
+                       0) AS BIGINT) AS max_component
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM summary{i}" for i in range(len(_PERC_TAUS))
+    )
+    return f"""
+        WITH RECURSIVE
+        sig AS MATERIALIZED ({_SIG_SQL}),
+        buckets AS MATERIALIZED ({bucket_branches}),
+        scored AS MATERIALIZED (
+            SELECT c.id_a, c.id_b,
+                   {MH.est_similarity_sql(N_HASHES)} AS est
+            FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM buckets a
+                  JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id) c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+        ),
+        {",".join(branches)}
+        {unions} ORDER BY tau
+    """
+
+
+@register(
+    "percolation_components",
+    oracle=_perc_sql(),
+    doc="Percolation profile of the near-dup similarity graph: at "
+    f"each threshold tau in {_PERC_TAUS}, the MinHash pair graph's "
+    "node/edge counts, connected-component count, and largest "
+    "component — how dedup clusters coalesce as the similarity bar "
+    "drops (the percolation curve dedup-threshold tuning reads: a "
+    "max-component explosion at low tau means over-merging). est_sim "
+    "= m/32 is an exact dyadic, so threshold compares are engine-"
+    "exact. Spark: ONE banded pair scan, the 3 threshold graphs fold "
+    "into a single disjoint union (node id = tau_idx * 2^40 + doc) "
+    "and ONE min-label-propagation run resolves all levels; oracle: "
+    "recursive-CTE closures.",
+    tags=("dedup", "llm"),
+)
+def percolation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_all = (
+        MH.scored_candidate_pairs_from_array_sig_df(
+            _doc_array_sigs(spark, sf_dir), "doc_id", N_HASHES, BANDS
+        )
+        .where(F.col("est_sim") >= min(_PERC_TAUS))
+        .localCheckpoint(eager=True)
+    )
+    lvl = F.lit(2**40)
+    # disjoint union across thresholds: level i's copy of the graph
+    # lives in id-space [i*2^40, (i+1)*2^40) — components cannot cross
+    # levels, so ONE label-propagation run resolves every threshold
+    # (interleaved A/B at sf0.01: 3 separate CC runs 126 s -> folded
+    # run far less; per-round fixed costs dominate at small SF).
+    pairs3 = None
+    for i, tau in enumerate(_PERC_TAUS):
+        p = pairs_all.where(F.col("est_sim") >= tau).select(
+            F.lit(i).alias("tau_idx"),
+            (F.lit(i) * lvl + F.col("id_a")).alias("id_a"),
+            (F.lit(i) * lvl + F.col("id_b")).alias("id_b"),
+        )
+        pairs3 = p if pairs3 is None else pairs3.unionByName(p)
+    edges = pairs3.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).union(
+        pairs3.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    nodes = edges.select(F.col("a").alias("doc")).distinct()
+    comps = cluster_components(nodes, edges)
+    sizes = comps.groupBy(
+        (F.col("comp") / lvl).cast("int").alias("tau_idx"), "comp"
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    edge_counts = pairs3.groupBy("tau_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    taus = F.array(*[F.lit(float(t)) for t in _PERC_TAUS])
+    grid = spark.range(len(_PERC_TAUS)).select(
+        F.col("id").cast("int").alias("tau_idx"),
+        F.element_at(taus, F.col("id").cast("int") + 1).alias("tau"),
+    )
+    summary = sizes.groupBy("tau_idx").agg(
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("max_component"),
+    )
+    return (
+        grid.join(F.broadcast(summary), "tau_idx", "left")
+        .join(F.broadcast(edge_counts), "tau_idx", "left")
+        .select(
+            "tau",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("n_components", F.lit(0)).alias("n_components"),
+            F.coalesce("max_component", F.lit(0)).alias("max_component"),
+        )
+        .orderBy("tau")
+    )

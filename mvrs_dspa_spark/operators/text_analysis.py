@@ -1362,3 +1362,116 @@ def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gt_unseen_mass"
         ),
     )
+
+
+# --- shingle-level repetition entropy profile --------------------------------
+#
+# The shingle twin of doc_stopword_entropy (#112) and the entropy-form
+# complement of doc_repetition (#47): per document, the Shannon
+# entropy of its NON-distinct bigram-shingle distribution plus the
+# top-shingle share. Templated/looped text re-uses few shingles (low
+# entropy, high max share); natural prose spreads mass widely.
+
+
+@register(
+    "shingle_entropy_profile",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(tc) - 1),
+                       i -> (tc[i] * 31 + tc[i + 1]) % {H.P}) AS codes
+            FROM (
+                SELECT doc_id,
+                       list_transform(toks, t -> {H.str_code_sql('t')}) AS tc
+                FROM (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                      FROM documents)
+            )
+        ),
+        cells AS (
+            SELECT doc_id, code, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(codes) AS code
+                  FROM sh WHERE len(codes) > 0)
+            GROUP BY doc_id, code
+        ),
+        probs AS (
+            SELECT doc_id, c,
+                   SUM(c) OVER (PARTITION BY doc_id) AS n,
+                   MAX(c) OVER (PARTITION BY doc_id) AS mx
+            FROM cells
+        )
+        SELECT doc_id,
+               CAST(MIN(n) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(COUNT(*) / (1.0 * MIN(n)), 6) AS distinct_ratio,
+               ROUND(MIN(mx) / (1.0 * MIN(n)), 6) AS top_share,
+               ROUND(SUM(CAST(ROUND(-(1.0 * c / n) * log2(1.0 * c / n)
+                                    * 1e9) AS BIGINT)) / 1e9, 6)
+                   AS shingle_entropy_bits
+        FROM probs
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Per-document bigram-shingle entropy profile: total and "
+    "distinct shingle counts, distinct ratio, top-shingle share, and "
+    "the Shannon entropy of the shingle distribution (1e9-int-coded "
+    "terms; summation-order free per the house rule). Low entropy + "
+    "high top share = templated or loop-generated text that per-WORD "
+    "repetition metrics (#47) under-detect when the repeated unit is "
+    "a phrase. One token-hash projection (same O(tokens) zip_with "
+    "shape as the dedup shingle scan) and one (doc, code) "
+    "aggregation; per-doc windows ride the same partitioning.",
+    tags=("text", "llm", "dedup"),
+)
+def shingle_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.col("toks")
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    left = F.slice(toks, F.lit(1), n)
+    right = F.slice(toks, F.lit(2), n)
+    codes = F.zip_with(
+        left,
+        right,
+        lambda x, y: (H.str_code_col(x) * 31 + H.str_code_col(y))
+        % F.lit(H.P),
+    )
+    cells = (
+        d.select("doc_id", T.tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", codes.alias("codes"))
+        .where(F.size("codes") > 0)
+        .select("doc_id", F.explode("codes").alias("code"))
+        .groupBy("doc_id", "code")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("doc_id")
+    probs = cells.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wd).alias("n"),
+        F.max("c").over(wd).alias("mx"),
+    )
+    p = 1.0 * F.col("c") / F.col("n")
+    return (
+        probs.select(
+            "doc_id",
+            "c",
+            "n",
+            "mx",
+            F.round(-p * F.log2(p) * 1e9).cast("long").alias("term_code"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").cast("long").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.count(F.lit(1)) / (1.0 * F.min("n")), 6
+            ).alias("distinct_ratio"),
+            F.round(F.min("mx") / (1.0 * F.min("n")), 6).alias("top_share"),
+            F.round(F.sum("term_code") / 1e9, 6).alias(
+                "shingle_entropy_bits"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -54,8 +54,83 @@ def register(
 # and queries first registered this round go first; stable r2-green queries
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round 6, slot 1: the only red row on the board (r5 driver
-    # crash on its nested codes column; surface now serializes flat) --
+    # ================= ROUND 7 WINDOW =================
+    # Slot 1: the single red row of round 6 — entropy terms now summed
+    # as 1e9 int64 codes on both engines (float summation order was
+    # the divergence; third occurrence of the class, lint added in
+    # tests/test_transcendental_sums.py). Must re-check green.
+    "doc_stopword_entropy",
+    # Slots 2-17: the 16 wave-7/9 queries registered after the round-6
+    # window filled — implemented + locally parity-green but NEVER
+    # driver-checked (VERDICT r6 'What's missing' #1).
+    "blocklist_filter_report",
+    "ngram_diversity_report",
+    "doremi_domain_weights",
+    "hourly_theil_sen_trend",
+    "forecast_backtest_mase",
+    "knn_shapley_data_values",
+    "hourly_burstiness",
+    "ncm_classifier_eval",
+    "heaps_law_fit",
+    "zipf_slope_fit",
+    "vocab_good_turing",
+    "daily_growth_accounting",
+    "parts_abc_classification",
+    "ab_test_cuped",
+    "supplier_scorecard",
+    "brand_price_elasticity",
+    # Changed this round: synth_media now emits a deterministic
+    # duplicate payload pair so this row is non-vacuous (r6 gate was
+    # 'clean' with 0 rows); pinned-centroid oracle variant of the
+    # k-means selection step (VERDICT #8).
+    "media_phash_dedup",
+    "kmeans_assign_pinned",
+    # Changed this round by the transcendental-sum lint sweep
+    # (tests/test_transcendental_sums.py): entropy/chi-square terms now
+    # summed as 1e9 int64 codes. source_token_entropy additionally had
+    # never been driver-checked.
+    "source_token_entropy",
+    "event_dow_chisq",
+    "conditional_entropy_transitions",
+    # ---- round-7 NEW registrations (first driver check) ----
+    "order_batch_windows",
+    "sequential_ab_sprt",
+    "ewma_hourly_forecast",
+    "lineitem_discount_lift",
+    "cohort_ltv_curves",
+    "influence_functions_lr",
+    "minhash_containment_join",
+    "percolation_components",
+    "shingle_entropy_profile",
+    "price_index_laspeyres",
+    "session_path_markov_absorbing",
+    "uplift_model_tlearner",
+    # ---- r3-era re-sweep (longest-unverified hash-green rows; fill
+    # the remaining slots of the 50-window) ----
+    "event_cube_summary",
+    "user_event_type_pivot",
+    "user_journey_paths",
+    "event_type_transitions",
+    "event_value_histogram",
+    "user_hourly_gapfill",
+    "retention_cohorts",
+    "hourly_value_momentum",
+    "event_value_regression",
+    "lang_id",
+    "doc_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "bm25_search",
+    "tfidf_top_terms",
+    "token_coverage_curve",
+    # (next re-sweep rotation: sliding_activity_stats,
+    # hourly_event_rollup, user_sessions, session_conversion, similar_users_jaccard,
+    # similar_users_minhash_lsh, recommendation_agreement,
+    # item_cooccurrence_triangles, text_features, train_test_split,
+    # stratified_sample, source_quota_cap, pack_sequences, then the
+    # r5-green TPC-H block)
+    # ================= ROUND 6 WINDOW (kept below for history; these
+    # names are all driver-green as of r6 and follow in order) =====
     "embedding_pq",
     # -- round-6 NEW registrations: the 16 names round 5 promised, now
     # implemented (plans/analytics2.py + sketches/sampling/text/
@@ -180,6 +255,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         features,
         tpch,
         tpch_extra,

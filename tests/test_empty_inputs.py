@@ -39,6 +39,7 @@ _NONEMPTY_ON_EMPTY = {
     "bloom_membership_report": 1,  # scalar aggregate: one all-zero row
     "quality_classifier_lr": 10,  # fixed 10-row score-decile report
     "vocab_good_turing": 1,  # scalar aggregate: one all-zero/NULL row
+    "percolation_components": 3,  # fixed threshold grid, all-zero rows
 }
 
 
