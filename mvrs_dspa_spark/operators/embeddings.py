@@ -531,3 +531,64 @@ def ncm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+_JL_A, _JL_B = 48_271, 11  # affine sign hash (deterministic, host-known)
+_JL_P = 2_147_483_647
+
+# Achlioptas (2003) database-friendly projection: entries are ±1
+# (scaled 1/sqrt(k) at read-out), generated host-side so BOTH engines
+# inline the identical literal matrix — no RNG anywhere.
+_JL_SIGNS: list[list[int]] = [
+    [
+        1 if ((_JL_A * (d * JL_OUT_DIM + j) + _JL_B) % _JL_P) % 2 == 0 else -1
+        for j in range(JL_OUT_DIM)
+    ]
+    for d in range(JL_IN_DIM)
+]
+
+
+def _jl_sql_expr(j: int) -> str:
+    terms = " ".join(
+        ("+" if _JL_SIGNS[d][j] > 0 else "-") + f" embedding[{d + 1}]::DOUBLE"
+        for d in range(JL_IN_DIM)
+    )
+    return f"ROUND(({terms.lstrip('+ ')}) / 4.0, 6)"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+        SELECT vec_id,
+               {", ".join(f"{_jl_sql_expr(j)} AS p{j}" for j in range(JL_OUT_DIM))}
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    doc="Johnson-Lindenstrauss random projection (Achlioptas 2003 "
+    f"database-friendly ±1 matrix) of the {JL_IN_DIM}-dim embeddings "
+    f"to {JL_OUT_DIM} dims — the cheap re-projection ahead of "
+    "LSH/IVF indexing when PCA's two passes (#64) are too expensive; "
+    "distance preservation is the JL lemma's guarantee, pytest-"
+    "checked on sampled pairs. Pure projection: the ±1 matrix rides "
+    "as literals, each output dim is one fixed-order signed sum of "
+    "the input floats (bit-identical across engines, like the dot-"
+    "product folds), zero shuffle before the final sort. 1/sqrt(16) "
+    "= exact dyadic 1/4 scaling.",
+    tags=("ann", "llm"),
+)
+def embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = lambda d: F.element_at("embedding", d + 1).cast("double")  # noqa: E731
+    cols = []
+    for j in range(JL_OUT_DIM):
+        acc = e(0) * float(_JL_SIGNS[0][j])
+        for d in range(1, JL_IN_DIM):
+            acc = (acc + e(d)) if _JL_SIGNS[d][j] > 0 else (acc - e(d))
+        cols.append(F.round(acc / 4.0, 6).alias(f"p{j}"))
+    return emb.select("vec_id", *cols).orderBy("vec_id")

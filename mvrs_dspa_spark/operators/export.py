@@ -502,3 +502,98 @@ def curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "shard_id", "pos")
     )
+
+
+# --- token-budget corpus selection --------------------------------------------
+
+BUDGET_FRAC_NUM, BUDGET_FRAC_DEN = 1, 2  # keep best docs up to 1/2 of tokens
+
+
+def _budget_ctes() -> str:
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _QUALITY_CTES,
+        _QUALITY_SCORE_SQL,
+    )
+
+    return f"""
+        {_QUALITY_CTES},
+        scored AS (
+            SELECT doc_id, n_tokens, {_QUALITY_SCORE_SQL} AS q
+            FROM m
+        ),
+        ranked AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, q,
+                   ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rank,
+                   SUM(CAST(n_tokens AS BIGINT)) OVER (
+                       ORDER BY q DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                   SUM(CAST(n_tokens AS BIGINT)) OVER () AS total_tokens
+            FROM scored
+        )
+    """
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+        WITH {{}}
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               q AS quality_score,
+               cum_tokens * {BUDGET_FRAC_DEN}
+                   <= total_tokens * {BUDGET_FRAC_NUM} AS selected
+        FROM ranked
+        ORDER BY rank
+    """.format(_budget_ctes().lstrip()),
+    doc="Token-budget corpus selection: rank every document by the "
+    "published quality score (rounded, doc_id tiebreak — the house "
+    "rank rule) and greedily keep the best until the cumulative "
+    f"token count reaches {BUDGET_FRAC_NUM}/{BUDGET_FRAC_DEN} of the "
+    "corpus — the budget-constrained selection every pretraining "
+    "data team runs once the compute budget fixes the token count "
+    "(the knapsack-greedy companion to the per-language percentile "
+    "gate #53 and the quota cap #44). The budget test cross-"
+    "multiplies exact int64 token sums (no float fraction). Global "
+    "rank is a single total order on the bounded (score, id) pair — "
+    "same NTILE/10aj posture: acceptable because documents-table "
+    "cardinality, not token volume, drives it; at extreme scale the "
+    "order swaps to a two-phase range-partitioned rank.",
+    tags=("sampling", "llm"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.operators.text_analysis import (
+        _quality_metrics,
+        _quality_score_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = _quality_metrics(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _quality_score_col().alias("q"),
+    )
+    wr = Window.orderBy(F.desc("q"), "doc_id")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "doc_id",
+        "n_tokens",
+        "q",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("n_tokens").over(wcum).alias("cum_tokens"),
+        F.sum("n_tokens").over(wall).alias("total_tokens"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "n_tokens",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("q").alias("quality_score"),
+            (
+                F.col("cum_tokens") * BUDGET_FRAC_DEN
+                <= F.col("total_tokens") * BUDGET_FRAC_NUM
+            ).alias("selected"),
+        )
+        .orderBy("rank")
+    )

