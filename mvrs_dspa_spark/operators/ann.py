@@ -1602,8 +1602,14 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ),
     )
-    w_tail = w_probe.orderBy("rn").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # tail sum (rn' >= rn) as a REVERSE-ORDER running frame: Spark's
+    # UnboundedFollowing frame re-aggregates the remaining rows for
+    # EVERY row — O(n^2) per probe partition (the 10x stress probe
+    # measured ratio 40 at 10k train rows); the descending
+    # UnboundedPreceding..current frame is the incremental O(n) form
+    # of the same sum.
+    w_tail = w_probe.orderBy(F.desc("rn")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     coded = contrib.withColumn("s_code", F.sum("c_code").over(w_tail))
     return (

@@ -188,7 +188,11 @@ def test_10x_documents_scale_linear_no_spill(spark, tmp_path):
     assert _total_spill(spark) - spill0 == 0, "scale run spilled"
 
 
-EMB_SMALL = 5_000
+# 1k -> 10k vectors: knn_shapley's pair volume is probes(<=1024) x
+# corpus, so 10x corpus ~= 10x pairs (~40 s a run at 10x); 5k -> 50k
+# would push a single execution past 3 min x 3 runs for no extra
+# signal about linearity.
+EMB_SMALL = 1_000
 
 
 @pytest.mark.slow
