@@ -45,6 +45,7 @@ _SCALAR_BNLJ_OK = {
     "als_implicit_recs",  # cap-bounded 20-user serving sample broadcast
     "hybrid_search",  # 1-row pinned query-vector broadcast
     "value_drift_ks",  # 1-row time-range scalar broadcast
+    "value_wasserstein_drift",  # 1-row time-range scalar broadcast
     "user_rfm_segments",  # 1-row now + quintile-edges scalar broadcasts
     "event_dow_chisq",  # 1-row contingency-total scalar broadcast
     "bigram_pmi",  # 1-row unigram/bigram-total scalar broadcasts
