@@ -62,6 +62,25 @@ _SHUFFLE_BUDGET = {
     "ab_test_cuped": 4,
     "supplier_scorecard": 5,
     "brand_price_elasticity": 2,
+    # round 7 (audited at registration). Unbounded exchanges are the
+    # first fact-grain aggregation/window; everything after rides
+    # grids bounded by the band buckets, value domain, hour series,
+    # or part dimension.
+    "kmeans_assign_pinned": 1,        # final range-sort only
+    "order_batch_windows": 1,         # one custkey partitioning, reused
+    "sequential_ab_sprt": 2,
+    "ewma_hourly_forecast": 4,        # hourly agg + 48x grid fan-out
+    "lineitem_discount_lift": 2,
+    "cohort_ltv_curves": 6,
+    "influence_functions_lr": 1,      # suff-stats agg; fit broadcast back
+    "minhash_containment_join": 3,    # sig agg + band join + sort
+    "shingle_entropy_profile": 2,
+    "price_index_laspeyres": 7,       # fact join + part-year grid joins
+    "session_path_markov_absorbing": 3,
+    "uplift_model_tlearner": 4,
+    "value_wasserstein_drift": 4,     # cent-grid agg + grid windows
+    "embedding_random_projection": 1,  # projection-only + sort
+    "token_budget_selection": 1,      # doc-grain global rank (see doc)
 }
 
 _EXCHANGE_RE = re.compile(
