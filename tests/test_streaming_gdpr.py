@@ -71,3 +71,28 @@ def test_rfm_stats_erasure_then_restart(spark):
     m.update(_batch(spark, [(9, 1, "purchase", 10.0)]), 2)
     row = m.stats.where("user_id = 1").collect()[0]
     assert row.frequency == 1 and row.monetary_sum == 10.0
+
+
+def test_erasure_spares_null_keyed_state(spark):
+    """~isin(ids) evaluates to NULL for a NULL key, which silently
+    deleted all null-keyed state alongside the requested subjects
+    (ADVICE r6): erasure must touch ONLY the named users."""
+    m = RfmMaintainer(spark)
+    rows = [
+        (0, _BASE, 1, "purchase", 10.0),
+        (1, _BASE, 2, "purchase", 20.0),
+        (2, _BASE, None, "purchase", 30.0),
+    ]
+    batch = spark.createDataFrame(
+        [
+            (i, ts, uid, t, v, "{}")
+            for i, (i2, ts, uid, t, v) in enumerate(rows)
+        ],
+        SCHEMA,
+    )
+    m.update(batch, 0)
+    m.erase_users([1])
+    left = {r.user_id for r in m.stats.select("user_id").collect()}
+    assert 1 not in left
+    assert 2 in left
+    assert None in left, "null-keyed state must survive a targeted erase"
