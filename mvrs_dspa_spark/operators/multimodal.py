@@ -276,9 +276,14 @@ def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
                 raise NotImplementedError(
                     "real perceptual hashing requires PIL; not available"
                 )
+            # hash the HEX encoding of the payload: identical
+            # discriminative power for a fake codec (exact payloads
+            # collide), and hex keeps the pipeline expressible in the
+            # DuckDB oracle (its sha256 only accepts VARCHAR)
             ph = [
                 int.from_bytes(
-                    _hl.sha256(bytes(p)).digest()[:4], "big"
+                    _hl.sha256(bytes(p).hex().encode()).digest()[:4],
+                    "big",
                 )
                 for p in pdf["payload"]
             ]
@@ -295,9 +300,47 @@ def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
     )
 
 
+_PHASH_HEX_SQL = (
+    "sha256("
+    + " || ".join(f"md5(c || ':chunk{i}')" for i in range(4))
+    + ")"
+)
+
 @register(
     "media_phash_dedup",
-    oracle=None,  # binary payload + sha256 stage; pytest pins the values
+    oracle=f"""
+        WITH content AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id <= 1 THEN '__pinned_dup_payload__'
+                        ELSE text END AS c
+            FROM documents
+        ),
+        hashes AS (
+            SELECT media_id,
+                   CAST(('0x' || substr({{phash_hex}}, 1, 8)) AS BIGINT)
+                       AS phash
+            FROM content
+        ),
+        bands AS (
+            SELECT media_id, phash, b.band,
+                   (phash >> (8 * b.band)) & 255 AS band_val
+            FROM hashes,
+                 (SELECT unnest(generate_series(0, {PHASH_BANDS - 1}))
+                      AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                   a.phash AS pa, b.phash AS pb
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.media_id < b.media_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(pa, pb)) <= {PHASH_HAMMING_MAX}
+        ORDER BY id_a, id_b
+    """.replace("{phash_hex}", _PHASH_HEX_SQL),
     doc="Perceptual-hash media near-duplicate pairs — the MEDIA twin "
     "of text SimHash (#32), same banded-LSH shape: Arrow mapInPandas "
     f"computes a {PHASH_BITS}-bit pHash per payload (fake codec "
@@ -308,8 +351,12 @@ def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
     "is projected away BEFORE the join — only 8-byte hashes shuffle, "
     "never megabyte payloads, which is the whole point of the design "
     "at 100 TB of media. Candidate volume is band-bucket-bounded "
-    "exactly like the text LSH family.",
-    tags=("multimodal", "dedup", "rows_gate"),
+    "exactly like the text LSH family. Round 7: FULL hash gate — the "
+    "fake codec hashes the payload's hex encoding, which the DuckDB "
+    "oracle recomputes end-to-end (payload synthesis -> pHash -> "
+    "banding -> Hamming verify), so the Arrow stage, the band join, "
+    "and the planted (0,1) duplicate are all value-checked.",
+    tags=("multimodal", "dedup"),
 )
 def media_phash_dedup(spark, sf_dir: str) -> DataFrame:
     return phash_pairs(media_phash(synth_media(spark, sf_dir)))
