@@ -177,6 +177,25 @@ def candidate_pairs_sql(sig_sql: str, id_col: str, n: int, bands: int) -> str:
     """
 
 
+def candidate_pairs_from_sig_cte_sql(id_col: str, n: int, bands: int) -> str:
+    """LSH candidate-pair SQL that reads a CTE named ``sig`` from the
+    ENCLOSING scope — lets callers hoist the signature pipeline into one
+    ``WITH sig AS MATERIALIZED (...)`` shared with their own join-back
+    stages instead of DuckDB re-inlining it per reference (the
+    percolation-oracle lesson: ~9x re-execution without MATERIALIZED)."""
+    rows = n // bands
+    branches = "\n            UNION ALL ".join(
+        f"SELECT {id_col}, {j} AS band, {_band_hash_sql(j, rows)} AS bh FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+        WITH buckets AS ({branches})
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
+    """
+
+
 def est_similarity_expr(n: int) -> Column:
     """Matching-component fraction between sa.m{i} and sb.m{i}."""
     total: Column = F.lit(0)

@@ -1069,16 +1069,21 @@ _CONT_SIZES_SQL = f"""
 @register(
     "minhash_containment_join",
     oracle=f"""
-        WITH cand AS ({MH.candidate_pairs_sql(_SIG_SQL, "doc_id", N_HASHES, BANDS)}),
+        -- sig + sizes hoisted as MATERIALIZED so DuckDB runs the
+        -- shingle/signature pipeline ONCE (not re-inlined per branch;
+        -- the percolation-oracle lesson, ADVICE r7)
+        WITH sig AS MATERIALIZED ({_SIG_SQL}),
+        sizes AS MATERIALIZED ({_CONT_SIZES_SQL}),
+        cand AS ({MH.candidate_pairs_from_sig_cte_sql("doc_id", N_HASHES, BANDS)}),
         sized AS (
             SELECT c.id_a, c.id_b,
                    ({MH.sig_match_count_sql(N_HASHES)}) AS m,
                    za.n AS n_a, zb.n AS n_b
             FROM cand c
-            JOIN ({_SIG_SQL}) sa ON sa.doc_id = c.id_a
-            JOIN ({_SIG_SQL}) sb ON sb.doc_id = c.id_b
-            JOIN ({_CONT_SIZES_SQL}) za ON za.doc_id = c.id_a
-            JOIN ({_CONT_SIZES_SQL}) zb ON zb.doc_id = c.id_b
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+            JOIN sizes za ON za.doc_id = c.id_a
+            JOIN sizes zb ON zb.doc_id = c.id_b
         )
         SELECT id_a AS doc_a, id_b AS doc_b, n_a, n_b,
                CAST(m AS BIGINT) AS matches,

@@ -881,37 +881,63 @@ def anomaly_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "valid JUST BEFORE its timestamp (valid_from < ts <= valid_to, "
     "open row unbounded), i.e. the user's prior state as transition "
     "context; a user's first event has no prior version and reports "
-    "'none'. The join is an equi-join on user_id with the interval "
-    "check as a residual predicate — per-user version counts are "
-    "bounded by state changes, so the residual scans short runs, "
-    "never a nested loop over the corpus; both sides shuffle once on "
-    "the same key. Interval semantics make the match provably unique "
-    "per event, so the (prior_state x event_type) rollup is exact. "
-    "Reuses `analytics.state_intervals` — one SCD2 definition for "
-    "the dimension build, the streaming maintainer, and this "
-    "consumer.",
+    "'none'. Executed in the union-tag as-of shape (the "
+    "`click_purchase_asof` idiom, plans/analytics.py #10t): version "
+    "starts and events union into one frame, shuffle ONCE on user_id, "
+    "and a running last_value picks each event's latest version with "
+    "valid_from strictly before its ts — change rows sort AFTER event "
+    "rows at equal timestamps, which is exactly the strict "
+    "`valid_from < ts` bound of the interval form. Zero pair "
+    "explosion: the former equi-join-with-residual form scanned every "
+    "(event x version) pair per user, quadratic in per-user activity "
+    "(the 10x probe trended 6.5 -> 8.2 across rounds); this form is "
+    "one ordered window pass, linear per user and Zipf-head safe. "
+    "Interval matches are provably unique per event, so the "
+    "(prior_state x event_type) rollup is exact. Reuses "
+    "`analytics.state_intervals` — one SCD2 definition for the "
+    "dimension build, the streaming maintainer, and this consumer.",
     tags=("relational", "temporal"),
 )
 def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrs_dspa_spark.plans.analytics import state_intervals
 
     ev = table(spark, sf_dir, "events")
-    hist = state_intervals(ev).select(
-        F.col("user_id").alias("h_user_id"),
-        F.col("state").alias("prior_state"),
-        "valid_from",
-        "valid_to",
+    str_t = ev.schema["event_type"].dataType
+    vers = state_intervals(ev).select(
+        "user_id",
+        F.unix_micros("valid_from").alias("t_us"),
+        F.lit(1).alias("is_change"),
+        "version",
+        "state",
+        F.lit(None).cast(str_t).alias("event_type"),
+        F.lit(None).cast(ev.schema["value"].dataType).alias("value"),
     )
-    joined = ev.join(
-        hist,
-        (ev["user_id"] == hist["h_user_id"])
-        & (hist["valid_from"] < ev["ts"])
-        & (hist["valid_to"].isNull() | (ev["ts"] <= hist["valid_to"])),
-        "left",
+    evu = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(0).alias("is_change"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast(str_t).alias("state"),
+        "event_type",
+        "value",
     )
+    # Events sort before same-ts changes (strict valid_from < ts); among
+    # same-ts changes the highest version wins ((user_id, ts) is unique in
+    # the data model, so this tiebreak is defensive only).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_change", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prior = F.last(
+        F.when(F.col("is_change") == 1, F.col("state")), ignorenulls=True
+    ).over(w)
     return (
-        joined.groupBy(
-            F.coalesce("prior_state", F.lit("none")).alias("prior_state"),
+        vers.unionByName(evu)
+        .withColumn("prior_raw", prior)
+        .where(F.col("is_change") == 0)
+        .groupBy(
+            F.coalesce("prior_raw", F.lit("none")).alias("prior_state"),
             "event_type",
         )
         .agg(

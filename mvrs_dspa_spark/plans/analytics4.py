@@ -11,7 +11,7 @@ ranks/cutoffs order by already-rounded values with unique tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.registry import register
@@ -417,6 +417,57 @@ _SPRT_FAIL_CODE = -50_010_421  # round(1e9 * ln(0.78/0.82))
 _SPRT_BOUND_CODE = 2_944_438_979  # round(1e9 * ln((1-beta)/alpha)) = ln 19
 
 
+# ONE definition of the experiment's measurement surface, shared by the
+# registered batch query below and the streaming monitor
+# (streaming/sprt_stream.SprtMonitor) — an edit to the arm hash, day
+# bucketing, or success predicate changes BOTH engines together, so the
+# batch==stream equality pin can't silently diverge (ADVICE r7).
+
+
+def sprt_arm_filter() -> Column:
+    """Treatment-arm membership: the same deterministic affine user
+    hash the fixed-horizon tests (10ap, #160) bucket with."""
+    return (
+        (F.lit(_AB_A) * (F.col("user_id") % 2147483647)) % 2147483647
+    ) % 2 == 1
+
+
+def sprt_day_col() -> Column:
+    return F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+
+
+def sprt_success_col() -> Column:
+    return (
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("success")
+    )
+
+
+def sprt_decision_table(daily: DataFrame) -> DataFrame:
+    """Cumulative int-code LLR + Wald decision over a
+    (day, n_trials, n_success) grid — the serving tail shared by the
+    batch query and the streaming monitor's report()."""
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn(
+        "llr_code",
+        F.sum(
+            F.col("n_success") * _SPRT_SUCC_CODE
+            + (F.col("n_trials") - F.col("n_success")) * _SPRT_FAIL_CODE
+        ).over(w),
+    )
+    return cum.select(
+        "day",
+        "n_trials",
+        "n_success",
+        F.round(F.col("llr_code") / 1e9, 6).alias("llr"),
+        F.when(F.col("llr_code") >= _SPRT_BOUND_CODE, "accept_h1")
+        .when(F.col("llr_code") <= -_SPRT_BOUND_CODE, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
 @register(
     "sequential_ab_sprt",
     oracle=f"""
@@ -464,38 +515,14 @@ _SPRT_BOUND_CODE = 2_944_438_979  # round(1e9 * ln((1-beta)/alpha)) = ln 19
 )
 def sequential_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    trials = ev.where(
-        ((F.lit(_AB_A) * (F.col("user_id") % 2147483647)) % 2147483647)
-        % 2
-        == 1
-    ).select(
-        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("success"),
+    trials = ev.where(sprt_arm_filter()).select(
+        sprt_day_col(), sprt_success_col()
     )
     daily = trials.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_trials"),
         F.sum("success").alias("n_success"),
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cum = daily.withColumn(
-        "llr_code",
-        F.sum(
-            F.col("n_success") * _SPRT_SUCC_CODE
-            + (F.col("n_trials") - F.col("n_success")) * _SPRT_FAIL_CODE
-        ).over(w),
-    )
-    return cum.select(
-        "day",
-        "n_trials",
-        "n_success",
-        F.round(F.col("llr_code") / 1e9, 6).alias("llr"),
-        F.when(F.col("llr_code") >= _SPRT_BOUND_CODE, "accept_h1")
-        .when(F.col("llr_code") <= -_SPRT_BOUND_CODE, "accept_h0")
-        .otherwise("continue")
-        .alias("decision"),
-    ).orderBy("day")
+    return sprt_decision_table(daily)
 
 
 # --- EWMA hourly forecast backtest ---------------------------------------------
@@ -550,7 +577,13 @@ _EWMA_NORM = 1.0 - 0.5**_EWMA_WINDOW  # sum of the truncated weights
     "contribute exactly zero without explicit gap-fill. Weight "
     "products are exact-dyadic scaled and 1e6-int-coded before the "
     "SUM (summation-order free). Reports actual, forecast, and "
-    "absolute error per (type, hour).",
+    "absolute error per (type, hour). Coverage semantics (ADVICE "
+    "r7): the backtest INNER-joins actuals to forecasts, so an hour "
+    "with revenue but no data anywhere in its trailing "
+    f"{_EWMA_WINDOW}-hour window (notably each type's first hour) "
+    "has no forecast and is EXCLUDED from the output — a backtest "
+    "row means 'a forecast existed and was scored', never a "
+    "NULL-forecast placeholder.",
     tags=("analytics", "windows"),
 )
 def ewma_hourly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,8 +1091,9 @@ def session_path_markov_absorbing(
                CAST(MAX(t1) AS BIGINT) AS n_first_half,
                CAST(MAX(t2) AS BIGINT) AS n_second_half,
                CASE WHEN MAX(t1) > 0 AND MAX(t2) > 0 THEN
-                   ROUND(SUM(CASE WHEN nxt IS NULL THEN 0
-                             ELSE abs(cum1 * t2 - cum2 * t1)
+                   ROUND(SUM(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT)
+                             ELSE abs(CAST(cum1 AS HUGEINT) * t2
+                                      - CAST(cum2 AS HUGEINT) * t1)
                                   * (nxt - cents) END)
                          / (1.0 * MAX(t1) * MAX(t2) * 100), 6)
                END AS wasserstein_1
@@ -1075,6 +1109,11 @@ def session_path_markov_absorbing(
     "CDFs. Every per-segment term is the exact INTEGER "
     "|cum1*T2 - cum2*T1| * dcents (cross-multiplied, no float "
     "cumsum), summed exactly, ONE final division — W1 in dollars. "
+    "The term and its sum are decimal(38,0) on Spark / HUGEINT on "
+    "the oracle: the per-type total is bounded by T1*T2*cent_range, "
+    "which exceeds int64 around 1e7 events per type — 128-bit "
+    "accumulation keeps both engines exact (and wrap-free) at any "
+    "realistic scale (ADVICE r7). "
     "One corpus pass to the (type, cent) grid; windows run on the "
     "value-domain-bounded grid partitioned by type.",
     tags=("analytics", "stats", "llm"),
@@ -1111,9 +1150,13 @@ def value_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c2").over(wt).alias("t2"),
         F.lead("cents").over(wt.orderBy("cents")).alias("nxt"),
     )
-    term = F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
-        F.abs(F.col("cum1") * F.col("t2") - F.col("cum2") * F.col("t1"))
-        * (F.col("nxt") - F.col("cents"))
+    dec = "decimal(38,0)"
+    term = F.when(F.col("nxt").isNull(), F.lit(0).cast(dec)).otherwise(
+        F.abs(
+            F.col("cum1").cast(dec) * F.col("t2").cast(dec)
+            - F.col("cum2").cast(dec) * F.col("t1").cast(dec)
+        )
+        * (F.col("nxt") - F.col("cents")).cast(dec)
     )
     return (
         cum.groupBy("event_type")

@@ -20,15 +20,18 @@ Mirrors the reference's per-key running-count jobs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ONE experiment definition shared with the registered batch query —
+# arm hash, day bucketing, success predicate, and the LLR/decision
+# serving tail all live in analytics4 (ADVICE r7: no inline twin to
+# drift out of sync with the batch filter).
 from mvrs_dspa_spark.plans.analytics4 import (
-    _AB_A,
-    _DAY_US,
-    _SPRT_BOUND_CODE,
-    _SPRT_FAIL_CODE,
-    _SPRT_SUCC_CODE,
+    sprt_arm_filter,
+    sprt_day_col,
+    sprt_decision_table,
+    sprt_success_col,
 )
 
 DAILY_SCHEMA = "day long, n_trials long, n_success long"
@@ -58,24 +61,12 @@ class SprtMonitor:
         if batch_df.isEmpty():
             return
         delta = (
-            batch_df.where(
-                (
-                    (F.lit(_AB_A) * (F.col("user_id") % 2147483647))
-                    % 2147483647
-                )
-                % 2
-                == 1
-            )
-            .groupBy(
-                F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
-            )
+            batch_df.where(sprt_arm_filter())
+            .select(sprt_day_col(), sprt_success_col())
+            .groupBy("day")
             .agg(
                 F.count(F.lit(1)).alias("d_trials"),
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", 1).otherwise(
-                        0
-                    )
-                ).alias("d_success"),
+                F.sum("success").alias("d_success"),
             )
         )
         merged = self.daily.join(delta, "day", "full_outer").select(
@@ -97,28 +88,9 @@ class SprtMonitor:
     def report(self) -> DataFrame:
         """The registered batch query's exact output shape, served
         from the maintained day grid (bounded by the retention
-        window, not event volume)."""
-        w = Window.orderBy("day").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        cum = self.daily.withColumn(
-            "llr_code",
-            F.sum(
-                F.col("n_success") * _SPRT_SUCC_CODE
-                + (F.col("n_trials") - F.col("n_success"))
-                * _SPRT_FAIL_CODE
-            ).over(w),
-        )
-        return cum.select(
-            "day",
-            "n_trials",
-            "n_success",
-            F.round(F.col("llr_code") / 1e9, 6).alias("llr"),
-            F.when(F.col("llr_code") >= _SPRT_BOUND_CODE, "accept_h1")
-            .when(F.col("llr_code") <= -_SPRT_BOUND_CODE, "accept_h0")
-            .otherwise("continue")
-            .alias("decision"),
-        ).orderBy("day")
+        window, not event volume) through the SAME serving tail the
+        batch query uses."""
+        return sprt_decision_table(self.daily)
 
     def decision(self) -> str:
         """The test's CURRENT decision: the latest day's row (SPRT
