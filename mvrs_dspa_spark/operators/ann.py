@@ -308,6 +308,81 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pinned-hyperplane bucket assignment (the oracle-checkable LSH step) -----
+#
+# ann_lsh is rows-gated because random-hyperplane recall is
+# approximate by design, but its BUCKETING step — sign of x.p folded
+# into a band code — is deterministic given the planes. Pinning the
+# planes to data-independent dyadic constants puts the sign fold, the
+# bit packing, and the bucket-occupancy count under a full value-hash
+# oracle (VERDICT r7 #3, the kmeans_assign_pinned playbook): a
+# regression in the hyperplane projection or the signature fold is
+# caught by the driver, not just pytest.
+
+PIN_LSH_BITS = 8
+# dyadic-exact plane coefficients (multiples of 1/1024 in [-0.5, 0.5)):
+# each (float->double) * dyadic product is one exactly-rounded IEEE op,
+# and the left-to-right dot fold is the same in both engines, so the
+# sign — and with it every bucket bit — is bit-identical.
+PINNED_PLANES: list[list[float]] = [
+    [(((b * 257 + d * 31) % 1024) - 512) / 1024.0 for d in range(LSH_DIM)]
+    for b in range(PIN_LSH_BITS)
+]
+
+_PIN_PLANES_SQL = ", ".join(
+    f"({b}, [{', '.join(repr(v) for v in vec)}])"
+    for b, vec in enumerate(PINNED_PLANES)
+)
+
+
+@register(
+    "ann_lsh_assign_pinned",
+    oracle=f"""
+        WITH planes(b, pvec) AS (VALUES {_PIN_PLANES_SQL}),
+        bits AS (
+            SELECT e.vec_id, p.b,
+                   CASE WHEN {_dot_sql("e.embedding", "p.pvec")} > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM embeddings e CROSS JOIN planes p
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id
+        )
+        SELECT vec_id, bucket,
+               CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT)
+                   AS bucket_size
+        FROM sigs
+        ORDER BY vec_id
+    """,
+    doc=f"Random-hyperplane LSH bucket assignment against PINNED "
+    f"dyadic-exact planes ({PIN_LSH_BITS} bits) — the deterministic "
+    "bucketing step of ann_lsh under a full value-hash oracle (the "
+    "recall-bearing candidate join stays rows-gated in ann_lsh; same "
+    "split as kmeans_embeddings / kmeans_assign_pinned). Sign bits "
+    "come from the sequential zip_with dot fold (IEEE-identical to "
+    "the oracle's list_reduce), pack map-side into one int64 band "
+    "code, and the only shuffle is the bounded bucket-occupancy "
+    "count — the quantity LSH candidate volume is sized by.",
+    tags=("ann",),
+)
+def ann_lsh_assign_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket: Column = F.lit(0).cast("long")
+    for b, plane in enumerate(PINNED_PLANES):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = (dot_col(F.col("embedding"), p) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << b)
+    sigs = emb.select("vec_id", bucket.alias("bucket"))
+    w = Window.partitionBy("bucket")
+    return sigs.select(
+        "vec_id",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+    ).orderBy("vec_id")
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 IVF_NLIST = 16   # coarse-quantizer cells (sqrt(n)-ish at test scale)

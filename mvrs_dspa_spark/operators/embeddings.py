@@ -367,6 +367,116 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pinned-codebook PQ encode (the oracle-checkable PQ step) ----------------
+#
+# embedding_pq is rows-gated because the codebook FIT is iterative
+# k-means, but its ENCODE step — per-subspace argmin over the codebook
+# — is deterministic given codebooks. Pinning the codebooks to
+# data-independent dyadic constants puts the subspace slicing, the
+# distance fold, the argmin tiebreak, and the residual accumulation
+# under a full value-hash oracle (VERDICT r7 #3, the
+# kmeans_assign_pinned playbook).
+
+PQE_SUB = 16  # dims per subspace: PQ_M * PQE_SUB = the 64-dim layout
+# dyadic-exact codebook entries (multiples of 1/1024 in [-0.5, 0.5)):
+# each (x - c) and its square are exactly-rounded IEEE ops on
+# identical operands in both engines.
+PINNED_CODEBOOKS: list[list[list[float]]] = [
+    [
+        [
+            (((j * 61 + c * 131 + d * 17) % 1024) - 512) / 1024.0
+            for d in range(PQE_SUB)
+        ]
+        for c in range(PQ_K)
+    ]
+    for j in range(PQ_M)
+]
+
+_PIN_BOOKS_SQL = ", ".join(
+    f"({j}, {c}, [{', '.join(repr(v) for v in vec)}])"
+    for j, book in enumerate(PINNED_CODEBOOKS)
+    for c, vec in enumerate(book)
+)
+
+
+def _sq_dist_col(vec, centroid: list[float]):
+    """Sequential ||vec - c||^2 fold — IEEE-identical to the oracle's
+    list_reduce (the clustering._sq_dist shape, local to avoid a
+    module cycle)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "embedding_pq_encode_pinned",
+    oracle=f"""
+        WITH books(j, cid, cvec) AS (VALUES {_PIN_BOOKS_SQL}),
+        dists AS (
+            SELECT e.vec_id, b.j, b.cid,
+                   list_reduce(list_prepend(0.0, list_transform(
+                       generate_series(1, {PQE_SUB}),
+                       i -> (e.embedding[b.j * {PQE_SUB} + i]::DOUBLE
+                             - b.cvec[i])
+                            * (e.embedding[b.j * {PQE_SUB} + i]::DOUBLE
+                               - b.cvec[i]))),
+                       (x, y) -> x + y) AS d
+            FROM embeddings e CROSS JOIN books b
+        ),
+        best AS (
+            SELECT vec_id, j, cid, d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+            FROM dists
+        )
+        SELECT vec_id,
+               string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes,
+               ROUND(SUM(CAST(ROUND(1e9 * d) AS BIGINT))
+                     / {PQ_M * PQE_SUB}e9, 6) AS recon_mse
+        FROM best WHERE rn = 1
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """,
+    doc=f"Product-quantization encode against PINNED dyadic-exact "
+    f"codebooks (PQ{PQ_M}x{PQ_K} on {PQ_M}x{PQE_SUB}-dim slices) — "
+    "the deterministic selection step of embedding_pq under a full "
+    "value-hash oracle (the iterative codebook fit stays rows-gated "
+    "in embedding_pq; same split as kmeans_assign_pinned / "
+    "ann_lsh_assign_pinned). Codebooks ride as literals, distances "
+    "are sequential zip_with folds, argmin ties break to the lowest "
+    "code on both engines, and per-subspace residuals are 1e9 "
+    "int-coded before summing so the MSE is summation-order free. "
+    "Projection-only: zero shuffle before the final sort.",
+    tags=("llm", "embeddings"),
+)
+def embedding_pq_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = []
+    err_code = F.lit(0).cast("long")
+    for j in range(PQ_M):
+        sv = F.slice(F.col("embedding"), j * PQE_SUB + 1, PQE_SUB)
+        dists = F.array(
+            *[_sq_dist_col(sv, PINNED_CODEBOOKS[j][c]) for c in range(PQ_K)]
+        )
+        best = F.array_min(dists)
+        codes.append(
+            (F.array_position(dists, best) - 1).cast("int").cast("string")
+        )
+        err_code = err_code + F.round(best * 1e9).cast("long")
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", *codes).alias("codes"),
+        F.round(err_code / F.lit(float(PQ_M * PQE_SUB) * 1e9), 6).alias(
+            "recon_mse"
+        ),
+    ).orderBy("vec_id")
+
+
 # --- nearest-class-mean classifier evaluation ---------------------------------
 #
 # Prototype classifier (Mensink et al. 2013): one centroid per label

@@ -54,6 +54,82 @@ def register(
 # and queries first registered this round go first; stable r2-green queries
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # ================= ROUND 8 WINDOW =================
+    # Slots 1-5: queries changed or first registered this round.
+    # - point_in_time_state_join: rewritten in the union-tag as-of
+    #   shape (VERDICT r7 'What's wrong' #1; 10x probe 8.2 -> 2.5)
+    # - value_wasserstein_drift: decimal/HUGEINT accumulator
+    #   (ADVICE r7 overflow headroom)
+    # - minhash_containment_join: oracle hoisted to MATERIALIZED CTEs
+    #   (ADVICE r7; Spark side unchanged, re-check is defensive)
+    # - ann_lsh_assign_pinned / embedding_pq_encode_pinned: NEW pinned
+    #   hash-gate twins of the rows-gated ann_lsh / embedding_pq
+    #   (VERDICT r7 #3) — first driver check.
+    "point_in_time_state_join",
+    "value_wasserstein_drift",
+    "minhash_containment_join",
+    "ann_lsh_assign_pinned",
+    "embedding_pq_encode_pinned",
+    # Slots 6-50: the staleness re-sweep (VERDICT r7 #2) — every row
+    # whose latest driver check is r2 or r3, oldest first. After this
+    # window no oracle row is older than r4; the r4 block (47 rows)
+    # rotates in next round.
+    # -- r2-checked rows (4 hash + 6 rows-gate) --
+    "boilerplate_ngrams",
+    "chunk_documents",
+    "dedup_clusters",
+    "dedup_incremental",
+    "ann_ivf",
+    "ann_lsh",
+    "event_user_counts_approx",
+    "event_value_percentiles_approx",
+    "kmeans_embeddings",
+    "unusual_activity",
+    # -- r3-checked rows (the queued re-sweep order from r7 first) --
+    "bm25_search",
+    "tfidf_top_terms",
+    "token_coverage_curve",
+    "sliding_activity_stats",
+    "hourly_event_rollup",
+    "user_sessions",
+    "session_conversion",
+    "similar_users_jaccard",
+    "similar_users_minhash_lsh",
+    "recommendation_agreement",
+    "item_cooccurrence_triangles",
+    "text_features",
+    "train_test_split",
+    "stratified_sample",
+    "source_quota_cap",
+    "pack_sequences",
+    # -- remaining r3-checked rows --
+    "constraint_violations",
+    "dedup_modality_agreement",
+    "doc_unigram_logprob",
+    "error_purchase_precursor_join",
+    "fuzzy_name_pairs",
+    "lang_id_confusion",
+    "lang_mix_temperature",
+    "length_bucketed_batches",
+    "media_features",
+    "pca_embeddings_projection",
+    "quality_percentile_filter",
+    "reply_tree_roots",
+    "reply_tree_stats",
+    "salted_event_rollup",
+    "semantic_dedup",
+    "shard_manifest",
+    "training_corpus_manifest",
+    "user_item_sets",
+    "weighted_sample_topk",
+    # (re-sweep queue for round 9: the 47 r4-checked rows, oldest
+    # block — ab_test_report, activity_gini, ann_ivf_pq,
+    # ann_lsh_banded, bigram_pmi, bpe_merge_pairs, cdc_merge_apply,
+    # cms_heavy_hitters, code_switch_report, corpus_mixture_report,
+    # cross_source_dup_matrix, curriculum_manifest,
+    # decontaminate_semantic, dedup_containment, doc_bigram_logprob,
+    # embedding_quantize, event_value_equidepth_histogram, ... — plus
+    # whatever round 9 changes or registers.)
     # ================= ROUND 7 WINDOW =================
     # Slot 1: the single red row of round 6 — entropy terms now summed
     # as 1e9 int64 codes on both engines (float summation order was

@@ -1,0 +1,109 @@
+"""Regenerate the SURVEY.md §2g verification-freshness ledger.
+
+The ledger is one row per registered query: its gate kind (oracle vs
+rows) and the LATEST round the external driver checked it, derived
+mechanically from the CORRECTNESS_r*.json files plus the registry's
+current 50-slot `_DRIVER_PRIORITY` window. VERDICT r7 'What's wrong'
+#3: the hand-maintained table went stale the round after it was
+written; this script is the single source of truth, run at round
+close and pinned by tests/test_freshness_ledger.py.
+
+Usage:
+    python tools/freshness.py            # rewrite SURVEY.md in place
+    python tools/freshness.py --check    # exit 1 if SURVEY.md is stale
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SURVEY = os.path.join(REPO, "SURVEY.md")
+
+_HEADER = """### 2g Verification-freshness ledger (rotation bookkeeping)
+
+One row per registered query: its gate kind and the LATEST round the
+external driver checked it — regenerated mechanically from
+CORRECTNESS_r*.json by `tools/freshness.py` (run it at round close;
+`tests/test_freshness_ledger.py` fails if this table is stale).
+`(r{next} window)` marks the 50 slots the current `_DRIVER_PRIORITY`
+submits for checking; `never` = implemented and locally parity-green
+but awaiting a first driver slot. Policy: changed or never-checked
+queries outrank re-verification of stable hash-green rows; the
+re-sweep queue cycles the remainder oldest-first.
+
+| query | gate | latest driver check |
+|---|---|---|
+"""
+
+
+def _latest_checks() -> tuple[dict[str, str], int]:
+    """Map query -> 'rN hash-pass' / 'rN rows-ran' / 'rN HASH-FAIL' /
+    'rN ERROR(...)' from the newest round that checked it, plus the
+    upcoming round number (max seen + 1)."""
+    latest: dict[str, str] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            data = json.load(f)
+        for name, res in data.items():
+            if res.get("hash_match"):
+                state = f"r{rnd} hash-pass"
+            elif res.get("err") == "no_oracle":
+                state = f"r{rnd} rows-ran"
+            elif res.get("err"):
+                state = f"r{rnd} ERROR({res['err']})"
+            elif res.get("rows_match"):
+                state = f"r{rnd} HASH-FAIL"
+            else:
+                state = f"r{rnd} ROWS-FAIL"
+            latest[name] = state
+    return latest, max_round + 1
+
+
+def render() -> str:
+    sys.path.insert(0, REPO)
+    from mvrs_dspa_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    window = set(list(specs)[:50])
+    latest, next_round = _latest_checks()
+    lines = [_HEADER.replace("{next}", str(next_round))]
+    for name, spec in specs.items():
+        gate = "oracle" if spec.oracle is not None else "rows"
+        state = latest.get(name, "never")
+        if name in window:
+            state += f" (r{next_round} window)"
+        lines.append(f"| `{name}` | {gate} | {state} |\n")
+    return "".join(lines) + "\n"
+
+
+def apply(check_only: bool) -> int:
+    with open(SURVEY) as f:
+        text = f.read()
+    start = text.index("### 2g ")
+    end = text.index("\n## ", start) + 1
+    new_text = text[:start] + render() + text[end:]
+    if new_text == text:
+        print("SURVEY.md §2g ledger is up to date")
+        return 0
+    if check_only:
+        print("SURVEY.md §2g ledger is STALE — run: python tools/freshness.py")
+        return 1
+    with open(SURVEY, "w") as f:
+        f.write(new_text)
+    print("SURVEY.md §2g ledger regenerated")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(apply(check_only="--check" in sys.argv[1:]))
