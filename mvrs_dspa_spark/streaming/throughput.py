@@ -51,11 +51,28 @@ def measure_stream_throughput(
     synthetic_rows: int = 100_000,
     rows_per_batch: int = 25_000,
     timeout_s: int = 120,
+    state_partitions: int | None = None,
 ) -> dict:
     """Run the bounded stream to completion; return a progress summary.
 
     Output keys: rows, batches, wall_ms (sum of batch triggerExecution),
     rows_per_s (rows / wall), peak_batch_rows_per_s.
+
+    `state_partitions` sets `spark.sql.shuffle.partitions` for this
+    query only (restored after): for a stateful pipeline that is the
+    state-store instance count, and the round-8 profile showed the
+    per-micro-batch cost is dominated by per-partition store commits,
+    NOT row work — at sf0.1 on local[32] the sliding pipeline runs
+    30.3k rows/s at 32 partitions / 4 batches but 75.4k rows/s at 8
+    partitions / 1 batch (min-of-3, same JVM), i.e. wall ~= batches x
+    partitions x commit_cost + linear row work. Size state partitions
+    to state VOLUME (peak state rows / ~1M), never default them to
+    core count; the commit cost itself is Spark-internal
+    (HDFSBackedStateStore delta write + snapshot bookkeeping per
+    partition per batch; RocksDB is ~1.7x slower still at this state
+    size). In production the same lever is micro-batch sizing
+    (maxFilesPerTrigger / maxOffsetsPerTrigger): fewer, larger batches
+    amortize the fixed commit cost.
     """
     if source == "parquet":
         if parquet_dir is None:
@@ -89,6 +106,9 @@ def measure_stream_throughput(
     # triggers (small files_per_trigger over many files).
     monitor = ProgressMonitor()
     spark.streams.addListener(monitor)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         # append is correct for both pipelines: the sliding agg is
         # watermarked, so finalized windows append on watermark advance.
@@ -110,6 +130,7 @@ def measure_stream_throughput(
         while time.monotonic() < deadline and qid not in monitor.terminated:
             time.sleep(0.05)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.streams.removeListener(monitor)
 
     progress = [p for p in monitor.progress if p["query_id"] == qid]

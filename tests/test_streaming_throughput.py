@@ -35,6 +35,21 @@ def test_parquet_stream_throughput_sliding(spark, split_events_dir):
     assert r["rows_per_s"] > 1_000, r
 
 
+def test_sliding_throughput_state_partitions_knob(spark, split_events_dir):
+    """The round-8 profiling lever: state_partitions pins the query's
+    state-store instance count (fewer per-batch commits) and restores
+    the session conf afterwards. No timing assert — cross-JVM rates
+    flake; the measured 30.3k -> 41.6k rows/s (32 -> 8 partitions,
+    same workload shape, min-of-3 same-JVM) is recorded in SURVEY §6."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    r = measure_stream_throughput(
+        spark, source="parquet", pipeline="sliding",
+        parquet_dir=split_events_dir, state_partitions=8,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert r["rows"] > 0 and r["rows_per_s"] > 1_000, r
+
+
 def test_synthetic_stream_throughput(spark):
     r = measure_stream_throughput(
         spark, source="synthetic", pipeline="stateless",
