@@ -28,7 +28,7 @@ first-class LLM-pipeline/scale extension alongside HLL and KLL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.functions import hashing as H
@@ -635,6 +635,55 @@ THETA_K = 128
 _THETA_AB = H.hash_params(1, seed=5151)[0]
 
 
+def theta_code_col(user_id: Column | None = None) -> Column:
+    """The KMV hash — ONE definition shared by the registered batch
+    query and the streaming sketch maintainer
+    (streaming/theta_stream.ThetaMonitor)."""
+    u = F.col("user_id") if user_id is None else user_id
+    return H.affine_col(u, *_THETA_AB)
+
+
+def theta_sketch_table(codes: DataFrame, exact: bool = True) -> DataFrame:
+    """Per-type + '__union__' theta/KMV sketch rows from a distinct
+    (event_type, code) frame — the serving tail shared by the batch
+    query (codes from one corpus scan; exact=True adds the
+    ground-truth n_exact/rel_err columns) and the streaming monitor
+    (codes = its bounded k-per-type state, where exact counts are not
+    available by construction)."""
+    from pyspark.sql import Window
+
+    merged = codes.unionByName(
+        codes.select("code")
+        .distinct()
+        .select(F.lit("__union__").alias("event_type"), "code")
+    )
+    # the union sketch needs only the k smallest combined codes; when
+    # `codes` is already a k-per-type state, the global k smallest are
+    # each inside their own type's k smallest, so the union row equals
+    # the full-data sketch (the KMV union property).
+    w = Window.partitionBy("event_type").orderBy("code")
+    ranked = merged.withColumn("rn", F.row_number().over(w))
+    if not exact:
+        ranked = ranked.where(F.col("rn") <= THETA_K)
+    n = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == THETA_K, F.col("code")))
+    est = F.when(n < THETA_K, n.cast("double")).otherwise(
+        F.lit(float(THETA_K - 1)) * F.lit(float(H.P)) / kth
+    )
+    cols = [
+        kth.cast("long").alias("kth_code"),
+        F.round(est, 4).alias("est_distinct"),
+    ]
+    if exact:
+        cols = [
+            n.cast("long").alias("n_exact"),
+            *cols,
+            F.round((est - n) / n, 6).alias("rel_err"),
+        ]
+    return ranked.groupBy("event_type").agg(*cols).orderBy("event_type")
+
+
+
 @register(
     "theta_sketch_distinct_union",
     oracle=f"""
@@ -689,35 +738,12 @@ _THETA_AB = H.hash_params(1, seed=5151)[0]
 def theta_sketch_distinct_union(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events")
     codes = ev.select(
         "event_type",
-        H.affine_col(F.col("user_id"), *_THETA_AB).alias("code"),
+        theta_code_col().alias("code"),
     ).distinct()
-    merged = codes.unionByName(
-        codes.select("code")
-        .distinct()
-        .select(F.lit("__union__").alias("event_type"), "code")
-    )
-    w = Window.partitionBy("event_type").orderBy("code")
-    ranked = merged.withColumn("rn", F.row_number().over(w))
-    n = F.count(F.lit(1))
-    kth = F.max(F.when(F.col("rn") == THETA_K, F.col("code")))
-    est = F.when(n < THETA_K, n.cast("double")).otherwise(
-        F.lit(float(THETA_K - 1)) * F.lit(float(H.P)) / kth
-    )
-    return (
-        ranked.groupBy("event_type")
-        .agg(
-            n.cast("long").alias("n_exact"),
-            kth.cast("long").alias("kth_code"),
-            F.round(est, 4).alias("est_distinct"),
-            F.round((est - n) / n, 6).alias("rel_err"),
-        )
-        .orderBy("event_type")
-    )
+    return theta_sketch_table(codes, exact=True)
 
 
 # --- mergeable t-digest quantiles ------------------------------------------

@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.registry import register
@@ -1077,6 +1077,69 @@ def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_BINS = int((_HIST_HI - _HIST_LO) / _HIST_WIDTH)
 
 
+def psi_bucket_col(value: Column | None = None) -> Column:
+    """The PSI value-binning expression — ONE definition shared by the
+    registered batch query and the streaming drift monitor
+    (streaming/psi_stream.PsiMonitor), per the SPRT no-inline-twin
+    rule (ADVICE r7)."""
+    v = F.col("value") if value is None else value
+    return F.least(
+        F.greatest(F.floor((v - _HIST_LO) / _HIST_WIDTH), F.lit(0)),
+        F.lit(_PSI_BINS - 1),
+    ).cast("long")
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI per event type from a (event_type, period, bucket, c) count
+    grid — the bounded serving tail shared by the batch query (counts
+    from one corpus scan) and the streaming monitor (counts maintained
+    incrementally). period 0 = reference window, 1 = current."""
+    totals = counts.groupBy("event_type", "period").agg(
+        F.sum("c").alias("n")
+    )
+    types = counts.select("event_type").distinct()
+    grid = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias(
+            "bucket"
+        ),
+    )
+    rt = totals.where(F.col("period") == 0).select(
+        "event_type", F.col("n").alias("n_ref")
+    )
+    ut = totals.where(F.col("period") == 1).select(
+        "event_type", F.col("n").alias("n_cur")
+    )
+    rc = counts.where(F.col("period") == 0).select(
+        "event_type", "bucket", F.col("c").alias("c_ref")
+    )
+    uc = counts.where(F.col("period") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c_cur")
+    )
+    p_ref = (F.coalesce("c_ref", F.lit(0)) + 1) / (
+        F.col("n_ref") + _PSI_BINS
+    ).cast("double")
+    p_cur = (F.coalesce("c_cur", F.lit(0)) + 1) / (
+        F.col("n_cur") + _PSI_BINS
+    ).cast("double")
+    return (
+        grid.join(rt, "event_type")
+        .join(ut, "event_type")
+        .join(rc, ["event_type", "bucket"], "left")
+        .join(uc, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            (
+                (p_cur - p_ref) * F.log(p_cur / p_ref)
+            ).alias("term"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+
 @register(
     "value_drift_psi",
     oracle=f"""
@@ -1144,12 +1207,6 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("mn"),
         F.max(F.unix_micros("ts")).alias("mx"),
     )
-    bucket = F.least(
-        F.greatest(
-            F.floor((F.col("value") - _HIST_LO) / _HIST_WIDTH), F.lit(0)
-        ),
-        F.lit(_PSI_BINS - 1),
-    ).cast("long")
     labeled = ev.crossJoin(F.broadcast(rng)).select(
         "event_type",
         F.when(
@@ -1158,54 +1215,12 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(1))
         .alias("period"),
-        bucket.alias("bucket"),
+        psi_bucket_col().alias("bucket"),
     )
     counts = labeled.groupBy("event_type", "period", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    totals = counts.groupBy("event_type", "period").agg(
-        F.sum("c").alias("n")
-    )
-    types = labeled.select("event_type").distinct()
-    grid = types.select(
-        "event_type",
-        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias(
-            "bucket"
-        ),
-    )
-    rt = totals.where(F.col("period") == 0).select(
-        "event_type", F.col("n").alias("n_ref")
-    )
-    ut = totals.where(F.col("period") == 1).select(
-        "event_type", F.col("n").alias("n_cur")
-    )
-    rc = counts.where(F.col("period") == 0).select(
-        "event_type", "bucket", F.col("c").alias("c_ref")
-    )
-    uc = counts.where(F.col("period") == 1).select(
-        "event_type", "bucket", F.col("c").alias("c_cur")
-    )
-    p_ref = (F.coalesce("c_ref", F.lit(0)) + 1) / (
-        F.col("n_ref") + _PSI_BINS
-    ).cast("double")
-    p_cur = (F.coalesce("c_cur", F.lit(0)) + 1) / (
-        F.col("n_cur") + _PSI_BINS
-    ).cast("double")
-    return (
-        grid.join(rt, "event_type")
-        .join(ut, "event_type")
-        .join(rc, ["event_type", "bucket"], "left")
-        .join(uc, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            (
-                (p_cur - p_ref) * F.log(p_cur / p_ref)
-            ).alias("term"),
-        )
-        .groupBy("event_type")
-        .agg(F.round(F.sum("term"), 6).alias("psi"))
-        .orderBy("event_type")
-    )
+    return psi_from_counts(counts)
 
 
 # --- CUSUM changepoint detection -------------------------------------------

@@ -70,9 +70,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_containment_join",
     "ann_lsh_assign_pinned",
     "embedding_pq_encode_pinned",
-    # Slots 6-50: the staleness re-sweep (VERDICT r7 #2) — every row
-    # whose latest driver check is r2 or r3, oldest first. After this
-    # window no oracle row is older than r4; the r4 block (47 rows)
+    # Slots 6-7: oracle-gated queries whose Spark side was refactored
+    # this round to share ONE definition with the new streaming
+    # maintainers (psi_bucket_col/psi_from_counts with 29af;
+    # theta_code_col/theta_sketch_table with 29ag) — changed
+    # implementations outrank stale re-verification, so these take the
+    # slots of the two r3 rows-gates (media_features, semantic_dedup),
+    # which defer to the r9 window.
+    "value_drift_psi",
+    "theta_sketch_distinct_union",
+    # Slots 8-50: the staleness re-sweep (VERDICT r7 #2) — every r2/r3
+    # row except the two displaced rows-gates, oldest first. After this
+    # window no ORACLE row is older than r4; the r4 block (47 rows)
     # rotates in next round.
     # -- r2-checked rows (4 hash + 6 rows-gate) --
     "boilerplate_ngrams",
@@ -111,18 +120,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "lang_mix_temperature",
     "length_bucketed_batches",
-    "media_features",
     "pca_embeddings_projection",
     "quality_percentile_filter",
     "reply_tree_roots",
     "reply_tree_stats",
     "salted_event_rollup",
-    "semantic_dedup",
     "shard_manifest",
     "training_corpus_manifest",
     "user_item_sets",
     "weighted_sample_topk",
-    # (re-sweep queue for round 9: the 47 r4-checked rows, oldest
+    # (re-sweep queue for round 9: media_features + semantic_dedup
+    # (r3 rows-gates displaced by the two changed oracle queries
+    # above), then the 47 r4-checked rows, oldest
     # block — ab_test_report, activity_gini, ann_ivf_pq,
     # ann_lsh_banded, bigram_pmi, bpe_merge_pairs, cdc_merge_apply,
     # cms_heavy_hitters, code_switch_report, corpus_mixture_report,

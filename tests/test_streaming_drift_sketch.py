@@ -1,0 +1,113 @@
+"""Streaming PSI drift monitor (29af) and streaming theta/KMV sketch
+maintenance (29ag) must reproduce their registered batch twins exactly
+after the event log is replayed in micro-batches — the same
+batch==stream contract as the SPRT monitor (29ae)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.operators.sketches import (
+    THETA_K,
+    theta_sketch_distinct_union,
+)
+from mvrs_dspa_spark.plans.analytics import value_drift_psi
+from mvrs_dspa_spark.streaming.psi_stream import PsiMonitor, run_psi_stream
+from mvrs_dspa_spark.streaming.replay import (
+    read_replay_stream,
+    write_replay_batches,
+)
+from mvrs_dspa_spark.streaming.theta_stream import (
+    ThetaMonitor,
+    run_theta_stream,
+)
+from mvrs_dspa_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _halfway_split_us(ev) -> int:
+    r = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).collect()[0]
+    return r.mn + (r.mx - r.mn) // 2
+
+
+def test_streaming_psi_equals_batch(spark, tmp_path):
+    ev = table(spark, SF, "events")
+    replay_dir = str(tmp_path / "replay")
+    write_replay_batches(ev, replay_dir, n_batches=4)
+    src = read_replay_stream(spark, replay_dir, ev.schema)
+    mon = run_psi_stream(
+        src, str(tmp_path / "ckpt"), _halfway_split_us(ev)
+    )
+    assert mon.n_batches >= 4
+
+    want = sorted(
+        (r.event_type, r.psi) for r in value_drift_psi(spark, SF).collect()
+    )
+    got = sorted((r.event_type, r.psi) for r in mon.report().collect())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_psi_monitor_empty_state(spark):
+    mon = PsiMonitor(spark, split_us=0)
+    assert mon.report().collect() == []
+    mon.erase_users([1, 2])  # no-op by construction
+
+
+def test_streaming_theta_equals_batch(spark, tmp_path):
+    ev = table(spark, SF, "events")
+    replay_dir = str(tmp_path / "replay")
+    write_replay_batches(ev, replay_dir, n_batches=4)
+    src = read_replay_stream(spark, replay_dir, ev.schema)
+    mon = run_theta_stream(src, str(tmp_path / "ckpt"))
+    assert mon.n_batches >= 4
+
+    # bounded state: never more than k codes per (type + union... the
+    # union row is served, not stored)
+    sizes = mon.state.groupBy("event_type").count().collect()
+    assert all(r["count"] <= THETA_K for r in sizes)
+
+    want = sorted(
+        (r.event_type, r.kth_code, r.est_distinct)
+        for r in theta_sketch_distinct_union(spark, SF).collect()
+    )
+    got = sorted(
+        (r.event_type, r.kth_code, r.est_distinct)
+        for r in mon.report().collect()
+    )
+    assert len(got) > 0 and any(t == "__union__" for t, _, _ in got)
+    assert got == want
+
+
+def test_theta_erasure_drops_codes(spark):
+    ev = table(spark, SF, "events")
+    mon = ThetaMonitor(spark)
+    mon.update(ev, 0)
+    before = mon.state.count()
+    victims = [r.user_id for r in ev.select("user_id").distinct().limit(3).collect()]
+    mon.erase_users(victims)
+    after = mon.state.count()
+    assert after <= before
+    # the subjects' codes are gone from state
+    from mvrs_dspa_spark.operators.sketches import theta_code_col
+
+    gone = {
+        r.c
+        for r in spark.createDataFrame(
+            [(u,) for u in victims], "user_id long"
+        )
+        .select(theta_code_col().alias("c"))
+        .collect()
+    }
+    left = {r.code for r in mon.state.collect()}
+    assert not (gone & left)
+
+
+def test_theta_monitor_empty_state(spark):
+    mon = ThetaMonitor(spark)
+    assert mon.report().collect() == []
+    mon.erase_users([])
