@@ -156,6 +156,10 @@ EXTRA_QUERIES = [
     "ab_test_cuped",
     "supplier_scorecard",
     "brand_price_elasticity",
+    # round 8: the pinned hash-gate twins (projection-only — these pin
+    # the cost of the oracle-checkable selection steps)
+    "ann_lsh_assign_pinned",
+    "embedding_pq_encode_pinned",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -1054,6 +1054,58 @@ def session_path_markov_absorbing(
 # --- exact 1-D Wasserstein (earth mover) drift -----------------------------------
 
 
+def w1_cents_col(value: Column | None = None) -> Column:
+    """The exact cent-grid coding of W1's value domain — ONE definition
+    shared by the registered batch query and the streaming drift
+    monitor (streaming/wasserstein_stream.WassersteinMonitor)."""
+    v = F.col("value") if value is None else value
+    return F.round(v * 100).cast("long")
+
+
+def w1_from_cells(cells: DataFrame) -> DataFrame:
+    """Exact per-type Wasserstein-1 from a (event_type, cents, c1, c2)
+    count grid — the serving tail shared by the batch query (grid from
+    one corpus scan) and the streaming monitor (grid maintained
+    incrementally). All windows run on the value-domain-bounded grid;
+    the cross-multiplied term and its sum are decimal(38,0)
+    (128-bit-exact at any scale, ADVICE r7)."""
+    wt = Window.partitionBy("event_type")
+    w = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "event_type",
+        "cents",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(wt).alias("t1"),
+        F.sum("c2").over(wt).alias("t2"),
+        F.lead("cents").over(wt.orderBy("cents")).alias("nxt"),
+    )
+    dec = "decimal(38,0)"
+    term = F.when(F.col("nxt").isNull(), F.lit(0).cast(dec)).otherwise(
+        F.abs(
+            F.col("cum1").cast(dec) * F.col("t2").cast(dec)
+            - F.col("cum2").cast(dec) * F.col("t1").cast(dec)
+        )
+        * (F.col("nxt") - F.col("cents")).cast(dec)
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("t1").cast("long").alias("n_first_half"),
+            F.max("t2").cast("long").alias("n_second_half"),
+            F.when(
+                (F.max("t1") > 0) & (F.max("t2") > 0),
+                F.round(
+                    F.sum(term)
+                    / (1.0 * F.max("t1") * F.max("t2") * 100),
+                    6,
+                ),
+            ).alias("wasserstein_1"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "value_wasserstein_drift",
     oracle="""
@@ -1133,44 +1185,10 @@ def value_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(1)
         .alias("period"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        w1_cents_col().alias("cents"),
     )
     cells = labeled.groupBy("event_type", "cents").agg(
         F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c2"),
     )
-    wt = Window.partitionBy("event_type")
-    w = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.select(
-        "event_type",
-        "cents",
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c2").over(w).alias("cum2"),
-        F.sum("c1").over(wt).alias("t1"),
-        F.sum("c2").over(wt).alias("t2"),
-        F.lead("cents").over(wt.orderBy("cents")).alias("nxt"),
-    )
-    dec = "decimal(38,0)"
-    term = F.when(F.col("nxt").isNull(), F.lit(0).cast(dec)).otherwise(
-        F.abs(
-            F.col("cum1").cast(dec) * F.col("t2").cast(dec)
-            - F.col("cum2").cast(dec) * F.col("t1").cast(dec)
-        )
-        * (F.col("nxt") - F.col("cents")).cast(dec)
-    )
-    return (
-        cum.groupBy("event_type")
-        .agg(
-            F.max("t1").cast("long").alias("n_first_half"),
-            F.max("t2").cast("long").alias("n_second_half"),
-            F.when(
-                (F.max("t1") > 0) & (F.max("t2") > 0),
-                F.round(
-                    F.sum(term)
-                    / (1.0 * F.max("t1") * F.max("t2") * 100),
-                    6,
-                ),
-            ).alias("wasserstein_1"),
-        )
-        .orderBy("event_type")
-    )
+    return w1_from_cells(cells)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from mvrs_dspa_spark.operators.mlmodels import (
     ALS_K,
     ALS_REC_N,
+    _gramian,
     _solve_side,
 )
 
@@ -54,8 +55,11 @@ class AlsFoldInServer:
     ) -> None:
         self.spark = spark
         # frozen model: localCheckpoint so every batch reuses the
-        # materialized factors instead of re-running their lineage
+        # materialized factors instead of re-running their lineage;
+        # the k x k Gramian is likewise computed ONCE here (the batch
+        # fit collects it per half-step; a frozen model never changes)
         self.items = item_factors.localCheckpoint(eager=True)
+        self.items_yty = _gramian(self.items)
         self.inter: DataFrame = spark.createDataFrame([], INTER_SCHEMA)
         self.factors: DataFrame = spark.createDataFrame([], FACTOR_SCHEMA)
         self.n_batches = 0
@@ -90,6 +94,7 @@ class AlsFoldInServer:
             self.items,
             "custkey",
             "partkey",
+            self.items_yty,
         )
         kept = self.factors.join(touched, "custkey", "left_anti")
         factors = kept.unionByName(solved)

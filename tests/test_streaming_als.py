@@ -7,7 +7,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from mvrs_dspa_spark.operators.mlmodels import _solve_side
+from mvrs_dspa_spark.operators.mlmodels import _gramian, _solve_side
 from mvrs_dspa_spark.streaming.als_stream import (
     AlsFoldInServer,
     run_als_fold_in,
@@ -81,7 +81,9 @@ def test_fold_in_equals_batch_solve(spark, tmp_path):
     )
     want = {
         r.custkey: list(r.fac)
-        for r in _solve_side(full, items, "custkey", "partkey").collect()
+        for r in _solve_side(
+            full, items, "custkey", "partkey", _gramian(items)
+        ).collect()
     }
     got = {r.custkey: list(r.fac) for r in server.factors.collect()}
     assert set(got) == set(want)

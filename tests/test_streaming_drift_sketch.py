@@ -111,3 +111,41 @@ def test_theta_monitor_empty_state(spark):
     mon = ThetaMonitor(spark)
     assert mon.report().collect() == []
     mon.erase_users([])
+
+
+def test_streaming_wasserstein_equals_batch(spark, tmp_path):
+    from mvrs_dspa_spark.plans.analytics4 import value_wasserstein_drift
+    from mvrs_dspa_spark.streaming.wasserstein_stream import (
+        WassersteinMonitor,
+        run_wasserstein_stream,
+    )
+
+    ev = table(spark, SF, "events")
+    replay_dir = str(tmp_path / "replay")
+    write_replay_batches(ev, replay_dir, n_batches=4)
+    src = read_replay_stream(spark, replay_dir, ev.schema)
+    mon = run_wasserstein_stream(
+        src, str(tmp_path / "ckpt"), _halfway_split_us(ev)
+    )
+    assert mon.n_batches >= 4
+
+    cols = ("event_type", "n_first_half", "n_second_half", "wasserstein_1")
+    want = sorted(
+        tuple(getattr(r, c) for c in cols)
+        for r in value_wasserstein_drift(spark, SF).collect()
+    )
+    got = sorted(
+        tuple(getattr(r, c) for c in cols) for r in mon.report().collect()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_wasserstein_monitor_empty_state(spark):
+    from mvrs_dspa_spark.streaming.wasserstein_stream import (
+        WassersteinMonitor,
+    )
+
+    mon = WassersteinMonitor(spark, split_us=0)
+    assert mon.report().collect() == []
+    mon.erase_users([1])

@@ -75,13 +75,19 @@ def render() -> str:
     from mvrs_dspa_spark.plans.registry import all_queries
 
     specs = all_queries()
-    window = set(list(specs)[:50])
+    window = list(specs)[:50]
     latest, next_round = _latest_checks()
     lines = [_HEADER.replace("{next}", str(next_round))]
-    for name, spec in specs.items():
+    # Row order must be deterministic regardless of which modules a
+    # host process imported first (_REGISTRY insertion order follows
+    # import order for names outside _DRIVER_PRIORITY): the 50-slot
+    # window in driver order, then the remainder sorted by name.
+    tail = sorted(n for n in specs if n not in set(window))
+    for name in [*window, *tail]:
+        spec = specs[name]
         gate = "oracle" if spec.oracle is not None else "rows"
         state = latest.get(name, "never")
-        if name in window:
+        if name in set(window):
             state += f" (r{next_round} window)"
         lines.append(f"| `{name}` | {gate} | {state} |\n")
     return "".join(lines) + "\n"
