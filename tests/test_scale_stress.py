@@ -188,6 +188,43 @@ def test_10x_documents_scale_linear_no_spill(spark, tmp_path):
     assert _total_spill(spark) - spill0 == 0, "scale run spilled"
 
 
+@pytest.mark.slow
+def test_10x_events_user_skew_bounded(spark, tmp_path):
+    """The Zipf-HEAD form of the events probe (round 8): one user owns
+    20% of all events — the regime that made the old
+    equi-join+interval-residual point_in_time_state_join quadratic
+    (hot user's events x versions pairs). The as-of rewrite and the
+    per-user window family must stay ~linear: the hot user's rows
+    sort within one partition's run, no pair explosion."""
+    register_synthetic_source(spark)
+    small, big = str(tmp_path / "sk1x"), str(tmp_path / "sk10x")
+    for n, out in ((EV_SMALL, small), (EV_SMALL * SCALE, big)):
+        _write_events(spark, n, out)
+        skewed = spark.read.parquet(f"{out}/events.parquet").withColumn(
+            "user_id",
+            F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit(0))
+            .otherwise(F.col("user_id")),
+        )
+        skewed.write.mode("overwrite").parquet(f"{out}/events2.parquet")
+        import shutil
+
+        shutil.rmtree(f"{out}/events.parquet")
+        shutil.move(f"{out}/events2.parquet", f"{out}/events.parquet")
+    spill0 = _total_spill(spark)
+    q = all_queries()
+    for name in (
+        "point_in_time_state_join",
+        "user_sessions",
+        "sliding_activity_stats",
+    ):
+        t1 = _timed(q[name].fn, small, spark)
+        t10 = _timed(q[name].fn, big, spark)
+        assert t10 / t1 < MAX_RATIO, (name, t1, t10)
+        print(f"SCALE-USERSKEW {name}: 1x={t1:.2f}s 10x={t10:.2f}s "
+              f"ratio={t10 / t1:.1f}")
+    assert _total_spill(spark) - spill0 == 0, "user-skew run spilled"
+
+
 HOT_DOCS = 1_000
 _HOT_PREFIX = " ".join(f"hot{i:02d}" for i in range(8))
 
