@@ -16,6 +16,8 @@ Jobs
 - ``unusual_activity``  streaming K-means classification
 - ``attribution``       click→purchase interval join + hourly rollup
 - ``curation``          quality gate + watermark-bounded exact dedup
+- ``drift``             continuous PSI + exact-W1 drift monitors vs a
+                        reference window (reports written at shutdown)
 
 Sources: ``dir`` (events replayed from `<events-dir>/events.parquet`
 as event-time-ordered micro-batches — the local dev loop) or
@@ -44,6 +46,7 @@ JOBS = (
     "unusual_activity",
     "attribution",
     "curation",
+    "drift",
 )
 
 
@@ -69,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--watermark", default="1 hour")
     p.add_argument(
         "--timeout", type=int, default=600, help="await-termination seconds"
+    )
+    p.add_argument(
+        "--split-us",
+        type=int,
+        default=None,
+        help="drift job: reference-window boundary (epoch micros); "
+        "defaults to the halfway point of the input log, the batch "
+        "queries' retrospective convention",
     )
     return p
 
@@ -188,6 +199,51 @@ def run(argv: list[str] | None = None) -> int:
             .trigger(availableNow=True)
             .start()
         )
+    elif args.job == "drift":
+        from pyspark.sql import functions as F
+
+        from mvrs_dspa_spark.streaming.psi_stream import PsiMonitor
+        from mvrs_dspa_spark.streaming.wasserstein_stream import (
+            WassersteinMonitor,
+        )
+        from mvrs_dspa_spark.tables import table
+
+        split = args.split_us
+        if split is None:
+            r = (
+                table(spark, args.events_dir, "events")
+                .agg(
+                    F.min(F.unix_micros("ts")).alias("mn"),
+                    F.max(F.unix_micros("ts")).alias("mx"),
+                )
+                .collect()[0]
+            )
+            split = (r.mn or 0) + ((r.mx or 0) - (r.mn or 0)) // 2
+        psi = PsiMonitor(spark, split)
+        w1 = WassersteinMonitor(spark, split)
+
+        def _update_both(df, batch_id):
+            df.persist()
+            try:
+                psi.update(df, batch_id)
+                w1.update(df, batch_id)
+            finally:
+                df.unpersist()
+
+        q = (
+            _events_stream(spark, args)
+            .writeStream.foreachBatch(_update_both)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+        def post():
+            psi.report().write.mode("overwrite").parquet(f"{args.out}/psi")
+            w1.report().write.mode("overwrite").parquet(
+                f"{args.out}/wasserstein"
+            )
+
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(args.job)
 
@@ -196,6 +252,8 @@ def run(argv: list[str] | None = None) -> int:
         print(f"ERROR: {args.job} did not finish in {args.timeout}s",
               file=sys.stderr)
         return 2
+    if args.job == "drift":
+        post()
     print(f"{args.job}: done (checkpoint={checkpoint})")
     return 0
 

@@ -114,6 +114,46 @@ def test_curation_cli_end_to_end(spark, tmp_path):
     assert {"doc_id", "quality_score", "content_key"} <= set(res.columns)
 
 
+def test_drift_cli_end_to_end(spark, tmp_path):
+    """The deployable form of the 29af/29ah monitors: one event stream
+    feeds BOTH maintainers; reports land as parquet at shutdown and
+    match the registered batch twins exactly (same log, halfway
+    split)."""
+    out = str(tmp_path / "drift")
+    r = _run_cli(
+        [
+            "drift",
+            "--events-dir", SF,
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    from mvrs_dspa_spark.plans.analytics import value_drift_psi
+    from mvrs_dspa_spark.plans.analytics4 import value_wasserstein_drift
+
+    got_psi = sorted(
+        tuple(row) for row in spark.read.parquet(f"{out}/psi").collect()
+    )
+    want_psi = sorted(tuple(row) for row in value_drift_psi(spark, SF).collect())
+    assert got_psi == want_psi
+
+    got_w1 = sorted(
+        tuple(row)
+        for row in spark.read.parquet(f"{out}/wasserstein")
+        .select("event_type", "n_first_half", "n_second_half", "wasserstein_1")
+        .collect()
+    )
+    want_w1 = sorted(
+        tuple(row)
+        for row in value_wasserstein_drift(spark, SF)
+        .select("event_type", "n_first_half", "n_second_half", "wasserstein_1")
+        .collect()
+    )
+    assert got_w1 == want_w1
+
+
 def _run_query_cli(args, timeout=240):
     return subprocess.run(
         [sys.executable, "-m", "mvrs_dspa_spark.run", *args],

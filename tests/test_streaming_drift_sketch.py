@@ -149,3 +149,35 @@ def test_wasserstein_monitor_empty_state(spark):
     mon = WassersteinMonitor(spark, split_us=0)
     assert mon.report().collect() == []
     mon.erase_users([1])
+
+
+def test_monitors_are_replay_order_independent(spark):
+    """The three maintainers' merges are additive/min-k — commutative
+    and associative — so feeding micro-batches in REVERSED event-time
+    order must produce byte-identical reports (the out-of-order
+    delivery guarantee the docstrings claim; no watermark needed
+    because no state is ever finalized or evicted)."""
+    from mvrs_dspa_spark.streaming.wasserstein_stream import (
+        WassersteinMonitor,
+    )
+
+    ev = table(spark, SF, "events")
+    split = _halfway_split_us(ev)
+    slices = [
+        ev.where(F.pmod(F.col("event_id"), F.lit(4)) == k) for k in range(4)
+    ]
+
+    def run(monitor_cls, order, **kw):
+        mon = monitor_cls(spark, **kw)
+        for i in order:
+            mon.update(slices[i], i)
+        return sorted(tuple(r) for r in mon.report().collect())
+
+    for cls, kw in (
+        (PsiMonitor, {"split_us": split}),
+        (ThetaMonitor, {}),
+        (WassersteinMonitor, {"split_us": split}),
+    ):
+        fwd = run(cls, [0, 1, 2, 3], **kw)
+        rev = run(cls, [3, 2, 1, 0], **kw)
+        assert fwd and fwd == rev, cls.__name__
