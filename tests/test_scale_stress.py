@@ -361,6 +361,12 @@ def test_10x_embeddings_scale_linear_no_spill(spark, tmp_path):
         # pinned-centroid assignment: pure map-side argmin, must be
         # scan-bound
         "kmeans_assign_pinned",
+        # round 8: the other two pinned hash-gate twins — LSH assign
+        # is map-side folds + one bounded bucket-occupancy exchange;
+        # PQ encode is projection-only (heaviest expression fold in
+        # the repo, 64 subspace distances/row — must stay scan-bound)
+        "ann_lsh_assign_pinned",
+        "embedding_pq_encode_pinned",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
