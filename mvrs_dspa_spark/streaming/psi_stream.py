@@ -101,6 +101,24 @@ class PsiMonitor:
         dissolved into, the same posture as dp_event_counts)."""
         return None
 
+    def save(self, path: str) -> None:
+        """Persist the grid for driver-restart durability (the
+        in-memory localCheckpoint state dies with the driver; pair
+        with the stream's checkpointLocation so a restarted query
+        resumes from the next unprocessed batch AND the reloaded
+        grid — restart==uninterrupted pytest-pinned)."""
+        self.grid.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, split_us: int, path: str, **kw) -> "PsiMonitor":
+        mon = cls(spark, split_us, **kw)
+        mon.grid = (
+            spark.read.parquet(path)
+            .select("event_type", "period", "bucket", "c")
+            .localCheckpoint(eager=True)
+        )
+        return mon
+
 
 def run_psi_stream(
     source: DataFrame, checkpoint: str, split_us: int

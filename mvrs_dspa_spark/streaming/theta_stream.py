@@ -107,6 +107,21 @@ class ThetaMonitor:
             ).localCheckpoint(eager=True)
         )
 
+    def save(self, path: str) -> None:
+        """Persist the k-per-type code state for driver-restart
+        durability (see PsiMonitor.save)."""
+        self.state.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str, **kw) -> "ThetaMonitor":
+        mon = cls(spark, **kw)
+        mon.state = (
+            spark.read.parquet(path)
+            .select("event_type", "code")
+            .localCheckpoint(eager=True)
+        )
+        return mon
+
 
 def run_theta_stream(source: DataFrame, checkpoint: str) -> ThetaMonitor:
     """Drive a bounded event stream to completion; returns the monitor

@@ -94,6 +94,23 @@ class WassersteinMonitor:
         is a documented no-op (the PsiMonitor posture)."""
         return None
 
+    def save(self, path: str) -> None:
+        """Persist the grid for driver-restart durability (see
+        PsiMonitor.save)."""
+        self.grid.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(
+        cls, spark, split_us: int, path: str, **kw
+    ) -> "WassersteinMonitor":
+        mon = cls(spark, split_us, **kw)
+        mon.grid = (
+            spark.read.parquet(path)
+            .select("event_type", "cents", "c1", "c2")
+            .localCheckpoint(eager=True)
+        )
+        return mon
+
 
 def run_wasserstein_stream(
     source: DataFrame, checkpoint: str, split_us: int

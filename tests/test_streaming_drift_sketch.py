@@ -181,3 +181,44 @@ def test_monitors_are_replay_order_independent(spark):
         fwd = run(cls, [0, 1, 2, 3], **kw)
         rev = run(cls, [3, 2, 1, 0], **kw)
         assert fwd and fwd == rev, cls.__name__
+
+
+def test_monitor_save_load_restart_equals_uninterrupted(spark, tmp_path):
+    """Driver-restart durability: save after 2 batches, reload into a
+    FRESH monitor, feed the remaining 2 — reports byte-equal the
+    uninterrupted 4-batch run (pair with the stream's own
+    checkpointLocation, which guarantees the remaining batches are
+    exactly the unprocessed ones)."""
+    from mvrs_dspa_spark.streaming.wasserstein_stream import (
+        WassersteinMonitor,
+    )
+
+    ev = table(spark, SF, "events")
+    split = _halfway_split_us(ev)
+    slices = [
+        ev.where(F.pmod(F.col("event_id"), F.lit(4)) == k) for k in range(4)
+    ]
+
+    cases = (
+        (PsiMonitor, {"split_us": split},
+         lambda cls, p: cls.load(spark, split, p)),
+        (ThetaMonitor, {}, lambda cls, p: cls.load(spark, p)),
+        (WassersteinMonitor, {"split_us": split},
+         lambda cls, p: cls.load(spark, split, p)),
+    )
+    for cls, kw, loader in cases:
+        full = cls(spark, **kw)
+        for i in range(4):
+            full.update(slices[i], i)
+        want = sorted(tuple(r) for r in full.report().collect())
+
+        first = cls(spark, **kw)
+        first.update(slices[0], 0)
+        first.update(slices[1], 1)
+        path = str(tmp_path / f"state_{cls.__name__}")
+        first.save(path)
+        resumed = loader(cls, path)
+        resumed.update(slices[2], 2)
+        resumed.update(slices[3], 3)
+        got = sorted(tuple(r) for r in resumed.report().collect())
+        assert got and got == want, cls.__name__
