@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
         "defaults to the halfway point of the input log, the batch "
         "queries' retrospective convention",
     )
+    p.add_argument(
+        "--state-dir",
+        default=None,
+        help="drift job: persist monitor state here at shutdown and "
+        "reload it at startup — paired with --checkpoint, a restarted "
+        "job continues exactly where it stopped",
+    )
     return p
 
 
@@ -103,8 +110,20 @@ def _events_stream(spark, args):
     ev = table(spark, args.events_dir, "events")
     if args.limit:
         ev = ev.limit(args.limit)
-    replay_dir = tempfile.mkdtemp(prefix="mvrs_replay_")
-    write_replay_batches(ev, replay_dir, n_batches=args.batches)
+    if args.checkpoint:
+        # deterministic staging next to the checkpoint: a RESTARTED
+        # job sees the same file paths, so the file-source checkpoint
+        # skips everything already processed instead of re-ingesting
+        # a fresh temp copy under new names
+        import glob
+        import os
+
+        replay_dir = args.checkpoint.rstrip("/") + "_replay"
+        if not glob.glob(os.path.join(replay_dir, "batch_*")):
+            write_replay_batches(ev, replay_dir, n_batches=args.batches)
+    else:
+        replay_dir = tempfile.mkdtemp(prefix="mvrs_replay_")
+        write_replay_batches(ev, replay_dir, n_batches=args.batches)
     return read_replay_stream(spark, replay_dir, ev.schema)
 
 
@@ -219,8 +238,15 @@ def run(argv: list[str] | None = None) -> int:
                 .collect()[0]
             )
             split = (r.mn or 0) + ((r.mx or 0) - (r.mn or 0)) // 2
-        psi = PsiMonitor(spark, split)
-        w1 = WassersteinMonitor(spark, split)
+        import os
+
+        sd = args.state_dir
+        if sd and os.path.exists(f"{sd}/psi"):
+            psi = PsiMonitor.load(spark, split, f"{sd}/psi")
+            w1 = WassersteinMonitor.load(spark, split, f"{sd}/wasserstein")
+        else:
+            psi = PsiMonitor(spark, split)
+            w1 = WassersteinMonitor(spark, split)
 
         def _update_both(df, batch_id):
             df.persist()
@@ -239,6 +265,9 @@ def run(argv: list[str] | None = None) -> int:
         )
 
         def post():
+            if sd:
+                psi.save(f"{sd}/psi")
+                w1.save(f"{sd}/wasserstein")
             psi.report().write.mode("overwrite").parquet(f"{args.out}/psi")
             w1.report().write.mode("overwrite").parquet(
                 f"{args.out}/wasserstein"

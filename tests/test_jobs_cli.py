@@ -154,6 +154,27 @@ def test_drift_cli_end_to_end(spark, tmp_path):
     assert got_w1 == want_w1
 
 
+def test_drift_cli_restart_continues(spark, tmp_path):
+    """--state-dir + --checkpoint: a second invocation over the SAME
+    replayed input reprocesses nothing (checkpoint) and keeps the
+    loaded state — reports identical to the first run's."""
+    out1, out2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    common = [
+        "drift",
+        "--events-dir", SF,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--state-dir", str(tmp_path / "state"),
+        "--limit", "600",
+    ]
+    r1 = _run_cli([*common, "--out", out1])
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    r2 = _run_cli([*common, "--out", out2])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    a = sorted(tuple(r) for r in spark.read.parquet(f"{out1}/psi").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{out2}/psi").collect())
+    assert a and a == b
+
+
 def _run_query_cli(args, timeout=240):
     return subprocess.run(
         [sys.executable, "-m", "mvrs_dspa_spark.run", *args],
