@@ -435,6 +435,30 @@ def user_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_SUPPORT_FRAC = 0.05  # edge kept if co-occurring in >= 5% of users
 
 
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-occurrence edge list ``(i < j, support)``
+    — ONE definition shared by the whole graph family (#20c triangles,
+    #20d PageRank, #101 LPA, #103 degree stats, and the round-8
+    structure metrics). Edges are vocabulary-bounded after one
+    corpus-sized pair aggregation; the 5%-of-users support threshold
+    keeps edge density stable as data grows."""
+    items = _items_df(spark, sf_dir)
+    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_users))
+        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
+        .select("i", "j", "support")
+    )
+
+
 @register(
     "item_cooccurrence_triangles",
     oracle=f"""
@@ -465,23 +489,7 @@ TRI_SUPPORT_FRAC = 0.05  # edge kept if co-occurring in >= 5% of users
     tags=("similarity", "graph"),
 )
 def item_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items_df(spark, sf_dir)
-    n_users = items.agg(
-        F.countDistinct("user_id").alias("n_users")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_users))
-        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
-        .select("i", "j", "support")
-    )
+    edges = cooccurrence_edges(spark, sf_dir)
     # the triangle join references edges three times; materialize the
     # (vocabulary-bounded) edge list once instead of re-running the
     # corpus-sized pair aggregation per alias (same idiom as
@@ -570,21 +578,7 @@ def _pr_iter_sql(i: int) -> str:
     tags=("similarity", "graph"),
 )
 def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items_df(spark, sf_dir)
-    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
-    a, b = items.alias("a"), items.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_users))
-        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
-        .select("i", "j", "support")
-    )
+    e0 = cooccurrence_edges(spark, sf_dir)
     edges = e0.selectExpr("i AS src", "j AS dst", "support").unionAll(
         e0.selectExpr("j AS src", "i AS dst", "support")
     )
@@ -837,21 +831,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
     tags=("similarity", "graph", "rows_gate"),
 )
 def item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items_df(spark, sf_dir)
-    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
-    a, b = items.alias("a"), items.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_users))
-        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
-        .select("i", "j", "support")
-    )
+    e0 = cooccurrence_edges(spark, sf_dir)
     edges = e0.selectExpr("i AS src", "j AS dst", "support").unionAll(
         e0.selectExpr("j AS src", "i AS dst", "support")
     )
@@ -913,21 +893,7 @@ def item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "graph"),
 )
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items_df(spark, sf_dir)
-    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_users))
-        .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
-        .select("i", "j", "support")
-    )
+    edges = cooccurrence_edges(spark, sf_dir)
     ends = edges.select(
         F.col("i").alias("node"), "support"
     ).unionByName(edges.select(F.col("j").alias("node"), "support"))
@@ -942,4 +908,202 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("node").alias("example_item"),
         )
         .orderBy("degree")
+    )
+
+
+# --- local clustering coefficient ------------------------------------------
+
+_EDGES_CTE_SQL = f"""
+        items AS ({_ITEMS_SQL}),
+        u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM items),
+        edges AS (
+            SELECT a.item AS i, b.item AS j, COUNT(*) AS support
+            FROM items a
+            JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= (SELECT {TRI_SUPPORT_FRAC} * n_users FROM u)
+        )"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH {_EDGES_CTE_SQL},
+        tri AS (
+            SELECT e1.i AS a, e1.j AS b, e2.j AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.i = e1.j
+            JOIN edges e3 ON e3.i = e1.i AND e3.j = e2.j
+        ),
+        tri_node AS (
+            SELECT node, COUNT(*) AS triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node
+        ),
+        degrees AS (
+            SELECT node, COUNT(*) AS degree
+            FROM (SELECT i AS node FROM edges
+                  UNION ALL SELECT j FROM edges)
+            GROUP BY node
+        )
+        SELECT d.node AS item,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               ROUND(CASE WHEN d.degree >= 2
+                          THEN 2.0 * COALESCE(t.triangles, 0)
+                               / (d.degree * (d.degree - 1))
+                          ELSE 0 END, 6) AS local_cc
+        FROM degrees d LEFT JOIN tri_node t ON t.node = d.node
+        ORDER BY item
+    """,
+    doc="Local clustering coefficient per item on the co-occurrence "
+    "graph (Watts-Strogatz 1998): cc_i = 2*T_i / (deg_i*(deg_i-1)), "
+    "with T_i counted from the same ordered (i<j<k) triangle join as "
+    "#20c — each triangle credits all three corners via a 3-way "
+    "projection union. The community-density screen run alongside "
+    "the degree distribution #103 before LPA/PageRank rounds. All "
+    "joins live on the vocabulary-bounded edge list; counts are "
+    "integers so cc is a single exact final division.",
+    tags=("similarity", "graph"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.i") == F.col("e1.j"))
+        .join(
+            e3,
+            (F.col("e3.i") == F.col("e1.i")) & (F.col("e3.j") == F.col("e2.j")),
+        )
+        .select(
+            F.col("e1.i").alias("a"),
+            F.col("e1.j").alias("b"),
+            F.col("e2.j").alias("c"),
+        )
+    )
+    tri_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    degrees = (
+        edges.select(F.col("i").alias("node"))
+        .unionAll(edges.select("j"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        degrees.join(tri_node, "node", "left")
+        .select(
+            F.col("node").alias("item"),
+            F.col("degree").cast("long").alias("degree"),
+            t.cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * t / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("local_cc"),
+        )
+        .orderBy("item")
+    )
+
+
+# --- degree assortativity ---------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+        WITH {_EDGES_CTE_SQL},
+        degrees AS (
+            SELECT node, COUNT(*) AS degree
+            FROM (SELECT i AS node FROM edges
+                  UNION ALL SELECT j FROM edges)
+            GROUP BY node
+        ),
+        pairs AS (
+            -- each undirected edge counted in both directions, the
+            -- standard symmetric form (Newman 2002 eq. 4)
+            SELECT di.degree AS x, dj.degree AS y FROM edges e
+            JOIN degrees di ON di.node = e.i
+            JOIN degrees dj ON dj.node = e.j
+            UNION ALL
+            SELECT dj.degree, di.degree FROM edges e
+            JOIN degrees di ON di.node = e.i
+            JOIN degrees dj ON dj.node = e.j
+        ),
+        s AS (
+            SELECT COUNT(*) AS m,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM pairs
+        ),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM degrees),
+        ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               ROUND((CAST(sxy AS DOUBLE) / m
+                      - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+                     / NULLIF(CAST(sxx AS DOUBLE) / m
+                              - (CAST(sx AS DOUBLE) / m)
+                                * (CAST(sx AS DOUBLE) / m), 0),
+                     6) AS assortativity
+        FROM s, nn, ne
+    """,
+    doc="Degree assortativity of the co-occurrence graph (Newman 2002): "
+    "the Pearson correlation of endpoint degrees over the doubled "
+    "(symmetric) edge list — positive means hubs link to hubs "
+    "(assortative mixing), negative means hub-and-spoke. Decides "
+    "whether the Zipf-head hubs the skew advisor #10aq flags will "
+    "concentrate in one shuffle partition during graph rounds. "
+    "Sufficient statistics are exact HUGEINT/decimal sums of integer "
+    "degree products; one final per-row formula.",
+    tags=("similarity", "graph"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    degrees = (
+        edges.select(F.col("i").alias("node"))
+        .unionAll(edges.select("j"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    di = degrees.select(
+        F.col("node").alias("i"), F.col("degree").alias("dx")
+    )
+    dj = degrees.select(
+        F.col("node").alias("j"), F.col("degree").alias("dy")
+    )
+    joined = edges.join(di, "i").join(dj, "j")
+    pairs = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    dec = "decimal(38,0)"
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    nn = degrees.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    st = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ne))
+    dd = lambda c: c.cast("double")  # noqa: E731
+    mean = dd(F.col("sx")) / F.col("m")
+    return st.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(
+            (dd(F.col("sxy")) / F.col("m") - mean * mean)
+            / F.nullif(dd(F.col("sxx")) / F.col("m") - mean * mean, F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
     )

@@ -1475,3 +1475,191 @@ def shingle_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- readability (Flesch / Flesch-Kincaid) ---------------------------------
+#
+# The classic syllable heuristic: vowel-group count per word
+# ([aeiouy]+ runs in the lowercased word), floored at 1 — every word
+# costs at least one syllable (Flesch 1948 operationalized the same
+# way in early implementations; exact syllabification needs a
+# dictionary, and the ranking use-case only needs a consistent
+# monotone proxy). Sentences = [.!?]+ runs, floored at 1.
+
+_SYL_RE = "[aeiouy]+"
+_SENT_RE = "[.!?]+"
+
+
+@register(
+    "doc_readability",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {T.tokens_sql("text")} AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1)
+                       AS n_sentences,
+                   CASE WHEN len(toks) = 0 THEN 0
+                        ELSE list_sum(list_transform(toks,
+                            w -> greatest(len(regexp_extract_all(
+                                     lower(w), '{_SYL_RE}')), 1)))
+                   END AS n_syllables
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                   ROUND(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+               END AS flesch_ease,
+               CASE WHEN n_words > 0 THEN
+                   ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                         - 15.59, 4)
+               END AS fk_grade
+        FROM c
+        ORDER BY doc_id
+    """,
+    doc="Flesch reading-ease + Flesch-Kincaid grade per document "
+    "(Flesch 1948 / Kincaid 1975) — the readability screen used "
+    "alongside the quality family (#38/#53/#141) when selecting "
+    "training text by audience level. Syllables are the deterministic "
+    "vowel-group heuristic (runs of [aeiouy] in the lowercased word, "
+    "floored at 1/word) so both engines count identically; the two "
+    "scores are per-row rational formulas over integer counts — "
+    "projection-only, no shuffle at all.",
+    tags=("text", "llm"),
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(table(spark, sf_dir, "documents"))
+    syl_per_word = F.transform(
+        F.col("toks"),
+        lambda w: F.greatest(
+            F.size(F.regexp_extract_all(F.lower(w), F.lit(_SYL_RE), 0)),
+            F.lit(1),
+        ),
+    )
+    c = t.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), 0)),
+            F.lit(1),
+        ).alias("n_sentences"),
+        F.when(F.size("toks") == 0, F.lit(0))
+        .otherwise(
+            F.aggregate(
+                syl_per_word, F.lit(0), lambda acc, x: acc + x
+            )
+        )
+        .alias("n_syllables"),
+    )
+    wd = F.col("n_words").cast("double")
+    return c.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                206.835
+                - 1.015 * (wd / F.col("n_sentences"))
+                - 84.6 * (F.col("n_syllables") / wd),
+                4,
+            ),
+        ).alias("flesch_ease"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                0.39 * (wd / F.col("n_sentences"))
+                + 11.8 * (F.col("n_syllables") / wd)
+                - 15.59,
+                4,
+            ),
+        ).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+# --- feature hashing (the hashing trick) -----------------------------------
+#
+# Weinberger et al. 2009 (arXiv:0902.2206): token -> bucket via one
+# affine hash, sign via a second independent hash, so collisions
+# cancel in expectation and the D-dim representation is an unbiased
+# inner-product sketch. The vectorization step feeding linear models
+# (quality classifier #141) when the vocabulary is unbounded.
+
+FEATURE_HASH_DIM = 64
+_FH_BUCKET_A, _FH_BUCKET_B = H.hash_params(1, seed=131)[0]
+_FH_SIGN_A, _FH_SIGN_B = H.hash_params(1, seed=137)[0]
+
+
+@register(
+    "feature_hashing_vectors",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest({T.tokens_sql("text")}) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   {H.affine_sql(H.str_code_sql("tok"), _FH_BUCKET_A, _FH_BUCKET_B)}
+                       % {FEATURE_HASH_DIM} AS bucket,
+                   CASE WHEN {H.affine_sql(H.str_code_sql("tok"), _FH_SIGN_A, _FH_SIGN_B)}
+                             % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sgn) AS BIGINT) AS weight
+        FROM h
+        GROUP BY doc_id, bucket
+        HAVING SUM(sgn) <> 0
+        ORDER BY doc_id, bucket
+    """,
+    doc="Signed feature hashing (the hashing trick, Weinberger et al. "
+    "2009): every token maps to one of "
+    f"{FEATURE_HASH_DIM} buckets via the house affine family, with an "
+    "independent second hash choosing the sign so collision noise "
+    "cancels in expectation — the unbounded-vocabulary vectorizer "
+    "feeding linear models like the quality classifier #141. Sparse "
+    "(doc_id, bucket, weight) rows, zero-cancelled entries dropped. "
+    "Scale shape: one explode + one (doc_id, bucket) aggregation — "
+    "output is doc-linear with a hard D-per-doc cap, and the hash is "
+    "the md5-affine code (no vocabulary table, no broadcast).",
+    tags=("text", "llm"),
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    code = H.str_code_col(F.col("tok"))
+    h = t.select(
+        "doc_id",
+        (
+            H.affine_col(code, _FH_BUCKET_A, _FH_BUCKET_B)
+            % FEATURE_HASH_DIM
+        ).alias("bucket"),
+        F.when(
+            H.affine_col(code, _FH_SIGN_A, _FH_SIGN_B) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .where(F.col("weight") != 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .orderBy("doc_id", "bucket")
+    )

@@ -1,0 +1,435 @@
+"""Round-8 second-wave analytics (SURVEY §2 #178+): rank-based
+nonparametric tests and cooperative-game channel attribution.
+
+House determinism discipline (SURVEY §5): ranks come from the distinct
+integer cent-code grid (value-domain-bounded, never a corpus-sized
+window partition); every accumulator whose product can exceed int64 is
+decimal(38,0) on Spark / HUGEINT on DuckDB (the ADVICE-r7 overflow
+rule); doubles appear only in per-row FINAL formulas over exact integer
+sufficient statistics, so both engines agree bit-for-bit before the
+single terminal ROUND.
+
+Reference parity note: the reference has no rank-test or attribution
+operators; these extend the experimentation family (ab_test_report,
+value_ttest_by_type, sequential_ab_sprt, markov_attribution) the same
+way its statistics task extends event analytics
+(jobs/clustering/UnusualActivityDetectionJob.scala's feature pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mvrs_dspa_spark.plans.registry import register
+from mvrs_dspa_spark.tables import table
+
+_DEC = "decimal(38,0)"
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+# --- shared midrank grid (Mann-Whitney + Kruskal-Wallis) --------------------
+#
+# Global midranks on the distinct cent-code grid: r2 = 2*midrank is the
+# INTEGER 2*(#less) + (#equal+1), so rank sums stay exact. The grid is
+# bounded by the value domain (~49k codes), not the row count — the
+# same scale idiom as quantile_transform_values (#136) and the W1 grid.
+
+_RANK_GRID_SQL = """
+        coded AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ),
+        grid AS (
+            SELECT v_c, COUNT(*) AS cnt FROM coded GROUP BY v_c
+        ),
+        ranked AS (
+            SELECT v_c, cnt,
+                   2 * COALESCE(SUM(cnt) OVER (
+                       ORDER BY v_c ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+                     + cnt + 1 AS r2
+            FROM grid
+        ),
+        tot AS (
+            SELECT SUM(cnt) AS n,
+                   SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
+            FROM grid
+        ),
+        tgrid AS (
+            SELECT event_type, v_c, COUNT(*) AS cnt_t
+            FROM coded GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT t.event_type,
+                   SUM(t.cnt_t) AS n1,
+                   SUM(CAST(t.cnt_t AS HUGEINT) * r.r2) AS rr2
+            FROM tgrid t JOIN ranked r USING (v_c)
+            GROUP BY 1
+        )"""
+
+
+def _rank_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(per-type rank sums, global totals) from ONE events scan.
+
+    Returns ``per(event_type, n1, rr2)`` with rr2 = exact decimal
+    2*rank-sum, and ``tot(n, tie_t)`` with tie_t = exact decimal
+    sum(cnt^3 - cnt) over the tie groups.
+    """
+    ev = table(spark, sf_dir, "events")
+    coded = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    grid = coded.groupBy("v_c").agg(F.count(F.lit(1)).alias("cnt"))
+    # cache-free reuse: grid is re-derived per branch; Catalyst reuses
+    # the exchange (both branches share the same aggregate subplan).
+    w_less = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # global window over the value-DOMAIN grid (bounded), not rows
+    ranked = grid.select(
+        "v_c",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w_less), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    tot = grid.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt").cast(_DEC) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_t"),
+    )
+    tgrid = coded.groupBy("event_type", "v_c").agg(
+        F.count(F.lit(1)).alias("cnt_t")
+    )
+    per = (
+        tgrid.join(ranked, "v_c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_t").alias("n1"),
+            F.sum(F.col("cnt_t").cast(_DEC) * F.col("r2")).alias("rr2"),
+        )
+    )
+    return per, tot
+
+
+@register(
+    "value_mannwhitney_by_type",
+    oracle=f"""
+        WITH {_RANK_GRID_SQL}
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n_type,
+               ROUND(CAST(rr2 AS DOUBLE) / 2
+                     - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 2) AS u_stat,
+               ROUND((CAST(rr2 AS DOUBLE) / 2
+                      - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+                      - CAST(n1 AS DOUBLE) * (n - n1) / 2)
+                     / NULLIF(sqrt(
+                           CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                           * ((n + 1)
+                              - CAST(tie_t AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * (n - 1)))), 0),
+                     6) AS z_u,
+               ROUND(2 * (CAST(rr2 AS DOUBLE) / 2
+                          - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+                     / (CAST(n1 AS DOUBLE) * (n - n1)) - 1,
+                     6) AS r_rank_biserial
+        FROM per, tot
+        ORDER BY event_type
+    """,
+    doc="One-vs-rest Mann-Whitney U test of event value per type — the "
+    "rank-based (distribution-free) twin of value_ttest_by_type #109, "
+    "robust to the heavy-tailed value distributions where Welch's t "
+    "misleads. Midranks come from ONE global distinct-cent-code grid "
+    "(value-domain-bounded — never a corpus-sized rank window): "
+    "2*midrank is integer, per-type 2*rank-sums and the tie term "
+    "sum(c^3-c) accumulate as decimal(38,0)/HUGEINT (exact at any "
+    "scale, ADVICE-r7 overflow rule), and the tie-corrected normal "
+    "z and rank-biserial effect size are single per-row formulas "
+    "over those exact statistics.",
+    tags=("analytics", "validation"),
+)
+def value_mannwhitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per, tot = _rank_stats(spark, sf_dir)
+    st = per.crossJoin(F.broadcast(tot))
+    u1 = _d(F.col("rr2")) / 2 - _d(F.col("n1")) * (F.col("n1") + 1) / 2
+    n2 = _d(F.col("n1")) * (F.col("n") - F.col("n1"))
+    var = (
+        n2
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - _d(F.col("tie_t")) / (_d(F.col("n")) * (F.col("n") - 1))
+        )
+    )
+    return st.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_type"),
+        F.round(u1, 2).alias("u_stat"),
+        F.round(
+            (u1 - n2 / 2) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z_u"),
+        F.round(2 * u1 / n2 - 1, 6).alias("r_rank_biserial"),
+    ).orderBy("event_type")
+
+
+@register(
+    "kruskal_wallis_value",
+    oracle=f"""
+        WITH {_RANK_GRID_SQL},
+        terms AS (
+            -- per-group term R_g^2/n_g, int-coded (unit granularity)
+            -- before the cross-group SUM: each is exactly decimal, so
+            -- summation order cannot move the statistic (house rule)
+            SELECT CAST(ROUND(
+                       (CAST(rr2 AS DOUBLE) / 2)
+                       * (CAST(rr2 AS DOUBLE) / 2) / n1
+                   ) AS HUGEINT) AS term_c
+            FROM per
+        ),
+        s AS (SELECT SUM(term_c) AS s_c, COUNT(*) AS k FROM terms)
+        SELECT CAST(n AS BIGINT) AS n_events,
+               CAST(k AS BIGINT) AS n_groups,
+               ROUND(12.0 / (CAST(n AS DOUBLE) * (n + 1))
+                     * CAST(s_c AS DOUBLE) - 3 * (n + 1), 6) AS h,
+               ROUND(1 - CAST(tie_t AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * n - n), 9)
+                   AS tie_correction,
+               ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1))
+                      * CAST(s_c AS DOUBLE) - 3 * (n + 1))
+                     / NULLIF(1 - CAST(tie_t AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * n * n - n), 0),
+                     6) AS h_adj
+        FROM s, tot
+        ORDER BY n_events
+    """,
+    doc="Kruskal-Wallis H test across ALL event types (the k-group "
+    "generalization of value_mannwhitney_by_type, sharing its exact "
+    "midrank-grid sufficient statistics — one events scan, windows "
+    "only over the bounded cent-code grid). Per-group terms R_g^2/n_g "
+    "are int-coded at unit granularity before the cross-group sum "
+    "(identical doubles -> identical codes in both engines; the unit "
+    "loss is O(k/n^2) on H, far below the 1e-6 round), with the "
+    "tie-corrected H_adj = H / (1 - sum(c^3-c)/(n^3-n)).",
+    tags=("analytics", "validation"),
+)
+def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per, tot = _rank_stats(spark, sf_dir)
+    half = _d(F.col("rr2")) / 2
+    terms = per.select(
+        F.round(half * half / F.col("n1")).cast(_DEC).alias("term_c")
+    )
+    s = terms.agg(
+        F.sum("term_c").alias("s_c"), F.count(F.lit(1)).alias("k")
+    )
+    st = s.crossJoin(F.broadcast(tot))
+    h = 12.0 / (_d(F.col("n")) * (F.col("n") + 1)) * _d(
+        F.col("s_c")
+    ) - 3 * (F.col("n") + 1)
+    tie_c = 1 - _d(F.col("tie_t")) / (
+        _d(F.col("n")) * F.col("n") * F.col("n") - F.col("n")
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(h, 6).alias("h"),
+        F.round(tie_c, 9).alias("tie_correction"),
+        F.round(h / F.nullif(tie_c, F.lit(0.0)), 6).alias("h_adj"),
+    ).orderBy("n_events")
+
+
+# --- exact Shapley-value channel attribution --------------------------------
+#
+# Cooperative-game attribution over the bounded channel vocabulary
+# (event types except the conversion event): the characteristic
+# function v(S) = #converted users whose touched-channel set is a
+# subset of S, and each channel's Shapley value is the exact
+# factorial-weighted sum of marginal contributions over all 2^(k-1)
+# coalitions (Shapley 1953; the marketing form of Zhao et al. 2018).
+# The data-sized work is ONE user_id aggregation to (bitmask,
+# converted) counts; everything downstream lives on <= 2^k rows.
+
+_CONV_TYPE = "purchase"
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle=f"""
+        WITH channels AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS bit
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE event_type <> '{_CONV_TYPE}')
+        ),
+        kk AS (SELECT COUNT(*) AS k FROM channels),
+        per_user AS (
+            SELECT e.user_id,
+                   COALESCE(BIT_OR(CASE WHEN c.bit IS NOT NULL
+                       THEN CAST(1 AS BIGINT) << c.bit END), 0) AS mask,
+                   MAX(CASE WHEN e.event_type = '{_CONV_TYPE}'
+                       THEN 1 ELSE 0 END) AS conv
+            FROM events e
+            LEFT JOIN channels c ON e.event_type = c.event_type
+            GROUP BY 1
+        ),
+        masks AS (
+            SELECT mask, SUM(conv) AS conv_users
+            FROM per_user GROUP BY 1
+        ),
+        subsets AS (
+            SELECT unnest(generate_series(0,
+                       (SELECT (CAST(1 AS BIGINT) << k) - 1 FROM kk)))
+                   AS s
+        ),
+        v AS (
+            SELECT s.s,
+                   COALESCE(SUM(CASE WHEN (m.mask & s.s) = m.mask
+                                     THEN m.conv_users END), 0) AS v
+            FROM subsets s LEFT JOIN masks m ON (m.mask & s.s) = m.mask
+            GROUP BY s.s
+        ),
+        touched AS (
+            SELECT c.event_type, c.bit,
+                   SUM(CASE WHEN (p.mask >> c.bit) & 1 = 1
+                            THEN 1 ELSE 0 END) AS n_users_touched
+            FROM channels c, per_user p
+            GROUP BY 1, 2
+        )
+        SELECT c.event_type AS channel,
+               CAST(t.n_users_touched AS BIGINT) AS n_users_touched,
+               ROUND(SUM(
+                   factorial(CAST(bit_count(s.s) AS INTEGER))
+                   * factorial(CAST(kk.k - bit_count(s.s) - 1 AS INTEGER))
+                   * (v2.v - v1.v)
+               ) / CAST(factorial(CAST(MAX(kk.k) AS INTEGER)) AS DOUBLE),
+                   6) AS shapley_conversions
+        FROM channels c
+        JOIN touched t ON t.bit = c.bit
+        CROSS JOIN kk
+        JOIN subsets s ON (s.s >> c.bit) & 1 = 0
+        JOIN v v1 ON v1.s = s.s
+        JOIN v v2 ON v2.s = (s.s | (CAST(1 AS BIGINT) << c.bit))
+        GROUP BY 1, 2
+        ORDER BY channel
+    """,
+    doc="Exact Shapley-value conversion attribution over the bounded "
+    "channel set (all event types except the '"
+    + _CONV_TYPE
+    + "' conversion event; Shapley 1953, the axiomatic complement of "
+    "markov_attribution #131's removal effects). v(S) = converted "
+    "users whose touched-channel bitmask is contained in coalition S; "
+    "each channel's value is the factorial-weighted marginal sum over "
+    "all coalitions. Scale shape: ONE user_id aggregation folds the "
+    "corpus to <= 2^k (bitmask, conversions) rows; the coalition "
+    "lattice, subset-containment joins, and factorial weights live "
+    "entirely on that bounded grid (k = channel vocabulary, not "
+    "rows). Factorial weights stay integer (k! * conversions << "
+    "int64 for any real channel count) so the coalition sum is "
+    "exact before the single terminal division; efficiency axiom "
+    "(sum of values = v(full) - v(empty)) is pytest-pinned.",
+    tags=("analytics", "attribution"),
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    channels = (
+        ev.where(F.col("event_type") != _CONV_TYPE)
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            ).alias("bit"),
+        )
+    )
+    kk = channels.agg(F.count(F.lit(1)).alias("k"))
+    per_user = (
+        ev.join(F.broadcast(channels), "event_type", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.bit_or(
+                    F.when(
+                        F.col("bit").isNotNull(),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("mask"),
+            F.max(
+                F.when(F.col("event_type") == _CONV_TYPE, 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    masks = per_user.groupBy("mask").agg(F.sum("conv").alias("conv_users"))
+    subsets = kk.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))") - 1,
+            )
+        ).alias("s")
+    )
+    # coalition lattice joins: bounded 2^k x 2^k, broadcast nested-loop
+    # by design (allowlisted — same class as theta_sketch_overlap)
+    v = (
+        subsets.join(
+            F.broadcast(masks),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv_users"), F.lit(0)).alias("v"))
+    )
+    # touched-user counts: channel bit contained in the user's mask
+    touched = (
+        channels.join(
+            F.broadcast(
+                per_user.groupBy("mask").agg(
+                    F.count(F.lit(1)).alias("mask_users")
+                )
+            ),
+            F.expr("((mask >> bit) & 1) = 1"),
+        )
+        .groupBy("event_type", "bit")
+        .agg(F.sum("mask_users").alias("n_users_touched"))
+    )
+    sbits = F.bit_count(F.col("s"))
+    weight = F.factorial(sbits) * F.factorial(
+        F.col("k") - sbits - 1
+    )
+    vv1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    vv2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    phi = (
+        channels.crossJoin(F.broadcast(kk))
+        .join(
+            F.broadcast(subsets),
+            F.expr("((s >> bit) & 1) = 0"),
+        )
+        .join(F.broadcast(vv1), F.col("s1") == F.col("s"))
+        .join(
+            F.broadcast(vv2),
+            F.col("s2")
+            == F.col("s").bitwiseOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ),
+        )
+        .groupBy("event_type", "bit", "k")
+        .agg(F.sum(weight * (F.col("v2") - F.col("v1"))).alias("num"))
+    )
+    return (
+        phi.join(F.broadcast(touched), ["event_type", "bit"])
+        .select(
+            F.col("event_type").alias("channel"),
+            F.col("n_users_touched").cast("long").alias("n_users_touched"),
+            F.round(
+                _d(F.col("num")) / _d(F.factorial(F.col("k"))), 6
+            ).alias("shapley_conversions"),
+        )
+        .orderBy("channel")
+    )

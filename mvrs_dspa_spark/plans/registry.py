@@ -55,7 +55,18 @@ def register(
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # ================= ROUND 8 WINDOW =================
-    # Slots 1-5: queries changed or first registered this round.
+    # Slots 1-5: the round-8 second-wave registrations (never driver-
+    # checked): rank-based nonparametric tests sharing one midrank-grid
+    # definition, exact Shapley channel attribution, and the two graph
+    # structure metrics on the shared co-occurrence edge builder.
+    "value_mannwhitney_by_type",
+    "kruskal_wallis_value",
+    "shapley_channel_attribution",
+    "graph_clustering_coefficient",
+    "graph_assortativity",
+    "doc_readability",
+    "feature_hashing_vectors",
+    # Slots 6-10: queries changed or first registered earlier this round.
     # - point_in_time_state_join: rewritten in the union-tag as-of
     #   shape (VERDICT r7 'What's wrong' #1; 10x probe 8.2 -> 2.5)
     # - value_wasserstein_drift: decimal/HUGEINT accumulator
@@ -129,7 +140,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "training_corpus_manifest",
     "user_item_sets",
     "weighted_sample_topk",
-    # (re-sweep queue for round 9: media_features + semantic_dedup
+    # (re-sweep queue for round 9: salted_event_rollup, shard_manifest,
+    # training_corpus_manifest, user_item_sets, weighted_sample_topk
+    # (r3 rows displaced past slot 50 by the five second-wave
+    # registrations above), media_features + semantic_dedup
     # (r3 rows-gates displaced by the two changed oracle queries
     # above), then the 47 r4-checked rows, oldest
     # block — ab_test_report, activity_gini, ann_ivf_pq,
@@ -342,6 +356,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         features,
         tpch,
         tpch_extra,

@@ -40,6 +40,8 @@ _NONEMPTY_ON_EMPTY = {
     "quality_classifier_lr": 10,  # fixed 10-row score-decile report
     "vocab_good_turing": 1,  # scalar aggregate: one all-zero/NULL row
     "percolation_components": 3,  # fixed threshold grid, all-zero rows
+    "kruskal_wallis_value": 1,  # scalar aggregate: one all-NULL/zero row
+    "graph_assortativity": 1,  # scalar aggregate: one all-NULL/zero row
 }
 
 

@@ -85,6 +85,12 @@ _SCALAR_BNLJ_OK = {
     "hourly_theil_sen_trend",  # 1-row bucket-width scalar broadcast
     "daily_growth_accounting",  # 1-row max-day scalar broadcast
     "ab_test_cuped",  # 1-row time-range scalar broadcast
+    # round-8 second wave:
+    "value_mannwhitney_by_type",  # 1-row (n, tie_t) scalar broadcast
+    "kruskal_wallis_value",  # 1-row (n, tie_t) scalar broadcast
+    "shapley_channel_attribution",  # bounded 2^k coalition-lattice joins
+    "graph_clustering_coefficient",  # 1-row n_users scalar broadcast (as triangles)
+    "graph_assortativity",  # 1-row n_users/n_nodes/n_edges scalar broadcasts
 }
 
 

@@ -1,0 +1,257 @@
+"""Invariant pins for the rank-test / attribution wave (#178-180) —
+independent ground truths the Spark==DuckDB parity hash can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mvrs_dspa_spark.plans.registry import all_queries
+
+
+def _run(spark, sf, name):
+    return all_queries()[name].fn(spark, sf).collect()
+
+
+def _midranks(values):
+    """value -> midrank, computed the naive textbook way."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    return ranks
+
+
+@pytest.fixture(scope="module")
+def events_values(spark, sf_small):
+    from mvrs_dspa_spark.tables import table
+
+    rows = (
+        table(spark, sf_small, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    return [(r.event_type, round(r.value * 100)) for r in rows]
+
+
+def test_mannwhitney_matches_naive_ranks(spark, sf_small, events_values):
+    by_type = {}
+    for t, v in events_values:
+        by_type.setdefault(t, []).append(v)
+    all_vals = [v for _, v in events_values]
+    ranks = _midranks(all_vals)
+    n = len(all_vals)
+    got = {r.event_type: r for r in _run(spark, sf_small, "value_mannwhitney_by_type")}
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        n1 = len(vals)
+        r1 = sum(ranks[v] for v in vals)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        row = got[t]
+        assert row.n_type == n1
+        assert row.u_stat == round(u1, 2), (t, row.u_stat, u1)
+        # z sign must agree with the mean-rank direction
+        mean_rank_diff = r1 / n1 - (n * (n + 1) / 2 - r1) / (n - n1)
+        if abs(mean_rank_diff) > 1e-9 and row.z_u is not None:
+            assert (row.z_u > 0) == (mean_rank_diff > 0), (t, row)
+        # rank-biserial in [-1, 1]
+        assert -1 <= row.r_rank_biserial <= 1
+
+
+def test_kruskal_wallis_matches_naive(spark, sf_small, events_values):
+    by_type = {}
+    for t, v in events_values:
+        by_type.setdefault(t, []).append(v)
+    all_vals = [v for _, v in events_values]
+    ranks = _midranks(all_vals)
+    n = len(all_vals)
+    s = sum(
+        sum(ranks[v] for v in vals) ** 2 / len(vals)
+        for vals in by_type.values()
+    )
+    h = 12 / (n * (n + 1)) * s - 3 * (n + 1)
+    # tie correction
+    from collections import Counter
+
+    cnt = Counter(all_vals)
+    tie_t = sum(c**3 - c for c in cnt.values())
+    c_corr = 1 - tie_t / (n**3 - n)
+    (row,) = _run(spark, sf_small, "kruskal_wallis_value")
+    assert row.n_events == n
+    assert row.n_groups == len(by_type)
+    # unit-granularity int-coding of the per-group terms loses < k on
+    # S, i.e. < 12k/(n(n+1)) ~ 1e-5 on H at sf0.001
+    assert row.h == pytest.approx(h, abs=1e-3)
+    assert row.tie_correction == pytest.approx(c_corr, abs=1e-9)
+    assert row.h_adj == pytest.approx(h / c_corr, abs=1e-3)
+
+
+def _shapley_naive(user_events):
+    """Exact Shapley from a {user: set(types)} dict, textbook form."""
+    channels = sorted(
+        {t for ts in user_events.values() for t in ts if t != "purchase"}
+    )
+    k = len(channels)
+    masks = {}
+    for ts in user_events.values():
+        if "purchase" not in ts:
+            continue
+        m = frozenset(t for t in ts if t != "purchase")
+        masks[m] = masks.get(m, 0) + 1
+
+    def v(coal):
+        return sum(c for m, c in masks.items() if m <= coal)
+
+    phi = {}
+    import itertools
+
+    for ch in channels:
+        others = [c for c in channels if c != ch]
+        total = 0.0
+        for r in range(len(others) + 1):
+            for sub in itertools.combinations(others, r):
+                s = frozenset(sub)
+                w = (
+                    math.factorial(len(s))
+                    * math.factorial(k - len(s) - 1)
+                    / math.factorial(k)
+                )
+                total += w * (v(s | {ch}) - v(s))
+        phi[ch] = total
+    return phi, v
+
+
+def test_shapley_matches_naive_and_efficiency(spark, sf_small):
+    from mvrs_dspa_spark.tables import table
+
+    rows = (
+        table(spark, sf_small, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    user_events = {}
+    for r in rows:
+        user_events.setdefault(r.user_id, set()).add(r.event_type)
+    phi, v = _shapley_naive(user_events)
+
+    got = {r.channel: r for r in _run(spark, sf_small, "shapley_channel_attribution")}
+    assert set(got) == set(phi)
+    for ch, want in phi.items():
+        assert got[ch].shapley_conversions == pytest.approx(want, abs=1e-5), ch
+        n_touched = sum(1 for ts in user_events.values() if ch in ts)
+        assert got[ch].n_users_touched == n_touched
+    # efficiency axiom: sum phi = v(full) - v(empty)
+    full = frozenset(phi)
+    assert sum(r.shapley_conversions for r in got.values()) == pytest.approx(
+        v(full) - v(frozenset()), abs=1e-4
+    )
+
+
+def test_shapley_hand_case(spark, tmp_path):
+    """3-user micro-case with hand-computed Shapley values:
+    u1 {click, purchase}, u2 {view}, u3 {click, view, purchase}
+    -> v(empty)=0, v(c)=1, v(v)=0, v(cv)=2
+    -> phi_click = 1.5, phi_view = 0.5."""
+    import datetime
+
+    sdf = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, i), u, t, 1.0, "{}")
+            for i, (u, t) in enumerate(
+                [
+                    (1, "click"),
+                    (1, "purchase"),
+                    (2, "view"),
+                    (3, "click"),
+                    (3, "view"),
+                    (3, "purchase"),
+                ]
+            )
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sdf.write.parquet(str(tmp_path / "events.parquet"))
+    rows = {
+        r.channel: r
+        for r in all_queries()["shapley_channel_attribution"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows["click"].shapley_conversions == pytest.approx(1.5)
+    assert rows["view"].shapley_conversions == pytest.approx(0.5)
+    assert rows["click"].n_users_touched == 2
+    assert rows["view"].n_users_touched == 2
+
+
+def test_clustering_coefficient_consistency(spark, sf_small):
+    """Sum of per-node triangle credits == 3 * triangle count (#20c),
+    and every local_cc is a valid [0, 1] ratio."""
+    tri_rows = _run(spark, sf_small, "item_cooccurrence_triangles")
+    cc_rows = _run(spark, sf_small, "graph_clustering_coefficient")
+    assert sum(r.triangles for r in cc_rows) == 3 * len(tri_rows)
+    for r in cc_rows:
+        assert 0.0 <= r.local_cc <= 1.0, r
+        if r.degree >= 2:
+            assert r.local_cc == round(
+                2 * r.triangles / (r.degree * (r.degree - 1)), 6
+            ), r
+        else:
+            assert r.triangles == 0 and r.local_cc == 0.0, r
+
+
+def test_assortativity_bounds_and_counts(spark, sf_small):
+    (row,) = _run(spark, sf_small, "graph_assortativity")
+    deg_rows = _run(spark, sf_small, "graph_degree_stats")
+    assert row.n_nodes == sum(r.n_items for r in deg_rows)
+    # a Pearson correlation by construction
+    if row.assortativity is not None:
+        assert -1.0 <= row.assortativity <= 1.0 + 1e-9, row
+
+
+def test_readability_formula_and_known_sentence(spark, tmp_path):
+    sdf = spark.createDataFrame(
+        [(1, "The cat sat on the mat.", "en", "s", 23),
+         (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sdf.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["doc_readability"].fn(spark, str(tmp_path)).collect()
+    }
+    r = rows[1]
+    # 6 words, 1 sentence, syllables: the=1 cat=1 sat=1 on=1 the=1 mat.=1
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 1, 6)
+    assert r.flesch_ease == round(206.835 - 1.015 * 6 - 84.6 * 1.0, 4)
+    assert r.fk_grade == round(0.39 * 6 + 11.8 * 1.0 - 15.59, 4)
+    # empty doc: zero counts, NULL scores (no divide-by-zero under ANSI)
+    e = rows[2]
+    assert (e.n_words, e.n_syllables) == (0, 0)
+    assert e.flesch_ease is None and e.fk_grade is None
+
+
+def test_feature_hashing_conservation(spark, sf_small):
+    """Sum of |weight| per doc <= token count (signs cancel, never
+    create), every bucket within [0, D), and weights are stable under
+    re-run (pure hash determinism)."""
+    from mvrs_dspa_spark.operators.text_analysis import FEATURE_HASH_DIM
+
+    tok_rows = {r.doc_id: r.n_ws_tokens
+                for r in _run(spark, sf_small, "token_counts")}
+    rows = _run(spark, sf_small, "feature_hashing_vectors")
+    per_doc = {}
+    for r in rows:
+        assert 0 <= r.bucket < FEATURE_HASH_DIM
+        assert r.weight != 0
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + abs(r.weight)
+    for d, s in per_doc.items():
+        assert s <= tok_rows[d], (d, s, tok_rows[d])
+    assert rows == _run(spark, sf_small, "feature_hashing_vectors")
