@@ -453,6 +453,33 @@ RESERVOIR_K = 100
 _RES_AB = H.hash_params(1, seed=8181)[0]
 
 
+def reservoir_priorities(ev: DataFrame) -> DataFrame:
+    """The priority projection — ONE definition shared by the
+    registered batch query and the streaming reservoir maintainer
+    (streaming/reservoir_stream.ReservoirMonitor)."""
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        H.affine_col(F.col("event_id"), *_RES_AB).alias("priority"),
+    )
+
+
+def reservoir_rank(sample: DataFrame) -> DataFrame:
+    """Rank the k-row bottom-k sample into the served output shape
+    (window runs on k rows, never the corpus) — shared serving tail."""
+    w = Window.orderBy("priority", "event_id")
+    return sample.select(
+        F.row_number().over(w).alias("sample_rank"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "priority",
+    )
+
+
 @register(
     "reservoir_sample_events",
     oracle=f"""
@@ -484,26 +511,12 @@ _RES_AB = H.hash_params(1, seed=8181)[0]
 )
 def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    pri = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.round("value", 2).alias("value"),
-        H.affine_col(F.col("event_id"), *_RES_AB).alias("priority"),
-    )
+    pri = reservoir_priorities(ev)
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
     # heap + driver merge of k rows); the rank window then runs on the
     # k-row result, not the corpus
     sample = pri.orderBy("priority", "event_id").limit(RESERVOIR_K)
-    w = Window.orderBy("priority", "event_id")
-    return sample.select(
-        F.row_number().over(w).alias("sample_rank"),
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        "priority",
-    )
+    return reservoir_rank(sample)
 
 
 # --- DSIR importance-weighted data selection ---------------------------------

@@ -1107,3 +1107,122 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --- k-core decomposition (fixed-round truncated peel) -----------------------
+#
+# The operator is DEFINED as an R-round truncated peel (the same
+# bounded-iteration idiom as PageRank's 10 fixed power iterations and
+# LPA's 8 synchronous rounds): each round drops nodes with degree < k
+# and the edges touching them. On any graph the truncated result is
+# a superset of the true k-core; at the test SFs the peel reaches the
+# fixpoint well inside R rounds (pytest-pinned against an exact
+# Python peel), and at scale the bound keeps the job's round count —
+# and therefore its shuffle count — deterministic.
+
+KCORE_KS = (2, 3, 4)
+KCORE_ROUNDS = 8
+
+
+def _kcore_sql() -> str:
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # each round references its predecessor three times — un-pinned,
+    # the 8-round chain re-expands the corpus scan exponentially (the
+    # percolation_components / ADVICE-r7 oracle-cost lesson).
+    ctes = []
+    selects = []
+    for k in KCORE_KS:
+        ctes.append(
+            f"e_{k}_0 AS MATERIALIZED (SELECT i, j FROM edges)"
+        )
+        for r in range(1, KCORE_ROUNDS + 1):
+            prev = f"e_{k}_{r - 1}"
+            ctes.append(f"""
+        d_{k}_{r} AS MATERIALIZED (
+            SELECT node FROM (SELECT i AS node FROM {prev}
+                              UNION ALL SELECT j FROM {prev})
+            GROUP BY node HAVING COUNT(*) >= {k}
+        )""")
+            ctes.append(f"""
+        e_{k}_{r} AS MATERIALIZED (
+            SELECT e.i, e.j FROM {prev} e
+            JOIN d_{k}_{r} a ON a.node = e.i
+            JOIN d_{k}_{r} b ON b.node = e.j
+        )""")
+        last = f"e_{k}_{KCORE_ROUNDS}"
+        selects.append(f"""
+        SELECT {k} AS k,
+               (SELECT COUNT(*) FROM (
+                    SELECT node FROM (SELECT i AS node FROM {last}
+                                      UNION ALL SELECT j FROM {last})
+                    GROUP BY node HAVING COUNT(*) >= {k}))
+                   AS core_nodes,
+               (SELECT COUNT(*) FROM {last}) AS core_edges""")
+    return (
+        "WITH " + _EDGES_CTE_SQL + ",\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL".join(selects)
+        + "\nORDER BY k"
+    )
+
+
+@register(
+    "graph_kcore_summary",
+    oracle=_kcore_sql(),
+    doc=f"k-core summary of the co-occurrence graph (Seidman 1983): for "
+    f"k in {KCORE_KS}, the node and edge counts surviving a "
+    f"{KCORE_ROUNDS}-round truncated peel (drop degree<k nodes and "
+    "their edges each round — both engines run the IDENTICAL bounded "
+    "iteration, the PageRank/LPA idiom, so the driver hash is exact "
+    "by construction; fixpoint equality vs an exact peel is "
+    "pytest-pinned at test SFs). The cohesion ladder read alongside "
+    "degree stats #103 and clustering coefficient #181: how much of "
+    "the graph survives increasingly strict mutual-density demands. "
+    "All rounds operate on the vocabulary-bounded edge list.",
+    tags=("similarity", "graph"),
+)
+def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges0 = cooccurrence_edges(spark, sf_dir).select("i", "j").localCheckpoint(
+        eager=False
+    )
+
+    def ends(e: DataFrame) -> DataFrame:
+        return e.select(F.col("i").alias("node")).unionAll(
+            e.select(F.col("j").alias("node"))
+        )
+
+    outs = []
+    for k in KCORE_KS:
+        e = edges0
+        for _ in range(KCORE_ROUNDS):
+            d = (
+                ends(e)
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") >= k)
+                .select("node")
+            )
+            e = (
+                e.join(d.withColumnRenamed("node", "i"), "i")
+                .join(d.withColumnRenamed("node", "j"), "j")
+                .select("i", "j")
+                .localCheckpoint(eager=False)
+            )
+        nodes = (
+            ends(e)
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= k)
+        )
+        outs.append(
+            nodes.agg(F.count(F.lit(1)).alias("core_nodes"))
+            .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("core_edges"))))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                F.col("core_nodes").cast("long").alias("core_nodes"),
+                F.col("core_edges").cast("long").alias("core_edges"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("k")

@@ -1068,6 +1068,38 @@ BLOOM_K = 4     # hash functions
 _BLOOM_ABS = H.hash_params(BLOOM_K, seed=7272)
 
 
+def _bloom_hash_cols() -> list:
+    return [
+        (H.affine_col(F.col("user_id"), *ab) % BLOOM_M).alias(f"b{i}")
+        for i, ab in enumerate(_BLOOM_ABS)
+    ]
+
+
+def bloom_bits(known: DataFrame) -> DataFrame:
+    """Distinct set-bit rows for a known-user frame — ONE definition
+    shared by the registered batch query and the streaming Bloom
+    maintainer (streaming/bloom_stream.BloomMonitor). Bounded by m."""
+    return known.select(
+        F.explode(F.array(*_bloom_hash_cols())).alias("bit")
+    ).distinct()
+
+
+def bloom_claims(probes: DataFrame, bits: DataFrame) -> DataFrame:
+    """user_id rows the filter claims present (ALL k bits set) —
+    shared membership-serving tail."""
+    probe_bits = probes.select(
+        "user_id",
+        F.posexplode(F.array(*_bloom_hash_cols())).alias("i", "bit"),
+    )
+    return (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("user_id")
+        .agg(F.countDistinct("i").alias("nh"))
+        .where(F.col("nh") == BLOOM_K)
+        .select("user_id")
+    )
+
+
 @register(
     "bloom_membership_report",
     oracle=f"""
@@ -1126,25 +1158,8 @@ def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
     known = users.where(F.col("user_id") % 3 != 0)
-    hash_cols = [
-        (H.affine_col(F.col("user_id"), *ab) % BLOOM_M).alias(f"b{i}")
-        for i, ab in enumerate(_BLOOM_ABS)
-    ]
-    bits = (
-        known.select(F.explode(F.array(*hash_cols)).alias("bit"))
-        .distinct()
-    )
-    probe_bits = users.select(
-        "user_id",
-        F.posexplode(F.array(*hash_cols)).alias("i", "bit"),
-    )
-    claimed = (
-        probe_bits.join(F.broadcast(bits), "bit")
-        .groupBy("user_id")
-        .agg(F.countDistinct("i").alias("nh"))
-        .where(F.col("nh") == BLOOM_K)
-        .select("user_id")
-    )
+    bits = bloom_bits(known)
+    claimed = bloom_claims(users, bits)
     n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
     n_known = known.agg(F.count(F.lit(1)).alias("n_known"))
     n_probes = users.agg(F.count(F.lit(1)).alias("n_probes"))

@@ -433,3 +433,158 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- Spearman rank correlation (value vs hour-of-day) -----------------------
+#
+# Pearson over midranks (the tie-correct Spearman form): both
+# variables are ranked WITHIN their event type on bounded grids —
+# value on the distinct cent-code grid, hour-of-day on its 24-row
+# grid — so no corpus-sized rank window exists anywhere. Midrank sums
+# are n(n+1)/2 identically; the rank products and squared-rank sums
+# ride 2*midrank integers in decimal(38,0)/HUGEINT (4x-scaled), and
+# rho is one per-row final formula over those exact statistics.
+
+
+@register(
+    "value_hour_spearman",
+    oracle="""
+        WITH coded AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+                   CAST(hour(ts) AS INTEGER) AS hod
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type, v_c, hod, COUNT(*) AS cnt
+            FROM coded GROUP BY 1, 2, 3
+        ),
+        vgrid AS (
+            SELECT event_type, v_c, SUM(cnt) AS cv,
+                   2 * COALESCE(SUM(SUM(cnt)) OVER (
+                       PARTITION BY event_type ORDER BY v_c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)
+                     + SUM(cnt) + 1 AS r2x
+            FROM cells GROUP BY event_type, v_c
+        ),
+        hgrid AS (
+            SELECT event_type, hod, SUM(cnt) AS ch,
+                   2 * COALESCE(SUM(SUM(cnt)) OVER (
+                       PARTITION BY event_type ORDER BY hod
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)
+                     + SUM(cnt) + 1 AS r2y
+            FROM cells GROUP BY event_type, hod
+        ),
+        per AS (
+            SELECT c.event_type,
+                   SUM(c.cnt) AS n,
+                   SUM(CAST(c.cnt AS HUGEINT) * v.r2x * h.r2y) AS sxy4
+            FROM cells c
+            JOIN vgrid v ON v.event_type = c.event_type AND v.v_c = c.v_c
+            JOIN hgrid h ON h.event_type = c.event_type AND h.hod = c.hod
+            GROUP BY c.event_type
+        ),
+        mx AS (
+            SELECT event_type,
+                   SUM(CAST(cv AS HUGEINT) * r2x * r2x) AS sxx4
+            FROM vgrid GROUP BY event_type
+        ),
+        my AS (
+            SELECT event_type,
+                   SUM(CAST(ch AS HUGEINT) * r2y * r2y) AS syy4
+            FROM hgrid GROUP BY event_type
+        )
+        SELECT p.event_type,
+               CAST(p.n AS BIGINT) AS n,
+               ROUND(
+                   (p.n * (CAST(p.sxy4 AS DOUBLE) / 4)
+                    - (CAST(p.n AS DOUBLE) * (p.n + 1) / 2)
+                      * (CAST(p.n AS DOUBLE) * (p.n + 1) / 2))
+                   / NULLIF(sqrt(
+                       (p.n * (CAST(mx.sxx4 AS DOUBLE) / 4)
+                        - (CAST(p.n AS DOUBLE) * (p.n + 1) / 2)
+                          * (CAST(p.n AS DOUBLE) * (p.n + 1) / 2))
+                       * (p.n * (CAST(my.syy4 AS DOUBLE) / 4)
+                          - (CAST(p.n AS DOUBLE) * (p.n + 1) / 2)
+                            * (CAST(p.n AS DOUBLE) * (p.n + 1) / 2))), 0),
+                   6) AS rho_spearman
+        FROM per p
+        JOIN mx ON mx.event_type = p.event_type
+        JOIN my ON my.event_type = p.event_type
+        ORDER BY p.event_type
+    """,
+    doc="Spearman rank correlation between event value and hour-of-day "
+    "per event type (Spearman 1904, Pearson-over-midranks tie-correct "
+    "form) — 'does this type monetize differently by time of day', "
+    "the monotone-association companion to the hour-profile #110 and "
+    "the rank-test family #178/#179. Both variables rank on bounded "
+    "per-type grids (distinct cent codes; 24 hours) so no corpus rank "
+    "window exists; 4x-scaled rank products accumulate as "
+    "decimal(38,0)/HUGEINT and rho is a single per-row formula.",
+    tags=("analytics", "validation"),
+)
+def value_hour_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    coded = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    cells = coded.groupBy("event_type", "v_c", "hod").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _grid(col: str, rank_name: str, cnt_name: str) -> DataFrame:
+        w_less = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            cells.groupBy("event_type", col)
+            .agg(F.sum("cnt").alias(cnt_name))
+            .select(
+                "event_type",
+                col,
+                cnt_name,
+                (
+                    2 * F.coalesce(F.sum(cnt_name).over(w_less), F.lit(0))
+                    + F.col(cnt_name)
+                    + 1
+                ).alias(rank_name),
+            )
+        )
+
+    vgrid = _grid("v_c", "r2x", "cv")
+    hgrid = _grid("hod", "r2y", "ch")
+    per = (
+        cells.join(vgrid.select("event_type", "v_c", "r2x"), ["event_type", "v_c"])
+        .join(hgrid.select("event_type", "hod", "r2y"), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.col("cnt").cast(_DEC) * F.col("r2x") * F.col("r2y")
+            ).alias("sxy4"),
+        )
+    )
+    mx = vgrid.groupBy("event_type").agg(
+        F.sum(F.col("cv").cast(_DEC) * F.col("r2x") * F.col("r2x")).alias("sxx4")
+    )
+    my = hgrid.groupBy("event_type").agg(
+        F.sum(F.col("ch").cast(_DEC) * F.col("r2y") * F.col("r2y")).alias("syy4")
+    )
+    st = per.join(mx, "event_type").join(my, "event_type")
+    half = _d(F.col("n")) * (F.col("n") + 1) / 2
+    num = F.col("n") * (_d(F.col("sxy4")) / 4) - half * half
+    venx = F.col("n") * (_d(F.col("sxx4")) / 4) - half * half
+    veny = F.col("n") * (_d(F.col("syy4")) / 4) - half * half
+    return st.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            num / F.nullif(F.sqrt(venx * veny), F.lit(0.0)), 6
+        ).alias("rho_spearman"),
+    ).orderBy("event_type")

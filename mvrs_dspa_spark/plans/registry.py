@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_assortativity",
     "doc_readability",
     "feature_hashing_vectors",
+    "graph_kcore_summary",
     # Slots 6-10: queries changed or first registered earlier this round.
     # - point_in_time_state_join: rewritten in the union-tag as-of
     #   shape (VERDICT r7 'What's wrong' #1; 10x probe 8.2 -> 2.5)

@@ -42,6 +42,7 @@ _NONEMPTY_ON_EMPTY = {
     "percolation_components": 3,  # fixed threshold grid, all-zero rows
     "kruskal_wallis_value": 1,  # scalar aggregate: one all-NULL/zero row
     "graph_assortativity": 1,  # scalar aggregate: one all-NULL/zero row
+    "graph_kcore_summary": 3,  # one all-zero row per k in the fixed ladder
 }
 
 

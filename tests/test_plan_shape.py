@@ -91,6 +91,7 @@ _SCALAR_BNLJ_OK = {
     "shapley_channel_attribution",  # bounded 2^k coalition-lattice joins
     "graph_clustering_coefficient",  # 1-row n_users scalar broadcast (as triangles)
     "graph_assortativity",  # 1-row n_users/n_nodes/n_edges scalar broadcasts
+    "graph_kcore_summary",  # 1-row n_users + per-k core-count scalar broadcasts
 }
 
 

@@ -255,3 +255,41 @@ def test_feature_hashing_conservation(spark, sf_small):
     for d, s in per_doc.items():
         assert s <= tok_rows[d], (d, s, tok_rows[d])
     assert rows == _run(spark, sf_small, "feature_hashing_vectors")
+
+
+def test_kcore_truncated_peel_reaches_fixpoint(spark, sf_small):
+    """At test SFs the 8-round truncated peel must equal the exact
+    k-core (iterate-to-fixpoint Python peel over the same edge list),
+    and the ladder must be monotone decreasing in k."""
+    from mvrs_dspa_spark.operators.similarity import (
+        KCORE_KS,
+        cooccurrence_edges,
+    )
+
+    edges = [
+        (r.i, r.j) for r in cooccurrence_edges(spark, sf_small).collect()
+    ]
+    rows = {r.k: r for r in _run(spark, sf_small, "graph_kcore_summary")}
+    assert set(rows) == set(KCORE_KS)
+    prev_nodes = prev_edges = None
+    for k in KCORE_KS:
+        e = set(edges)
+        while True:
+            from collections import Counter
+
+            deg = Counter()
+            for i, j in e:
+                deg[i] += 1
+                deg[j] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            e2 = {(i, j) for i, j in e if i in keep and j in keep}
+            if e2 == e:
+                break
+            e = e2
+        nodes = {n for ij in e for n in ij}
+        assert rows[k].core_nodes == len(nodes), k
+        assert rows[k].core_edges == len(e), k
+        if prev_nodes is not None:
+            assert rows[k].core_nodes <= prev_nodes
+            assert rows[k].core_edges <= prev_edges
+        prev_nodes, prev_edges = rows[k].core_nodes, rows[k].core_edges

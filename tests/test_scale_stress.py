@@ -150,6 +150,13 @@ def test_10x_events_scale_linear_no_spill(spark, tmp_path):
         # LPA rounds run on the vocabulary-bounded edge list, so 10x
         # events should move only the item-extraction scan
         "item_communities_lpa",
+        # round 8 second wave: the global midrank window runs on the
+        # value-DOMAIN-bounded cent grid (never corpus rows), so 10x
+        # events should move only the two grid aggregations; the
+        # coalition lattice after shapley's one user_id aggregation
+        # is 2^k rows — ratio must track the corpus scan alone
+        "value_mannwhitney_by_type",
+        "shapley_channel_attribution",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
