@@ -702,3 +702,118 @@ def embedding_random_projection(
             acc = (acc + e(d)) if _JL_SIGNS[d][j] > 0 else (acc - e(d))
         cols.append(F.round(acc / 4.0, 6).alias(f"p{j}"))
     return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+# --- greedy k-center core-set selection --------------------------------------
+#
+# Diversity (core-set) selection for training data (Sener & Savarese
+# 2018, arXiv:1708.00489; Gonzalez 1985 greedy 2-approximation): pick
+# K points so the maximum distance from any point to its nearest
+# selected center is (within 2x) minimized. Greedy = K passes, each
+# broadcasting ONE new center and keeping a running min-distance per
+# point — the k-pass structure is inherent to the guarantee, and each
+# pass is a single map-side update at any scale (no pair explosion).
+# Distances are cosine, each pairwise value ROUNDED to 6 before any
+# least/argmax so both engines select identical centers
+# (round-before-rank house rule); ties break on vec_id.
+
+KCENTER_K = 16
+
+_KC_NORM_SQL = """
+    SELECT vec_id, embedding,
+           sqrt({dot}) AS nrm
+    FROM embeddings
+""".format(dot=_dot_sql("embedding", "embedding"))
+
+
+def _kcenter_sql() -> str:
+    parts = [
+        f"v AS MATERIALIZED ({_KC_NORM_SQL})",
+        "c1 AS (SELECT vec_id, embedding, nrm FROM v ORDER BY vec_id LIMIT 1)",
+    ]
+    dist = (
+        "ROUND(1 - {d} / (s.nrm * c.nrm), 6)".format(
+            d=_dot_sql("s.embedding", "c.embedding")
+        )
+    )
+    sels = [
+        "SELECT 1 AS selection_rank, (SELECT vec_id FROM c1) AS vec_id, "
+        "CAST(NULL AS DOUBLE) AS coverage_radius"
+    ]
+    for r in range(2, KCENTER_K + 1):
+        src = "v" if r == 2 else f"s{r - 2}"
+        mind = dist if r == 2 else f"LEAST(s.mind, {dist})"
+        parts.append(f"""
+        s{r - 1} AS MATERIALIZED (
+            SELECT s.vec_id, s.embedding, s.nrm, {mind} AS mind
+            FROM {src} s, c{r - 1} c)""")
+        parts.append(f"""
+        c{r} AS (SELECT vec_id, embedding, nrm, mind FROM s{r - 1}
+                 ORDER BY mind DESC, vec_id LIMIT 1)""")
+        sels.append(
+            f"SELECT {r}, (SELECT vec_id FROM c{r}), (SELECT mind FROM c{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(sels)
+        + "\nORDER BY selection_rank"
+    )
+
+
+@register(
+    "coreset_kcenter_selection",
+    oracle=_kcenter_sql(),
+    doc=f"Greedy k-center core-set selection over the embedding corpus "
+    f"(Gonzalez 1985 2-approximation; Sener-Savarese 2018 active-"
+    f"learning core-sets): {KCENTER_K} maximally-spread vectors, each "
+    "round adding the point farthest (cosine distance) from the "
+    "selected set — the diversity-sampling complement of quality-"
+    "ranked selection (#177) and semantic dedup (#54: that REMOVES "
+    "redundancy, this KEEPS a spread summary). coverage_radius at "
+    "rank r is the max-min distance when that center was chosen — a "
+    "certified upper bound on twice the optimal r-center radius. "
+    "Scale shape: K passes, each broadcasting ONE center row and "
+    "keeping a running per-point min distance (map-side; no joins, "
+    "no pair explosion); every pairwise distance is rounded to 6 "
+    "BEFORE least/argmax so both engines choose identical centers.",
+    tags=("embeddings", "sampling", "llm"),
+)
+def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    seed = v.orderBy("vec_id").limit(1).collect()
+    out_schema = "selection_rank int, vec_id long, coverage_radius double"
+    if not seed:
+        return spark.createDataFrame([], out_schema)
+    chosen = [(1, seed[0].vec_id, None)]
+    cur = v
+    c_emb, c_nrm = list(seed[0].embedding), float(seed[0].nrm)
+    mind = None
+    for r in range(2, KCENTER_K + 1):
+        lit_emb = F.array(*[F.lit(float(x)) for x in c_emb])
+        d = F.round(
+            1
+            - dot_col(F.col("embedding"), lit_emb)
+            / (F.col("nrm") * F.lit(c_nrm)),
+            6,
+        )
+        mind_col = d if mind is None else F.least(F.col("mind"), d)
+        cur = cur.select(
+            "vec_id", "embedding", "nrm", mind_col.alias("mind")
+        ).localCheckpoint(eager=False)
+        mind = True
+        # bounded scalar pull: ONE center row per round (k-means idiom)
+        top = (
+            cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
+        )
+        chosen.append((r, top[0].vec_id, float(top[0].mind)))
+        c_emb, c_nrm = list(top[0].embedding), float(top[0].nrm)
+    return spark.createDataFrame(chosen, out_schema).orderBy(
+        "selection_rank"
+    )

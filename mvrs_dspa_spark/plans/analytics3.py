@@ -241,11 +241,12 @@ def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TS_MAX_POINTS = 720
 
-
-@register(
-    "hourly_theil_sen_trend",
-    oracle=f"""
-        WITH hourly AS (
+# The bucketed hourly series CTEs — ONE definition shared by the
+# Theil-Sen slope oracle (#150) and the Mann-Kendall trend-test oracle
+# (#187, plans/analytics5.py): hourly counts, adaptive bucket width,
+# and the <= TS_MAX_POINTS (event_type, hr_rel, n, w) point set.
+TS_PTS_SQL = f"""
+        hourly AS (
             SELECT event_type,
                    epoch_us(ts) // {_HOUR_US} AS hr,
                    COUNT(*) AS n
@@ -268,7 +269,46 @@ TS_MAX_POINTS = 720
                    CAST(SUM(n) AS BIGINT) AS n,
                    ANY_VALUE(w) AS w
             FROM rel GROUP BY event_type, hr_rel
-        ),
+        )"""
+
+
+def ts_bucketed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of TS_PTS_SQL: the capped (event_type, hr_rel, n, w)
+    hourly point series feeding both the Theil-Sen slope (#150) and
+    the Mann-Kendall trend test (#187)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wd = hourly.agg(
+        F.expr(
+            f"(max(hr) - min(hr) + {TS_MAX_POINTS}) div {TS_MAX_POINTS}"
+        ).alias("w")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(wd))
+        .select(
+            "event_type",
+            F.expr(
+                "((hr - min(hr) over (partition by event_type)) div w) * w"
+            ).alias("hr_rel"),
+            "n",
+            "w",
+        )
+        .groupBy("event_type", "hr_rel")
+        .agg(F.sum("n").alias("n"), F.any_value("w").alias("w"))
+    )
+
+
+@register(
+    "hourly_theil_sen_trend",
+    oracle=f"""
+        WITH {TS_PTS_SQL},
         slopes AS (
             SELECT a.event_type,
                    (b.n - a.n)
@@ -335,34 +375,8 @@ TS_MAX_POINTS = 720
     tags=("analytics", "timeseries"),
 )
 def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    hourly = (
-        ev.select(
-            "event_type",
-            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
-        )
-        .groupBy("event_type", "hr")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     w_type = Window.partitionBy("event_type")
-    wd = hourly.agg(
-        F.expr(
-            f"(max(hr) - min(hr) + {TS_MAX_POINTS}) div {TS_MAX_POINTS}"
-        ).alias("w")
-    )
-    pts = (
-        hourly.crossJoin(F.broadcast(wd))
-        .select(
-            "event_type",
-            F.expr(
-                "((hr - min(hr) over (partition by event_type)) div w) * w"
-            ).alias("hr_rel"),
-            "n",
-            "w",
-        )
-        .groupBy("event_type", "hr_rel")
-        .agg(F.sum("n").alias("n"), F.any_value("w").alias("w"))
-    )
+    pts = ts_bucketed_points(spark, sf_dir)
     a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(
         b,

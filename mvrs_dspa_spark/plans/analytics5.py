@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.plans.analytics3 import TS_PTS_SQL
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table
 
@@ -587,4 +588,148 @@ def value_hour_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             num / F.nullif(F.sqrt(venx * veny), F.lit(0.0)), 6
         ).alias("rho_spearman"),
+    ).orderBy("event_type")
+
+
+# --- Mann-Kendall trend test -------------------------------------------------
+#
+# The significance companion to the Theil-Sen slope (#150): S is the
+# sign-sum over ordered point pairs of the SAME capped hourly series
+# (shared ts_bucketed_points / TS_PTS_SQL definition, <=720 points per
+# type), var(S) carries the tie correction, and the continuity-
+# corrected z decides the trend verdict. Everything is integer until
+# the final per-row z formula.
+
+MK_Z_CRIT = 1.96
+
+
+@register(
+    "hourly_mann_kendall_trend",
+    oracle=f"""
+        WITH {TS_PTS_SQL},
+        s AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN b.n > a.n THEN 1
+                            WHEN b.n < a.n THEN -1 ELSE 0 END) AS s_stat
+            FROM pts a JOIN pts b
+              ON a.event_type = b.event_type AND a.hr_rel < b.hr_rel
+            GROUP BY 1
+        ),
+        m AS (
+            SELECT event_type, COUNT(*) AS m FROM pts GROUP BY 1
+        ),
+        ties AS (
+            SELECT event_type,
+                   COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_v
+            FROM (SELECT event_type, n, COUNT(*) AS t
+                  FROM pts GROUP BY event_type, n)
+            WHERE t > 1
+            GROUP BY event_type
+        ),
+        v AS (
+            SELECT m.event_type, m.m, s.s_stat,
+                   (CAST(m.m AS DOUBLE) * (m.m - 1) * (2 * m.m + 5)
+                    - COALESCE(t.tie_v, 0)) / 18 AS var_s
+            FROM m JOIN s ON s.event_type = m.event_type
+            LEFT JOIN ties t ON t.event_type = m.event_type
+        )
+        SELECT event_type,
+               CAST(m AS BIGINT) AS n_points,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               ROUND(var_s, 4) AS var_s,
+               ROUND(CASE WHEN s_stat > 0
+                          THEN (s_stat - 1) / NULLIF(sqrt(var_s), 0)
+                          WHEN s_stat < 0
+                          THEN (s_stat + 1) / NULLIF(sqrt(var_s), 0)
+                          ELSE 0 END, 6) AS z_mk,
+               CASE WHEN s_stat > 0 AND (s_stat - 1) / NULLIF(sqrt(var_s), 0)
+                             > {MK_Z_CRIT} THEN 'increasing'
+                    WHEN s_stat < 0 AND (s_stat + 1) / NULLIF(sqrt(var_s), 0)
+                             < -{MK_Z_CRIT} THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM v
+        ORDER BY event_type
+    """,
+    doc="Mann-Kendall monotone-trend test per event type (Mann 1945 / "
+    "Kendall 1975) — the nonparametric significance verdict paired "
+    "with the Theil-Sen slope magnitude (#150), on the SAME capped "
+    "hourly point series (shared ts_bucketed_points / TS_PTS_SQL "
+    "definition, <= 720 points per type by adaptive bucketing, so the "
+    "sign-pair set is bounded at ~260k pairs regardless of volume). "
+    "S and the tie term are exact integers; tie-corrected var(S) and "
+    "the continuity-corrected z are per-row final formulas; trend is "
+    "the |z| > 1.96 two-sided verdict.",
+    tags=("analytics", "validation"),
+)
+def hourly_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.plans.analytics3 import ts_bucketed_points
+
+    pts = ts_bucketed_points(spark, sf_dir).localCheckpoint(eager=False)
+    a, b = pts.alias("a"), pts.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hr_rel") < F.col("b.hr_rel")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.n") > F.col("a.n"), 1)
+                .when(F.col("b.n") < F.col("a.n"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    m = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    ties = (
+        pts.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_v")
+        )
+    )
+    v = (
+        m.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "m",
+            "s_stat",
+            (
+                (
+                    _d(F.col("m")) * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                    - F.coalesce(F.col("tie_v"), F.lit(0))
+                )
+                / 18
+            ).alias("var_s"),
+        )
+    )
+    sd = F.nullif(F.sqrt(F.col("var_s")), F.lit(0.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_points"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 6).alias("z_mk"),
+        F.when(
+            (F.col("s_stat") > 0) & (z > MK_Z_CRIT), F.lit("increasing")
+        )
+        .when(
+            (F.col("s_stat") < 0) & (z < -MK_Z_CRIT), F.lit("decreasing")
+        )
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
     ).orderBy("event_type")

@@ -67,6 +67,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_readability",
     "feature_hashing_vectors",
     "graph_kcore_summary",
+    "value_hour_spearman",
+    "hourly_mann_kendall_trend",
+    "coreset_kcenter_selection",
+    # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
+    # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
+    # (plan-identical; changed-implementation policy)
+    "hourly_theil_sen_trend",
     # Slots 6-10: queries changed or first registered earlier this round.
     # - point_in_time_state_join: rewritten in the union-tag as-of
     #   shape (VERDICT r7 'What's wrong' #1; 10x probe 8.2 -> 2.5)
@@ -141,10 +148,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "training_corpus_manifest",
     "user_item_sets",
     "weighted_sample_topk",
-    # (re-sweep queue for round 9: salted_event_rollup, shard_manifest,
-    # training_corpus_manifest, user_item_sets, weighted_sample_topk
-    # (r3 rows displaced past slot 50 by the five second-wave
-    # registrations above), media_features + semantic_dedup
+    # (re-sweep queue for round 9: the r3 rows displaced past slot 50
+    # by the ten second-wave entries above — the §2g ledger
+    # (tools/freshness.py) is the mechanical source of which rows are
+    # in-window vs displaced — plus media_features + semantic_dedup
     # (r3 rows-gates displaced by the two changed oracle queries
     # above), then the 47 r4-checked rows, oldest
     # block — ab_test_report, activity_gini, ann_ivf_pq,

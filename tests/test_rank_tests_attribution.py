@@ -293,3 +293,122 @@ def test_kcore_truncated_peel_reaches_fixpoint(spark, sf_small):
             assert rows[k].core_nodes <= prev_nodes
             assert rows[k].core_edges <= prev_edges
         prev_nodes, prev_edges = rows[k].core_nodes, rows[k].core_edges
+
+
+def test_spearman_matches_naive(spark, sf_small):
+    from mvrs_dspa_spark.tables import table
+
+    rows = (
+        table(spark, sf_small, "events")
+        .selectExpr(
+            "event_type",
+            "cast(round(value * 100) as long) as v",
+            "hour(ts) as h",
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.v, r.h))
+    got = {r.event_type: r for r in _run(spark, sf_small, "value_hour_spearman")}
+    assert set(got) == set(by_type)
+    for t, pairs in by_type.items():
+        xs = _midranks([v for v, _ in pairs])
+        ys = _midranks([h for _, h in pairs])
+        rx = [xs[v] for v, _ in pairs]
+        ry = [ys[h] for _, h in pairs]
+        n = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        want = (n * sxy - sx * sy) / den if den else None
+        assert got[t].n == n
+        if want is None:
+            assert got[t].rho_spearman is None
+        else:
+            assert got[t].rho_spearman == pytest.approx(want, abs=2e-6), t
+
+
+def test_mann_kendall_matches_naive(spark, sf_small):
+    from mvrs_dspa_spark.plans.analytics3 import ts_bucketed_points
+    from mvrs_dspa_spark.plans.analytics5 import MK_Z_CRIT
+
+    pts = {}
+    for r in ts_bucketed_points(spark, sf_small).collect():
+        pts.setdefault(r.event_type, []).append((r.hr_rel, r.n))
+    got = {r.event_type: r for r in _run(spark, sf_small, "hourly_mann_kendall_trend")}
+    assert set(got) == set(pts)
+    from collections import Counter
+
+    for t, series in pts.items():
+        series.sort()
+        ns = [n for _, n in series]
+        m = len(ns)
+        s = sum(
+            (1 if ns[j] > ns[i] else -1 if ns[j] < ns[i] else 0)
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+        tie_v = sum(
+            c * (c - 1) * (2 * c + 5)
+            for c in Counter(ns).values()
+            if c > 1
+        )
+        var_s = (m * (m - 1) * (2 * m + 5) - tie_v) / 18
+        row = got[t]
+        assert row.n_points == m and row.s_stat == s, t
+        assert row.var_s == round(var_s, 4), t
+        z = (
+            (s - 1) / var_s**0.5
+            if s > 0
+            else (s + 1) / var_s**0.5
+            if s < 0
+            else 0.0
+        )
+        assert row.z_mk == pytest.approx(z, abs=1e-6), t
+        want_trend = (
+            "increasing"
+            if s > 0 and z > MK_Z_CRIT
+            else "decreasing"
+            if s < 0 and z < -MK_Z_CRIT
+            else "no_trend"
+        )
+        assert row.trend == want_trend, t
+
+
+def test_kcenter_matches_naive_greedy(spark, sf_small):
+    from mvrs_dspa_spark.tables import table
+
+    rows = (
+        table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def dist(a, b):
+        da = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(1 - da / (na * nb), 6)
+
+    got = sorted(
+        _run(spark, sf_small, "coreset_kcenter_selection"),
+        key=lambda r: r.selection_rank,
+    )
+    seed = min(vecs)
+    assert got[0].vec_id == seed and got[0].coverage_radius is None
+    mind = {vid: dist(v, vecs[seed]) for vid, v in vecs.items()}
+    prev_radius = None
+    for row in got[1:]:
+        pick = max(mind, key=lambda vid: (mind[vid], -vid))
+        assert row.vec_id == pick, row
+        assert row.coverage_radius == mind[pick], row
+        # greedy max-min radius is non-increasing
+        if prev_radius is not None:
+            assert row.coverage_radius <= prev_radius + 1e-12
+        prev_radius = row.coverage_radius
+        for vid, v in vecs.items():
+            mind[vid] = min(mind[vid], dist(v, vecs[pick]))
