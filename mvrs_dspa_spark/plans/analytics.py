@@ -1224,6 +1224,112 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- CUSUM changepoint detection -------------------------------------------
+#
+# Exact integer-cent form (round-8 rework, shared with the streaming
+# monitor 29ak): the hourly cells carry int64 cent sums, and the
+# cumulative deviation is n*prefix_k - k*total — an exact
+# decimal(38,0)/HUGEINT integer (the float form summed doubles whose
+# order neither engine pins), so the argmax changepoint selection is
+# integer-exact and the served statistics divide once at the end.
+
+
+def cusum_cents_col(value: Column | None = None) -> Column:
+    """The exact cent coding of CUSUM's value domain — ONE definition
+    shared by the registered batch query and the streaming monitor
+    (streaming/cusum_stream.CusumMonitor)."""
+    v = F.col("value") if value is None else value
+    return F.round(v * 100).cast("long")
+
+
+def cusum_from_hourly(cells: DataFrame) -> DataFrame:
+    """CUSUM changepoint table from an (event_type, hour, x_c) hourly
+    cent-sum grid — the serving tail shared by the batch query (grid
+    from one corpus scan) and the streaming monitor (grid maintained
+    additively). All windows run on the bounded hourly series; the
+    scaled deviation n*prefix - k*total is decimal(38,0)-exact."""
+    dec = "decimal(38,0)"
+    wp = Window.partitionBy("event_type")
+    w_run = wp.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    stats = cells.select(
+        "*",
+        F.sum("x_c").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x_c").over(w_run).alias("prefix"),
+        F.row_number().over(wp.orderBy("hour")).alias("k"),
+    )
+    cs_scaled = F.abs(
+        F.col("n").cast(dec) * F.col("prefix").cast(dec)
+        - F.col("k").cast(dec) * F.col("tot").cast(dec)
+    )
+    ranked = stats.select(
+        "event_type", "hour", "n", cs_scaled.alias("cs_s")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            wp.orderBy(F.col("cs_s").desc(), F.col("hour"))
+        ),
+    )
+    cp = ranked.where(F.col("rk") == 1).select(
+        "event_type",
+        F.col("hour").alias("changepoint_hour"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(
+            F.col("cs_s").cast("double")
+            / (F.col("n").cast("double") * 100.0),
+            6,
+        ).alias("max_abs_cusum"),
+    )
+    hourly = cells
+    return (
+        cp.join(hourly, "event_type")
+        .groupBy(
+            "event_type", "changepoint_hour", "n_hours", "max_abs_cusum"
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("hour") <= F.col("changepoint_hour"),
+                        F.col("x_c"),
+                    )
+                )
+                / (
+                    100.0
+                    * F.count(
+                        F.when(
+                            F.col("hour") <= F.col("changepoint_hour"), 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("mean_before"),
+            F.when(
+                F.count(
+                    F.when(F.col("hour") > F.col("changepoint_hour"), 1)
+                )
+                > 0,
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("hour") > F.col("changepoint_hour"),
+                            F.col("x_c"),
+                        )
+                    )
+                    / (
+                        100.0
+                        * F.count(
+                            F.when(
+                                F.col("hour") > F.col("changepoint_hour"),
+                                1,
+                            )
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
@@ -1231,43 +1337,55 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,
-                   SUM(value) AS x
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x_c
             FROM events GROUP BY 1, 2
         ),
         stats AS (
             SELECT *,
-                   AVG(x) OVER (PARTITION BY event_type) AS mu,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
+                   SUM(x_c) OVER (PARTITION BY event_type) AS tot,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   SUM(x_c) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING) AS prefix,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hour) AS k
             FROM hourly
         ),
         cusum AS (
             SELECT event_type, hour, n,
-                   SUM(x - mu) OVER (
-                       PARTITION BY event_type ORDER BY hour
-                       ROWS UNBOUNDED PRECEDING
-                   ) AS cs
+                   ABS(CAST(n AS HUGEINT) * prefix
+                       - CAST(k AS HUGEINT) * tot) AS cs_s
             FROM stats
         ),
         ranked AS (
-            SELECT event_type, hour, n, cs,
+            SELECT event_type, hour, n, cs_s,
                    ROW_NUMBER() OVER (
                        PARTITION BY event_type
-                       ORDER BY ABS(cs) DESC, hour
+                       ORDER BY cs_s DESC, hour
                    ) AS rk
             FROM cusum
         ),
         cp AS (
             SELECT event_type, hour AS changepoint_hour,
                    CAST(n AS BIGINT) AS n_hours,
-                   ROUND(ABS(cs), 6) AS max_abs_cusum
+                   ROUND(CAST(cs_s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 100.0), 6) AS max_abs_cusum
             FROM ranked WHERE rk = 1
         )
         SELECT c.event_type, c.changepoint_hour, c.n_hours,
                c.max_abs_cusum,
-               ROUND(AVG(h.x) FILTER (
-                   WHERE h.hour <= c.changepoint_hour), 6) AS mean_before,
-               ROUND(AVG(h.x) FILTER (
-                   WHERE h.hour > c.changepoint_hour), 6) AS mean_after
+               ROUND(SUM(h.x_c) FILTER (
+                       WHERE h.hour <= c.changepoint_hour)
+                     / (100.0 * COUNT(*) FILTER (
+                       WHERE h.hour <= c.changepoint_hour)), 6)
+                   AS mean_before,
+               CASE WHEN COUNT(*) FILTER (
+                        WHERE h.hour > c.changepoint_hour) > 0 THEN
+                   ROUND(SUM(h.x_c) FILTER (
+                           WHERE h.hour > c.changepoint_hour)
+                         / (100.0 * COUNT(*) FILTER (
+                           WHERE h.hour > c.changepoint_hour)), 6)
+               END AS mean_after
         FROM cp c JOIN hourly h ON h.event_type = c.event_type
         GROUP BY 1, 2, 3, 4
         ORDER BY c.event_type
@@ -1278,64 +1396,21 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the monitoring question behind 'when did this metric shift'. "
     "The corpus-sized work is the hourly rollup; every window pass "
     "then runs on the BOUNDED aggregated series (hours x types), the "
-    "same bounded-series discipline as momentum/autocorrelation.",
+    "same bounded-series discipline as momentum/autocorrelation. "
+    "Round-8 rework: cells are exact int64 cent sums and the peak "
+    "statistic is the integer n*prefix - k*total (decimal/HUGEINT), "
+    "so changepoint selection is summation-order-proof on both "
+    "engines AND the grid merges additively — which is what lets the "
+    "streaming monitor (29ak) maintain it per micro-batch and serve "
+    "the identical table via the shared cusum_from_hourly tail.",
     tags=("analytics", "temporal"),
 )
 def hourly_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    cells = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.sum("value").alias("x"))
-    wp = Window.partitionBy("event_type")
-    stats = hourly.select(
-        "*",
-        F.avg("x").over(wp).alias("mu"),
-        F.count(F.lit(1)).over(wp).alias("n"),
-    )
-    cs = F.sum(F.col("x") - F.col("mu")).over(
-        wp.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = stats.select(
-        "event_type", "hour", "n", cs.alias("cs")
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            wp.orderBy(F.abs(F.col("cs")).desc(), F.col("hour"))
-        ),
-    )
-    cp = ranked.where(F.col("rk") == 1).select(
-        "event_type",
-        F.col("hour").alias("changepoint_hour"),
-        F.col("n").cast("long").alias("n_hours"),
-        F.round(F.abs("cs"), 6).alias("max_abs_cusum"),
-    )
-    return (
-        cp.join(hourly, "event_type")
-        .groupBy(
-            "event_type", "changepoint_hour", "n_hours", "max_abs_cusum"
-        )
-        .agg(
-            F.round(
-                F.avg(
-                    F.when(
-                        F.col("hour") <= F.col("changepoint_hour"),
-                        F.col("x"),
-                    )
-                ),
-                6,
-            ).alias("mean_before"),
-            F.round(
-                F.avg(
-                    F.when(
-                        F.col("hour") > F.col("changepoint_hour"),
-                        F.col("x"),
-                    )
-                ),
-                6,
-            ).alias("mean_after"),
-        )
-        .orderBy("event_type")
-    )
+    ).agg(F.sum(cusum_cents_col()).alias("x_c"))
+    return cusum_from_hourly(cells)
 
 
 # --- per-source token-distribution divergence ------------------------------
@@ -1841,7 +1916,8 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_drift_ks",
     oracle="""
         WITH labeled AS (
-            SELECT event_type, value,
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
                    CASE WHEN epoch_us(ts) <
                             (SELECT MIN(epoch_us(ts))
                                  + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
@@ -1851,10 +1927,10 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         pts AS (
-            SELECT event_type, value,
+            SELECT event_type, cents,
                    COUNT(*) FILTER (WHERE period = 0) AS c0,
                    COUNT(*) FILTER (WHERE period = 1) AS c1
-            FROM labeled GROUP BY event_type, value
+            FROM labeled GROUP BY event_type, cents
         ),
         totals AS (
             SELECT event_type, SUM(c0) AS n0, SUM(c1) AS n1
@@ -1863,11 +1939,11 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ecdf AS (
             SELECT p.event_type,
                    SUM(p.c0) OVER (
-                       PARTITION BY p.event_type ORDER BY p.value
+                       PARTITION BY p.event_type ORDER BY p.cents
                        ROWS UNBOUNDED PRECEDING
                    )::DOUBLE / NULLIF(t.n0, 0) AS f0,
                    SUM(p.c1) OVER (
-                       PARTITION BY p.event_type ORDER BY p.value
+                       PARTITION BY p.event_type ORDER BY p.cents
                        ROWS UNBOUNDED PRECEDING
                    )::DOUBLE / NULLIF(t.n1, 0) AS f1,
                    t.n0, t.n1
@@ -1897,6 +1973,14 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "validation"),
 )
 def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-8 rework: the grid is the SAME (event_type, cents, c1, c2)
+    # cell shape the W1 drift query and the streaming monitor (29ah)
+    # maintain, and the ECDF/sup-distance tail is the SHARED
+    # ks_from_cells — one state, two drift statistics. Values are
+    # cent-granular, so the cents grid is a bijection of the old
+    # raw-value grid.
+    from mvrs_dspa_spark.plans.analytics4 import ks_from_cells, w1_cents_col
+
     ev = table(spark, sf_dir, "events")
     rng = ev.agg(
         F.min(F.unix_micros("ts")).alias("mn"),
@@ -1904,7 +1988,7 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = ev.crossJoin(F.broadcast(rng)).select(
         "event_type",
-        "value",
+        w1_cents_col().alias("cents"),
         F.when(
             F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
             F.lit(0),
@@ -1912,54 +1996,11 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .alias("period"),
     )
-    pts = labeled.groupBy("event_type", "value").agg(
-        F.count_if(F.col("period") == 0).alias("c0"),
-        F.count_if(F.col("period") == 1).alias("c1"),
+    cells = labeled.groupBy("event_type", "cents").agg(
+        F.count_if(F.col("period") == 0).alias("c1"),
+        F.count_if(F.col("period") == 1).alias("c2"),
     )
-    totals = pts.groupBy("event_type").agg(
-        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # NULLIF every denominator: a type whose values fall entirely in one
-    # half of the time range (a newly-appearing or vanished type — the
-    # core drift scenario) has n0 or n1 = 0, and ANSI mode would throw
-    # DIVIDE_BY_ZERO. NULL ECDF terms are skipped by MAX, matching the
-    # oracle's NULLIF exactly: the one-sided type yields NULL ks columns.
-    ecdf = pts.join(totals, "event_type").select(
-        "event_type",
-        (
-            F.sum("c0").over(w).cast("double")
-            / F.nullif(F.col("n0"), F.lit(0))
-        ).alias("f0"),
-        (
-            F.sum("c1").over(w).cast("double")
-            / F.nullif(F.col("n1"), F.lit(0))
-        ).alias("f1"),
-        "n0",
-        "n1",
-    )
-    d = F.max(F.abs(F.col("f0") - F.col("f1")))
-    return (
-        ecdf.groupBy("event_type")
-        .agg(
-            F.any_value("n0").cast("long").alias("n_ref"),
-            F.any_value("n1").cast("long").alias("n_cur"),
-            F.round(d, 6).alias("ks_stat"),
-            F.round(
-                d
-                / F.sqrt(
-                    (F.any_value("n0") + F.any_value("n1")).cast("double")
-                    / F.nullif(F.any_value("n0") * F.any_value("n1"), F.lit(0))
-                ),
-                6,
-            ).alias("ks_scaled"),
-        )
-        .orderBy("event_type")
-    )
+    return ks_from_cells(cells)
 
 
 # --- RFM customer segmentation ---------------------------------------------

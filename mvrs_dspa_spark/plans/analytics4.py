@@ -1106,6 +1106,61 @@ def w1_from_cells(cells: DataFrame) -> DataFrame:
     )
 
 
+def ks_from_cells(cells: DataFrame) -> DataFrame:
+    """Exact two-sample KS per type from the SAME (event_type, cents,
+    c1, c2) grid `w1_from_cells` consumes — one maintained state, two
+    drift statistics (W1 = magnitude, KS = sup-distance). Shared by
+    the registered batch query (#10am-b, plans/analytics.value_drift_ks)
+    and the streaming monitor's `ks_report()` (29ah). ECDF windows run
+    on the value-domain-bounded grid; counts are integers divided once
+    per row, so both serving paths agree bit-for-bit."""
+    totals = cells.groupBy("event_type").agg(
+        F.sum("c1").alias("n0"), F.sum("c2").alias("n1")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # NULLIF every denominator: a type entirely inside one half (the
+    # newly-appearing / vanished type — the core drift scenario) has
+    # n0 or n1 = 0 and ANSI would throw; NULL ECDF terms are skipped
+    # by MAX, yielding NULL ks columns for the one-sided type.
+    ecdf = cells.join(totals, "event_type").select(
+        "event_type",
+        (
+            F.sum("c1").over(w).cast("double")
+            / F.nullif(F.col("n0"), F.lit(0))
+        ).alias("f0"),
+        (
+            F.sum("c2").over(w).cast("double")
+            / F.nullif(F.col("n1"), F.lit(0))
+        ).alias("f1"),
+        "n0",
+        "n1",
+    )
+    d = F.max(F.abs(F.col("f0") - F.col("f1")))
+    return (
+        ecdf.groupBy("event_type")
+        .agg(
+            F.any_value("n0").cast("long").alias("n_ref"),
+            F.any_value("n1").cast("long").alias("n_cur"),
+            F.round(d, 6).alias("ks_stat"),
+            F.round(
+                d
+                / F.sqrt(
+                    (F.any_value("n0") + F.any_value("n1")).cast("double")
+                    / F.nullif(
+                        F.any_value("n0") * F.any_value("n1"), F.lit(0)
+                    )
+                ),
+                6,
+            ).alias("ks_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "value_wasserstein_drift",
     oracle="""

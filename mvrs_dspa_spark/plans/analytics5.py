@@ -73,18 +73,28 @@ _RANK_GRID_SQL = """
         )"""
 
 
-def _rank_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(per-type rank sums, global totals) from ONE events scan.
+def rank_cents_col(value: Column | None = None) -> Column:
+    """The exact cent coding of the rank tests' value domain — ONE
+    definition shared by the registered batch queries and the
+    streaming rank-test monitor (streaming/ranktest_stream)."""
+    v = F.col("value") if value is None else value
+    return F.round(v * 100).cast("long")
+
+
+def rank_stats_from_tgrid(
+    tgrid: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(per-type rank sums, global totals) from a per-type cent-count
+    grid ``tgrid(event_type, v_c, cnt_t)`` — the serving tail shared
+    by the batch queries (tgrid from one corpus scan) and the
+    streaming monitor (tgrid maintained additively: int64 counts
+    merge in any order, the CUSUM-grid property).
 
     Returns ``per(event_type, n1, rr2)`` with rr2 = exact decimal
     2*rank-sum, and ``tot(n, tie_t)`` with tie_t = exact decimal
     sum(cnt^3 - cnt) over the tie groups.
     """
-    ev = table(spark, sf_dir, "events")
-    coded = ev.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
-    )
-    grid = coded.groupBy("v_c").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = tgrid.groupBy("v_c").agg(F.sum("cnt_t").alias("cnt"))
     # cache-free reuse: grid is re-derived per branch; Catalyst reuses
     # the exchange (both branches share the same aggregate subplan).
     w_less = Window.orderBy("v_c").rowsBetween(
@@ -105,9 +115,6 @@ def _rank_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             - F.col("cnt")
         ).alias("tie_t"),
     )
-    tgrid = coded.groupBy("event_type", "v_c").agg(
-        F.count(F.lit(1)).alias("cnt_t")
-    )
     per = (
         tgrid.join(ranked, "v_c")
         .groupBy("event_type")
@@ -117,6 +124,69 @@ def _rank_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         )
     )
     return per, tot
+
+
+def events_tgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, v_c, cnt_t) cent-count grid from one events
+    scan — the batch source feeding rank_stats_from_tgrid."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", rank_cents_col().alias("v_c"))
+        .groupBy("event_type", "v_c")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+
+
+def mannwhitney_table(per: DataFrame, tot: DataFrame) -> DataFrame:
+    """The Mann-Whitney output shape from the shared rank statistics —
+    serving tail used by both the batch query and the monitor."""
+    st = per.crossJoin(F.broadcast(tot))
+    u1 = _d(F.col("rr2")) / 2 - _d(F.col("n1")) * (F.col("n1") + 1) / 2
+    n2 = _d(F.col("n1")) * (F.col("n") - F.col("n1"))
+    var = (
+        n2
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - _d(F.col("tie_t")) / (_d(F.col("n")) * (F.col("n") - 1))
+        )
+    )
+    return st.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_type"),
+        F.round(u1, 2).alias("u_stat"),
+        F.round(
+            (u1 - n2 / 2) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z_u"),
+        F.round(2 * u1 / n2 - 1, 6).alias("r_rank_biserial"),
+    ).orderBy("event_type")
+
+
+def kruskal_wallis_table(per: DataFrame, tot: DataFrame) -> DataFrame:
+    """The Kruskal-Wallis output shape from the shared rank
+    statistics — serving tail used by both the batch query and the
+    monitor."""
+    half = _d(F.col("rr2")) / 2
+    terms = per.select(
+        F.round(half * half / F.col("n1")).cast(_DEC).alias("term_c")
+    )
+    s = terms.agg(
+        F.sum("term_c").alias("s_c"), F.count(F.lit(1)).alias("k")
+    )
+    st = s.crossJoin(F.broadcast(tot))
+    h = 12.0 / (_d(F.col("n")) * (F.col("n") + 1)) * _d(
+        F.col("s_c")
+    ) - 3 * (F.col("n") + 1)
+    tie_c = 1 - _d(F.col("tie_t")) / (
+        _d(F.col("n")) * F.col("n") * F.col("n") - F.col("n")
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(h, 6).alias("h"),
+        F.round(tie_c, 9).alias("tie_correction"),
+        F.round(h / F.nullif(tie_c, F.lit(0.0)), 6).alias("h_adj"),
+    ).orderBy("n_events")
 
 
 @register(
@@ -156,27 +226,8 @@ def _rank_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     tags=("analytics", "validation"),
 )
 def value_mannwhitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per, tot = _rank_stats(spark, sf_dir)
-    st = per.crossJoin(F.broadcast(tot))
-    u1 = _d(F.col("rr2")) / 2 - _d(F.col("n1")) * (F.col("n1") + 1) / 2
-    n2 = _d(F.col("n1")) * (F.col("n") - F.col("n1"))
-    var = (
-        n2
-        / 12.0
-        * (
-            (F.col("n") + 1)
-            - _d(F.col("tie_t")) / (_d(F.col("n")) * (F.col("n") - 1))
-        )
-    )
-    return st.select(
-        "event_type",
-        F.col("n1").cast("long").alias("n_type"),
-        F.round(u1, 2).alias("u_stat"),
-        F.round(
-            (u1 - n2 / 2) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
-        ).alias("z_u"),
-        F.round(2 * u1 / n2 - 1, 6).alias("r_rank_biserial"),
-    ).orderBy("event_type")
+    per, tot = rank_stats_from_tgrid(events_tgrid(spark, sf_dir))
+    return mannwhitney_table(per, tot)
 
 
 @register(
@@ -220,28 +271,8 @@ def value_mannwhitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "validation"),
 )
 def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per, tot = _rank_stats(spark, sf_dir)
-    half = _d(F.col("rr2")) / 2
-    terms = per.select(
-        F.round(half * half / F.col("n1")).cast(_DEC).alias("term_c")
-    )
-    s = terms.agg(
-        F.sum("term_c").alias("s_c"), F.count(F.lit(1)).alias("k")
-    )
-    st = s.crossJoin(F.broadcast(tot))
-    h = 12.0 / (_d(F.col("n")) * (F.col("n") + 1)) * _d(
-        F.col("s_c")
-    ) - 3 * (F.col("n") + 1)
-    tie_c = 1 - _d(F.col("tie_t")) / (
-        _d(F.col("n")) * F.col("n") * F.col("n") - F.col("n")
-    )
-    return st.select(
-        F.col("n").cast("long").alias("n_events"),
-        F.col("k").cast("long").alias("n_groups"),
-        F.round(h, 6).alias("h"),
-        F.round(tie_c, 9).alias("tie_correction"),
-        F.round(h / F.nullif(tie_c, F.lit(0.0)), 6).alias("h_adj"),
-    ).orderBy("n_events")
+    per, tot = rank_stats_from_tgrid(events_tgrid(spark, sf_dir))
+    return kruskal_wallis_table(per, tot)
 
 
 # --- exact Shapley-value channel attribution --------------------------------

@@ -74,6 +74,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)
     "hourly_theil_sen_trend",
+    # hourly_changepoint_cusum re-checks this round: reworked to exact
+    # integer-cent cells + decimal peak statistic (shared with the
+    # streaming monitor 29ak)
+    "hourly_changepoint_cusum",
+    # value_drift_ks re-checks this round: reworked onto the shared
+    # W1 cents grid + ks_from_cells tail (one monitor state now serves
+    # both drift statistics)
+    "value_drift_ks",
     # Slots 6-10: queries changed or first registered earlier this round.
     # - point_in_time_state_join: rewritten in the union-tag as-of
     #   shape (VERDICT r7 'What's wrong' #1; 10x probe 8.2 -> 2.5)

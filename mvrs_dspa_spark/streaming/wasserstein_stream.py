@@ -88,6 +88,16 @@ class WassersteinMonitor:
         query uses, from the maintained value-domain-bounded grid."""
         return w1_from_cells(self.grid)
 
+    def ks_report(self) -> DataFrame:
+        """Exact two-sample KS per type from the SAME grid — one
+        maintained state, two drift statistics (W1 = magnitude, KS =
+        sup-distance). Serves through the shared `ks_from_cells`
+        tail, so a replayed log reproduces the registered batch KS
+        query (#10am-b) exactly (pytest-pinned)."""
+        from mvrs_dspa_spark.plans.analytics4 import ks_from_cells
+
+        return ks_from_cells(self.grid)
+
     def erase_users(self, user_ids) -> None:
         """GDPR hook parity (see `scd2_stream.Scd2Maintainer`): the
         grid keys on (type, cents) only — no per-user state, erasure

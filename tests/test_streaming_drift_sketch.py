@@ -140,6 +140,16 @@ def test_streaming_wasserstein_equals_batch(spark, tmp_path):
     assert len(got) > 0
     assert got == want
 
+    # one state, two statistics: the SAME maintained grid serves the
+    # exact KS table of the registered batch query via ks_from_cells
+    from mvrs_dspa_spark.plans.analytics import value_drift_ks
+
+    ks_want = sorted(
+        tuple(r) for r in value_drift_ks(spark, SF).collect()
+    )
+    ks_got = sorted(tuple(r) for r in mon.ks_report().collect())
+    assert ks_got == ks_want
+
 
 def test_wasserstein_monitor_empty_state(spark):
     from mvrs_dspa_spark.streaming.wasserstein_stream import (
