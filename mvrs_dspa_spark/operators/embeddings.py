@@ -817,3 +817,174 @@ def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(chosen, out_schema).orderBy(
         "selection_rank"
     )
+
+
+# --- embedding centroid drift ------------------------------------------------
+#
+# Representation-drift screen for the embedding corpus: per label,
+# compare the REFERENCE slice (even vec_id, the deterministic
+# hash-split idiom of #42) against the CURRENT slice (odd vec_id) by
+# centroid cosine and L2 shift. The sufficient statistic is the
+# per-(label, slice, dim) sum of 1e-6-coded components — int64-exact
+# and ADDITIVE, which is what lets the streaming monitor (29am)
+# maintain it per micro-batch and serve the identical table. All
+# cross-dim reductions are exact decimal/HUGEINT; doubles appear only
+# in the final per-label formulas.
+
+EMB_DRIFT_SCALE = 1_000_000
+
+
+def emb_code_col(x: Column) -> Column:
+    """1e-6 integer coding of an embedding component — ONE definition
+    shared by the batch query and the streaming monitor."""
+    return F.round(x.cast("double") * EMB_DRIFT_SCALE).cast("long")
+
+
+def embedding_dim_sums(emb: DataFrame) -> DataFrame:
+    """(label, period, dim, s_c, n) per-dimension coded sums from an
+    embeddings frame — period 0 = even vec_id (reference), 1 = odd.
+    n rides every dim row (constant within (label, period))."""
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("period"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    return ex.groupBy("label", "period", "dim").agg(
+        F.sum(emb_code_col(F.col("x"))).alias("s_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def embedding_drift_from_sums(sums: DataFrame) -> DataFrame:
+    """Per-label drift table from the additive dim-sum grid — the
+    serving tail shared by the batch query and the streaming monitor.
+
+    cosine(mean_ref, mean_cur) needs no counts (the 1/n factors
+    cancel); the L2 shift uses the exact cross-multiplied form
+    (S1*n2 - S2*n1) so every accumulator stays integer until the
+    single final division."""
+    dec = "decimal(38,0)"
+    s1 = F.when(F.col("period") == 0, F.col("s_c")).otherwise(F.lit(0))
+    s2 = F.when(F.col("period") == 1, F.col("s_c")).otherwise(F.lit(0))
+    wide = sums.groupBy("label", "dim").agg(
+        F.sum(s1).alias("a"),
+        F.sum(s2).alias("b"),
+        F.max(F.when(F.col("period") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("period") == 1, F.col("n"))).alias("n2"),
+    )
+    per = wide.groupBy("label").agg(
+        F.max("n1").alias("n_ref"),
+        F.max("n2").alias("n_cur"),
+        F.sum(F.col("a").cast(dec) * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast(dec) * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast(dec) * F.col("b")).alias("sbb"),
+        F.sum(
+            (
+                F.col("a").cast(dec) * F.col("n2")
+                - F.col("b").cast(dec) * F.col("n1")
+            )
+            * (
+                F.col("a").cast(dec) * F.col("n2")
+                - F.col("b").cast(dec) * F.col("n1")
+            )
+        ).alias("sd2"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return per.select(
+        "label",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round(
+                d(F.col("sab"))
+                / F.nullif(
+                    F.sqrt(d(F.col("saa")) * d(F.col("sbb"))), F.lit(0.0)
+                ),
+                6,
+            ),
+        ).alias("centroid_cosine"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round(
+                F.sqrt(d(F.col("sd2")))
+                / (
+                    d(F.col("n_ref"))
+                    * F.col("n_cur")
+                    * F.lit(float(EMB_DRIFT_SCALE))
+                ),
+                6,
+            ),
+        ).alias("centroid_shift_l2"),
+    ).orderBy("label")
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+        WITH ex AS (
+            SELECT label,
+                   CAST(vec_id % 2 AS INTEGER) AS period,
+                   unnest(generate_series(1, len(embedding))) AS dim1,
+                   embedding
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT label, period, dim1 - 1 AS dim,
+                   SUM(CAST(ROUND(embedding[dim1]::DOUBLE
+                                  * {EMB_DRIFT_SCALE}) AS BIGINT)) AS s_c,
+                   COUNT(*) AS n
+            FROM ex GROUP BY 1, 2, 3
+        ),
+        wide AS (
+            SELECT label, dim,
+                   SUM(CASE WHEN period = 0 THEN s_c ELSE 0 END) AS a,
+                   SUM(CASE WHEN period = 1 THEN s_c ELSE 0 END) AS b,
+                   MAX(CASE WHEN period = 0 THEN n END) AS n1,
+                   MAX(CASE WHEN period = 1 THEN n END) AS n2
+            FROM sums GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT label,
+                   MAX(n1) AS n_ref, MAX(n2) AS n_cur,
+                   SUM(CAST(a AS HUGEINT) * b) AS sab,
+                   SUM(CAST(a AS HUGEINT) * a) AS saa,
+                   SUM(CAST(b AS HUGEINT) * b) AS sbb,
+                   SUM((CAST(a AS HUGEINT) * n2 - CAST(b AS HUGEINT) * n1)
+                       * (CAST(a AS HUGEINT) * n2
+                          - CAST(b AS HUGEINT) * n1)) AS sd2
+            FROM wide GROUP BY label
+        )
+        SELECT label,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                   ROUND(CAST(sab AS DOUBLE)
+                         / NULLIF(sqrt(CAST(saa AS DOUBLE)
+                                       * CAST(sbb AS DOUBLE)), 0), 6)
+               END AS centroid_cosine,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                   ROUND(sqrt(CAST(sd2 AS DOUBLE))
+                         / (CAST(n_ref AS DOUBLE) * n_cur
+                            * {EMB_DRIFT_SCALE}), 6)
+               END AS centroid_shift_l2
+        FROM per
+        ORDER BY label
+    """,
+    doc="Embedding-space representation drift per label: centroid "
+    "cosine and L2 shift between the reference slice (even vec_id — "
+    "the deterministic hash-split idiom of #42) and the current slice "
+    "(odd vec_id) — the semantic twin of the value-space drift family "
+    "(PSI #10am / KS #10am-b / W1 #175) for detecting encoder or "
+    "corpus shifts before they poison ANN serving. Sufficient "
+    "statistic: per-(label, slice, dim) sums of 1e-6-coded "
+    "components — int64-exact, ADDITIVE (the streaming monitor 29am "
+    "maintains the same grid), bounded by labels x 2 x dims; cross-"
+    "dim reductions are decimal/HUGEINT (cosine needs no counts — "
+    "the 1/n factors cancel; the L2 shift cross-multiplies "
+    "S1*n2 - S2*n1 to stay integer).",
+    tags=("embeddings", "validation", "llm"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_drift_from_sums(embedding_dim_sums(emb))

@@ -1241,6 +1241,16 @@ def cusum_cents_col(value: Column | None = None) -> Column:
     return F.round(v * 100).cast("long")
 
 
+def cusum_hourly_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, hour, x_c) hourly cent-sum grid from one
+    events scan — the batch source feeding cusum_from_hourly, shared
+    with the segmented-regression consumer (#190)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cusum_cents_col()).alias("x_c"))
+
+
 def cusum_from_hourly(cells: DataFrame) -> DataFrame:
     """CUSUM changepoint table from an (event_type, hour, x_c) hourly
     cent-sum grid — the serving tail shared by the batch query (grid
@@ -1332,14 +1342,17 @@ def cusum_from_hourly(cells: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "hourly_changepoint_cusum",
-    oracle="""
-        WITH hourly AS (
+# The hourly cells + changepoint CTEs — ONE definition shared by the
+# #10an oracle and the segmented-regression oracle (#190,
+# plans/analytics5.py), mirroring the shared cusum_from_hourly tail.
+CUSUM_CELLS_SQL = """
+        hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x_c
             FROM events GROUP BY 1, 2
-        ),
+        )"""
+
+CUSUM_CP_SQL = """
         stats AS (
             SELECT *,
                    SUM(x_c) OVER (PARTITION BY event_type) AS tot,
@@ -1371,7 +1384,14 @@ def cusum_from_hourly(cells: DataFrame) -> DataFrame:
                    ROUND(CAST(cs_s AS DOUBLE)
                          / (CAST(n AS DOUBLE) * 100.0), 6) AS max_abs_cusum
             FROM ranked WHERE rk = 1
-        )
+        )"""
+
+
+@register(
+    "hourly_changepoint_cusum",
+    oracle=f"""
+        WITH {CUSUM_CELLS_SQL},
+        {CUSUM_CP_SQL}
         SELECT c.event_type, c.changepoint_hour, c.n_hours,
                c.max_abs_cusum,
                ROUND(SUM(h.x_c) FILTER (
@@ -1406,11 +1426,7 @@ def cusum_from_hourly(cells: DataFrame) -> DataFrame:
     tags=("analytics", "temporal"),
 )
 def hourly_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.sum(cusum_cents_col()).alias("x_c"))
-    return cusum_from_hourly(cells)
+    return cusum_from_hourly(cusum_hourly_cells(spark, sf_dir))
 
 
 # --- per-source token-distribution divergence ------------------------------

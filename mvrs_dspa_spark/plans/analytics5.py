@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.plans.analytics import CUSUM_CELLS_SQL, CUSUM_CP_SQL
 from mvrs_dspa_spark.plans.analytics3 import TS_PTS_SQL
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table
@@ -189,9 +190,7 @@ def kruskal_wallis_table(per: DataFrame, tot: DataFrame) -> DataFrame:
     ).orderBy("n_events")
 
 
-@register(
-    "value_mannwhitney_by_type",
-    oracle=f"""
+_MW_SQL = f"""
         WITH {_RANK_GRID_SQL}
         SELECT event_type,
                CAST(n1 AS BIGINT) AS n_type,
@@ -212,7 +211,12 @@ def kruskal_wallis_table(per: DataFrame, tot: DataFrame) -> DataFrame:
                      6) AS r_rank_biserial
         FROM per, tot
         ORDER BY event_type
-    """,
+"""
+
+
+@register(
+    "value_mannwhitney_by_type",
+    oracle=_MW_SQL,
     doc="One-vs-rest Mann-Whitney U test of event value per type — the "
     "rank-based (distribution-free) twin of value_ttest_by_type #109, "
     "robust to the heavy-tailed value distributions where Welch's t "
@@ -764,3 +768,254 @@ def hourly_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     ).orderBy("event_type")
+
+
+# --- Benjamini-Hochberg FDR over the Mann-Whitney family --------------------
+#
+# Multiple-testing control for the one-vs-rest screen: five hypotheses
+# is five chances at a false discovery, and the BH step-up procedure
+# (Benjamini-Hochberg 1995) is the standard correction. The normal
+# CDF has no closed form in either engine, so both evaluate the SAME
+# Zelen-Severo rational approximation (Abramowitz-Stegun 26.2.17,
+# |error| < 7.5e-8 — far above the 1e-6 round, and identical inputs ->
+# identical doubles, so cross-engine agreement is by construction).
+# p-values derive from the ROUNDED z_u of the shared Mann-Whitney
+# table (round-before-rank), and BH's sort/step-up runs on the
+# <= |event types| rows.
+
+_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_PHI_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+FDR_Q = 0.05
+
+
+def _phi_tail_col(ax: Column) -> Column:
+    """P(Z > ax) for ax >= 0 via Abramowitz-Stegun 26.2.17."""
+    t = 1.0 / (1.0 + _PHI_T * ax)
+    b1, b2, b3, b4, b5 = _PHI_B
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    return F.lit(_INV_SQRT_2PI) * F.exp(-ax * ax / 2) * poly
+
+
+def _phi_tail_sql(ax: str) -> str:
+    b1, b2, b3, b4, b5 = _PHI_B
+    t = f"(1.0 / (1.0 + {_PHI_T} * {ax}))"
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    return f"({_INV_SQRT_2PI} * exp(-{ax} * {ax} / 2) * {poly})"
+
+
+@register(
+    "mannwhitney_fdr_bh",
+    oracle=f"""
+        WITH mw AS ({_MW_SQL}),
+        p AS (
+            SELECT event_type, z_u,
+                   ROUND(2 * {_phi_tail_sql("ABS(z_u)")}, 6) AS p_raw
+            FROM mw
+        ),
+        ranked AS (
+            SELECT event_type, z_u, p_raw,
+                   ROW_NUMBER() OVER (ORDER BY p_raw, event_type) AS i,
+                   COUNT(*) OVER () AS m
+            FROM p
+        )
+        SELECT event_type, z_u, p_raw,
+               ROUND(LEAST(1.0, MIN(p_raw * m / i) OVER (
+                   ORDER BY i ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING)), 6)
+                   AS p_bh,
+               LEAST(1.0, MIN(p_raw * m / i) OVER (
+                   ORDER BY i ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
+                   <= {FDR_Q} AS significant
+        FROM ranked
+        ORDER BY event_type
+    """,
+    doc="Benjamini-Hochberg FDR step-up (BH 1995, q=0.05) over the "
+    "one-vs-rest Mann-Whitney screen (#178) — the multiple-testing "
+    "correction that keeps a five-hypothesis family from shipping "
+    "false discoveries. Two-sided p-values come from the ROUNDED z "
+    "of the shared MW table via the Zelen-Severo normal-CDF "
+    "approximation (A&S 26.2.17; both engines evaluate the identical "
+    "elementary formula on identical inputs — no engine CDF builtin "
+    "exists in both), and the step-up adjusted p is the running "
+    "tail-min of p*(m/i) over the type-count-bounded ranked frame. "
+    "Scale shape: everything beyond #178's grid aggregation runs on "
+    "<= |event types| rows.",
+    tags=("analytics", "validation"),
+)
+def mannwhitney_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per, tot = rank_stats_from_tgrid(events_tgrid(spark, sf_dir))
+    mw = mannwhitney_table(per, tot)
+    p = mw.select(
+        "event_type",
+        "z_u",
+        F.round(2 * _phi_tail_col(F.abs(F.col("z_u"))), 6).alias("p_raw"),
+    )
+    w_rank = Window.orderBy("p_raw", "event_type")
+    ranked = p.select(
+        "event_type",
+        "z_u",
+        "p_raw",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    w_tail = Window.orderBy("i").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    step_up = F.least(
+        F.lit(1.0),
+        F.min(F.col("p_raw") * F.col("m") / F.col("i")).over(w_tail),
+    )
+    return ranked.select(
+        "event_type",
+        "z_u",
+        "p_raw",
+        F.round(step_up, 6).alias("p_bh"),
+        (step_up <= FDR_Q).alias("significant"),
+    ).orderBy("event_type")
+
+
+# --- segmented regression around the CUSUM changepoint ----------------------
+#
+# Interrupted-time-series analysis (the ops follow-up to 'when did it
+# shift' = #10an): split each type's hourly revenue series at its
+# CUSUM changepoint and fit OLS level+slope on each side. Slopes come
+# from exact integer sufficient statistics (relative hour index x
+# int64 cent sums; products in decimal/HUGEINT) with one final
+# per-row division; the changepoint itself is #10an's integer-exact
+# selection, so the whole pipeline is summation-order-proof.
+
+
+@register(
+    "changepoint_segmented_trend",
+    oracle=f"""
+        WITH {CUSUM_CELLS_SQL},
+        {CUSUM_CP_SQL},
+        rel AS (
+            SELECT h.event_type, h.x_c,
+                   ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                      ORDER BY h.hour) - 1 AS x,
+                   CASE WHEN h.hour <= c.changepoint_hour
+                        THEN 0 ELSE 1 END AS seg,
+                   c.changepoint_hour
+            FROM hourly h JOIN cp c ON c.event_type = h.event_type
+        ),
+        sums AS (
+            SELECT event_type, changepoint_hour, seg,
+                   COUNT(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(x_c AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x_c) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM rel GROUP BY 1, 2, 3
+        ),
+        fits AS (
+            SELECT event_type, changepoint_hour, seg, n,
+                   CAST(sy AS DOUBLE) / n / 100.0 AS mean_v,
+                   CASE WHEN n >= 2 AND
+                             n * sxx - sx * sx <> 0 THEN
+                       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / 100.0
+                   END AS slope
+            FROM sums
+        )
+        SELECT b.event_type,
+               b.changepoint_hour,
+               CAST(b.n AS BIGINT) AS n_before,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_after,
+               ROUND(b.slope, 6) AS slope_before,
+               ROUND(a.slope, 6) AS slope_after,
+               ROUND(a.slope - b.slope, 6) AS slope_delta,
+               ROUND(a.mean_v - b.mean_v, 6) AS level_shift
+        FROM fits b
+        LEFT JOIN fits a
+          ON a.event_type = b.event_type AND a.seg = 1
+        WHERE b.seg = 0
+        ORDER BY b.event_type
+    """,
+    doc="Interrupted-time-series segmented regression per event type "
+    "(the ops follow-up to the CUSUM changepoint #10an, sharing its "
+    "cells + changepoint definitions): OLS slope and level of the "
+    "hourly revenue series on each side of the detected shift, with "
+    "slope_delta and level_shift quantifying the break. OLS "
+    "sufficient statistics are exact integer sums (relative hour "
+    "index x cent sums, decimal/HUGEINT products) divided once; the "
+    "per-side fits run on the bounded hourly series. A type whose "
+    "changepoint is the last hour has n_after = 0 (NULL after-fit); "
+    "n_after = 1 gives a NULL slope (undefined) — both engine-pinned.",
+    tags=("analytics", "temporal"),
+)
+def changepoint_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.plans.analytics import cusum_hourly_cells
+
+    return segmented_trend_from_cells(
+        cusum_hourly_cells(spark, sf_dir)
+    )
+
+
+def segmented_trend_from_cells(cells: DataFrame) -> DataFrame:
+    """The ITS table from an (event_type, hour, x_c) hourly cent-sum
+    grid — the serving tail shared by the batch query and the
+    streaming CUSUM monitor's `segmented_report()` (29ak): the same
+    additive state serves the changepoint AND the break
+    quantification."""
+    from mvrs_dspa_spark.plans.analytics import cusum_from_hourly
+
+    cells = cells.localCheckpoint(eager=False)
+    cp = cusum_from_hourly(cells).select("event_type", "changepoint_hour")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    rel = cells.join(cp, "event_type").select(
+        "event_type",
+        "changepoint_hour",
+        "x_c",
+        (F.row_number().over(w) - 1).alias("x"),
+        F.when(F.col("hour") <= F.col("changepoint_hour"), 0)
+        .otherwise(1)
+        .alias("seg"),
+    )
+    sums = rel.groupBy("event_type", "changepoint_hour", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("x_c").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x_c")).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * _d(F.col("sxx")) - _d(F.col("sx")) * _d(F.col("sx"))
+    fits = sums.select(
+        "event_type",
+        "changepoint_hour",
+        "seg",
+        "n",
+        (_d(F.col("sy")) / F.col("n") / 100.0).alias("mean_v"),
+        F.when(
+            (F.col("n") >= 2) & (den != 0),
+            (
+                F.col("n") * _d(F.col("sxy"))
+                - _d(F.col("sx")) * _d(F.col("sy"))
+            )
+            / den
+            / 100.0,
+        ).alias("slope"),
+    )
+    b = fits.where(F.col("seg") == 0).alias("b")
+    a = fits.where(F.col("seg") == 1).alias("a")
+    return (
+        b.join(a, F.col("a.event_type") == F.col("b.event_type"), "left")
+        .select(
+            F.col("b.event_type").alias("event_type"),
+            F.col("b.changepoint_hour").alias("changepoint_hour"),
+            F.col("b.n").cast("long").alias("n_before"),
+            F.coalesce(F.col("a.n"), F.lit(0)).cast("long").alias("n_after"),
+            F.round(F.col("b.slope"), 6).alias("slope_before"),
+            F.round(F.col("a.slope"), 6).alias("slope_after"),
+            F.round(F.col("a.slope") - F.col("b.slope"), 6).alias(
+                "slope_delta"
+            ),
+            F.round(F.col("a.mean_v") - F.col("b.mean_v"), 6).alias(
+                "level_shift"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -70,6 +70,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_hour_spearman",
     "hourly_mann_kendall_trend",
     "coreset_kcenter_selection",
+    "mannwhitney_fdr_bh",
+    "changepoint_segmented_trend",
+    "embedding_centroid_drift",
     # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)

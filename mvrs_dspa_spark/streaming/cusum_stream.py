@@ -69,6 +69,17 @@ class CusumMonitor:
         #10an, from the maintained grid."""
         return cusum_from_hourly(self.state)
 
+    def segmented_report(self) -> DataFrame:
+        """The interrupted-time-series table (#190) from the SAME
+        maintained grid — one state, changepoint + break
+        quantification, both equal to their batch twins exactly
+        (pytest-pinned)."""
+        from mvrs_dspa_spark.plans.analytics5 import (
+            segmented_trend_from_cells,
+        )
+
+        return segmented_trend_from_cells(self.state)
+
     def erase_users(self, user_ids) -> None:
         """No-op by construction (see PsiMonitor.erase_users): the
         grid holds per-hour aggregate cent sums with no per-user

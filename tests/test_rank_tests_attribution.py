@@ -412,3 +412,74 @@ def test_kcenter_matches_naive_greedy(spark, sf_small):
         prev_radius = row.coverage_radius
         for vid, v in vecs.items():
             mind[vid] = min(mind[vid], dist(v, vecs[pick]))
+
+
+def test_bh_fdr_properties(spark, sf_small):
+    rows = sorted(
+        _run(spark, sf_small, "mannwhitney_fdr_bh"),
+        key=lambda r: r.p_raw,
+    )
+    mw = {r.event_type: r for r in _run(spark, sf_small, "value_mannwhitney_by_type")}
+    m = len(rows)
+    for i, r in enumerate(rows, start=1):
+        # p from the exact normal CDF: the A&S approximation must be
+        # within its published 7.5e-8 bound (far below the 1e-6 round)
+        z = mw[r.event_type].z_u
+        exact = math.erfc(abs(z) / math.sqrt(2))  # = 2*(1 - Phi(|z|))
+        assert abs(r.p_raw - exact) < 2e-6, (r.event_type, r.p_raw, exact)
+        assert 0.0 <= r.p_bh <= 1.0
+        assert r.p_bh >= r.p_raw - 1e-9  # step-up never shrinks below raw... 
+    # adjusted p is monotone in raw-p rank and >= BH formula at rank m
+    for a, b in zip(rows, rows[1:]):
+        assert a.p_bh <= b.p_bh + 1e-9
+    assert rows[-1].p_bh == rows[-1].p_raw  # last rank: p*m/m = p
+    for r in rows:
+        assert r.significant == (r.p_bh <= 0.05)
+
+
+def test_segmented_trend_matches_naive_ols(spark, sf_small):
+    from mvrs_dspa_spark.plans.analytics import cusum_hourly_cells
+
+    cells = {}
+    for r in cusum_hourly_cells(spark, sf_small).collect():
+        cells.setdefault(r.event_type, []).append((r.hour, r.x_c))
+    cps = {
+        r.event_type: r
+        for r in _run(spark, sf_small, "hourly_changepoint_cusum")
+    }
+    got = {r.event_type: r for r in _run(spark, sf_small, "changepoint_segmented_trend")}
+    assert set(got) == set(cells)
+
+    def ols(pairs):
+        n = len(pairs)
+        if n < 2:
+            return None
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        den = n * sxx - sx * sx
+        if den == 0:
+            return None
+        return (n * sxy - sx * sy) / den / 100.0
+
+    for t, series in cells.items():
+        series.sort()
+        xs = [(i, y) for i, (_, y) in enumerate(series)]
+        cp_hour = cps[t].changepoint_hour
+        before = [(x, y) for (x, y), (h, _) in zip(xs, series) if h <= cp_hour]
+        after = [(x, y) for (x, y), (h, _) in zip(xs, series) if h > cp_hour]
+        row = got[t]
+        assert row.n_before == len(before) and row.n_after == len(after), t
+        sb, sa = ols(before), ols(after)
+        assert row.slope_before == (round(sb, 6) if sb is not None else None), t
+        assert row.slope_after == (round(sa, 6) if sa is not None else None), t
+        if before and after:
+            mb = sum(y for _, y in before) / len(before) / 100.0
+            ma = sum(y for _, y in after) / len(after) / 100.0
+            assert row.level_shift == pytest.approx(ma - mb, abs=2e-6), t
+            # level_shift must agree in sign/magnitude with #10an's means
+            cp = cps[t]
+            assert row.level_shift == pytest.approx(
+                cp.mean_after - cp.mean_before, abs=2e-6
+            ), t

@@ -35,6 +35,13 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     cells = mon.state.groupBy("event_type", "hour").count().collect()
     assert all(r["count"] == 1 for r in cells)
     assert _rows(mon.report()) == _rows(hourly_changepoint_cusum(spark, SF))
+    # one state, two tables: the ITS break quantification (#190) from
+    # the same maintained grid equals its batch twin exactly
+    from mvrs_dspa_spark.plans.analytics5 import changepoint_segmented_trend
+
+    assert _rows(mon.segmented_report()) == _rows(
+        changepoint_segmented_trend(spark, SF)
+    )
 
 
 def test_cusum_replay_order_independent(spark):
