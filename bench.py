@@ -173,6 +173,11 @@ EXTRA_QUERIES = [
     "doc_readability",
     "feature_hashing_vectors",
     "coreset_kcenter_selection",
+    "mannwhitney_fdr_bh",
+    "changepoint_segmented_trend",
+    "embedding_centroid_drift",
+    "value_anova_by_type",
+    "value_brown_forsythe",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mvrs_dspa_spark.functions import hashing as H
 from mvrs_dspa_spark.plans.analytics import CUSUM_CELLS_SQL, CUSUM_CP_SQL
 from mvrs_dspa_spark.plans.analytics3 import TS_PTS_SQL
 from mvrs_dspa_spark.plans.registry import register
@@ -1016,6 +1017,429 @@ def segmented_trend_from_cells(cells: DataFrame) -> DataFrame:
             F.round(F.col("a.mean_v") - F.col("b.mean_v"), 6).alias(
                 "level_shift"
             ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- one-way ANOVA + Brown-Forsythe (shared F tail) -------------------------
+#
+# The parametric mean screen (ANOVA on value) and the robust spread
+# screen (Brown-Forsythe 1974: ANOVA on |x - group median|) share one
+# F-statistic tail over per-group exact sufficient statistics
+# (n, sum, sum-of-squares as decimal/HUGEINT of integer codes). The
+# per-group s^2/n terms are int-coded at unit granularity before the
+# cross-group sums (the Kruskal-Wallis discipline), so both engines
+# build F from identical integers; codes are cents (ANOVA) or
+# half-cents (BF: |2*x_c - 2*median| stays integer even for
+# even-count medians).
+
+
+def anova_f_table(sums: DataFrame) -> DataFrame:
+    """F table from ``sums(group, n, s, ss)`` exact decimal stats:
+    one row — n_total, n_groups, f_stat, eta_sq."""
+    terms = sums.select(
+        "n",
+        "s",
+        "ss",
+        F.round(_d(F.col("s")) * _d(F.col("s")) / F.col("n"))
+        .cast(_DEC)
+        .alias("t_c"),
+    )
+    agg = terms.agg(
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s")).alias("s_tot"),
+        F.sum(F.col("ss")).alias("ss_tot"),
+        F.sum("t_c").alias("t_sum"),
+    )
+    ssb = _d(F.col("t_sum")) - _d(F.col("s_tot")) * _d(F.col("s_tot")) / F.col(
+        "n_tot"
+    )
+    ssw = _d(F.col("ss_tot")) - _d(F.col("t_sum"))
+    sst = _d(F.col("ss_tot")) - _d(F.col("s_tot")) * _d(F.col("s_tot")) / F.col(
+        "n_tot"
+    )
+    f_stat = (ssb / (F.col("k") - 1)) / F.nullif(
+        ssw / (F.col("n_tot") - F.col("k")), F.lit(0.0)
+    )
+    return agg.select(
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta_sq"),
+    )
+
+
+_ANOVA_TAIL_SQL = """
+        terms AS (
+            SELECT n, s, ss,
+                   CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        AS HUGEINT) AS t_c
+            FROM sums
+        ),
+        agg AS (
+            SELECT SUM(n) AS n_tot, COUNT(*) AS k,
+                   SUM(s) AS s_tot, SUM(ss) AS ss_tot,
+                   SUM(t_c) AS t_sum
+            FROM terms
+        )
+        SELECT CAST(n_tot AS BIGINT) AS n_total,
+               CAST(k AS BIGINT) AS n_groups,
+               ROUND(((CAST(t_sum AS DOUBLE)
+                       - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                         / n_tot) / (k - 1))
+                     / NULLIF((CAST(ss_tot AS DOUBLE)
+                               - CAST(t_sum AS DOUBLE)) / (n_tot - k), 0),
+                     6) AS f_stat,
+               ROUND((CAST(t_sum AS DOUBLE)
+                      - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                        / n_tot)
+                     / NULLIF(CAST(ss_tot AS DOUBLE)
+                              - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                                / n_tot, 0),
+                     6) AS eta_sq
+        FROM agg
+"""
+
+
+def anova_sums_from_tgrid(tgrid: DataFrame) -> DataFrame:
+    """Per-type (n, sum, sum-of-squares) exact decimals from the SAME
+    (event_type, v_c, cnt_t) grid the rank tests use — sums over the
+    grid are identical to sums over rows (v*cnt, v^2*cnt), so the
+    streaming rank-test monitor serves ANOVA from its state too."""
+    return tgrid.groupBy(F.col("event_type").alias("grp")).agg(
+        F.sum("cnt_t").alias("n"),
+        F.sum(F.col("v_c").cast(_DEC) * F.col("cnt_t")).alias("s"),
+        F.sum(
+            F.col("v_c").cast(_DEC) * F.col("v_c") * F.col("cnt_t")
+        ).alias("ss"),
+    )
+
+
+def bf_sums_from_tgrid(tgrid: DataFrame) -> DataFrame:
+    """Per-type deviation sums |2*v - 2*median| for Brown-Forsythe,
+    entirely from the bounded grid: medians come from the per-type
+    cumulative counts (exact integer 2*median = lower-mid +
+    upper-mid) and the deviation sums weight each grid cell by its
+    count — no second corpus pass, and the monitor's state serves it
+    directly."""
+    w_less = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = tgrid.select(
+        "event_type",
+        "v_c",
+        "cnt_t",
+        F.coalesce(F.sum("cnt_t").over(w_less), F.lit(0)).alias("n_less"),
+        F.sum("cnt_t").over(w_all).alias("n"),
+    )
+    lo_k = F.expr("(n + 1) div 2")
+    hi_k = F.expr("(n + 2) div 2")
+    lo = F.min(
+        F.when(
+            (F.col("n_less") < lo_k)
+            & (F.col("n_less") + F.col("cnt_t") >= lo_k),
+            F.col("v_c"),
+        )
+    )
+    hi = F.min(
+        F.when(
+            (F.col("n_less") < hi_k)
+            & (F.col("n_less") + F.col("cnt_t") >= hi_k),
+            F.col("v_c"),
+        )
+    )
+    med = ranked.groupBy("event_type").agg((lo + hi).alias("m2"))
+    z = F.abs(2 * F.col("v_c") - F.col("m2"))
+    return (
+        tgrid.join(med, "event_type")
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.sum("cnt_t").alias("n"),
+            F.sum(z.cast(_DEC) * F.col("cnt_t")).alias("s"),
+            F.sum(z.cast(_DEC) * z * F.col("cnt_t")).alias("ss"),
+        )
+    )
+
+
+@register(
+    "value_anova_by_type",
+    oracle=f"""
+        WITH coded AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ),
+        tgrid AS (
+            SELECT event_type, v_c, COUNT(*) AS cnt_t
+            FROM coded GROUP BY 1, 2
+        ),
+        sums AS (
+            SELECT event_type AS grp, SUM(cnt_t) AS n,
+                   SUM(CAST(v_c AS HUGEINT) * cnt_t) AS s,
+                   SUM(CAST(v_c AS HUGEINT) * v_c * cnt_t) AS ss
+            FROM tgrid GROUP BY 1
+        ),
+        {_ANOVA_TAIL_SQL}
+    """,
+    doc="One-way ANOVA of event value across types (Fisher F) with "
+    "eta-squared effect size — the k-group parametric companion to "
+    "Kruskal-Wallis #179 (KW ranks, ANOVA means; disagreement "
+    "between the two flags heavy tails). Per-type sufficient "
+    "statistics are exact cent-code sums (decimal/HUGEINT); the "
+    "per-group s^2/n terms int-code at unit granularity before the "
+    "cross-group sum (the KW discipline), and F/eta^2 are single "
+    "per-row formulas. The cent^2 scale cancels in both ratios.",
+    tags=("analytics", "validation"),
+)
+def value_anova_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anova_f_table(
+        anova_sums_from_tgrid(events_tgrid(spark, sf_dir))
+    )
+
+
+@register(
+    "value_brown_forsythe",
+    oracle=f"""
+        WITH coded AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ),
+        tgrid AS (
+            SELECT event_type, v_c, COUNT(*) AS cnt_t
+            FROM coded GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, v_c, cnt_t,
+                   COALESCE(SUM(cnt_t) OVER (
+                       PARTITION BY event_type ORDER BY v_c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_less,
+                   SUM(cnt_t) OVER (PARTITION BY event_type) AS n
+            FROM tgrid
+        ),
+        med AS (
+            -- 2*median as an exact integer: lower mid + upper mid
+            SELECT event_type,
+                   MIN(CASE WHEN n_less < (n + 1) // 2
+                            AND n_less + cnt_t >= (n + 1) // 2
+                            THEN v_c END)
+                 + MIN(CASE WHEN n_less < (n + 2) // 2
+                            AND n_less + cnt_t >= (n + 2) // 2
+                            THEN v_c END) AS m2
+            FROM ranked GROUP BY event_type
+        ),
+        sums AS (
+            -- deviation sums entirely on the bounded grid: each cell
+            -- weights |2v - 2med| by its count (no second corpus pass)
+            SELECT t.event_type AS grp, SUM(t.cnt_t) AS n,
+                   SUM(CAST(ABS(2 * t.v_c - m.m2) AS HUGEINT)
+                       * t.cnt_t) AS s,
+                   SUM(CAST(ABS(2 * t.v_c - m.m2) AS HUGEINT)
+                       * ABS(2 * t.v_c - m.m2) * t.cnt_t) AS ss
+            FROM tgrid t JOIN med m ON m.event_type = t.event_type
+            GROUP BY 1
+        ),
+        {_ANOVA_TAIL_SQL}
+    """,
+    doc="Brown-Forsythe robust homogeneity-of-variance test (Brown & "
+    "Forsythe 1974): one-way ANOVA on |x - group median| — 'do event "
+    "types differ in SPREAD', the question the mean screens (#109, "
+    "ANOVA) and rank screens (#178/#179) cannot answer, and the "
+    "precondition check for pooled-variance methods. Group medians "
+    "come from the bounded per-type cent grid (exact integer "
+    "2*median = lower-mid + upper-mid, so even-count medians stay "
+    "integral); deviations |2x - 2med| are integers feeding the "
+    "SHARED anova_f_table tail. One corpus scan builds the grid, a "
+    "second builds the deviation sums (the median cannot be known "
+    "before the first completes — inherently two-pass).",
+    tags=("analytics", "validation"),
+)
+def value_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anova_f_table(
+        bf_sums_from_tgrid(events_tgrid(spark, sf_dir))
+    )
+
+
+# --- distributed Poisson bootstrap CI ---------------------------------------
+#
+# The Poisson bootstrap (Hanley & MacGibbon 2006; the distributed
+# resampling scheme behind Bag-of-Little-Bootstraps-era systems):
+# multinomial resampling needs the global n, but Poisson(1) weights
+# are row-independent — each row carries B deterministic weights from
+# the house affine hash, so replicate sufficient statistics are ONE
+# map-side-combined aggregation over a 64x exploded stream, and the
+# percentile machinery runs on B rows per type. Weights come from the
+# inverse Poisson(1) CDF on an affine-uniform u (both engines
+# evaluate the identical threshold ladder on identical integers).
+
+BOOT_B = 64
+_BOOT_A, _BOOT_B_ = H.hash_params(1, seed=4242)[0]
+# cumulative Poisson(1) pmf thresholds for the inverse-CDF ladder
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_BOOT_QS = (0.025, 0.975)
+
+
+def _boot_w_col(u: Column) -> Column:
+    w = F.lit(6)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS_CUM[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+        WITH ex AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x,
+                   unnest(generate_series(0, {BOOT_B - 1})) AS b,
+                   event_id
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, x, b,
+                   {_boot_w_sql(
+                       f"({H.affine_sql(f'event_id * {BOOT_B} + b', _BOOT_A, _BOOT_B_)}"
+                       f" / CAST({H.P} AS DOUBLE))"
+                   )} AS w
+            FROM ex
+        ),
+        reps AS (
+            SELECT event_type, b,
+                   ROUND(SUM(CAST(w AS HUGEINT) * x)
+                         / (CAST(SUM(w) AS DOUBLE) * 100), 6) AS mean_r
+            FROM w GROUP BY 1, 2
+            HAVING SUM(w) > 0
+        ),
+        ranked AS (
+            SELECT event_type, b, mean_r,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY mean_r, b) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nb
+            FROM reps
+        ),
+        ci AS (
+            SELECT event_type,
+                   {", ".join(
+                       f'''ROUND(SUM(CASE
+                           WHEN rn - 1 = CAST(FLOOR({q} * (nb - 1)) AS BIGINT)
+                           THEN mean_r * (1 - ({q} * (nb - 1)
+                                - FLOOR({q} * (nb - 1))))
+                           WHEN rn - 1 = CAST(FLOOR({q} * (nb - 1)) AS BIGINT) + 1
+                           THEN mean_r * ({q} * (nb - 1)
+                                - FLOOR({q} * (nb - 1)))
+                           ELSE 0 END), 6) AS ci_{name}'''
+                       for q, name in zip(_BOOT_QS, ("lo", "hi"))
+                   )}
+            FROM ranked GROUP BY event_type
+        ),
+        full_m AS (
+            SELECT event_type,
+                   ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         / (COUNT(*) * 100.0), 6) AS mean_v,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT f.event_type, f.n, f.mean_v, c.ci_lo, c.ci_hi
+        FROM full_m f JOIN ci c ON c.event_type = f.event_type
+        ORDER BY f.event_type
+    """,
+    doc=f"Distributed Poisson bootstrap 95% CI of mean value per event "
+    f"type ({BOOT_B} replicates; Hanley-MacGibbon 2006 — Poisson(1) "
+    "weights are row-independent, which is exactly what makes the "
+    "bootstrap distributable: no global-n multinomial draw). Each "
+    "row carries B deterministic weights (inverse Poisson CDF on the "
+    "affine-uniform hash of event_id x replicate), replicate means "
+    "are ONE map-side-combined aggregation over the 64x exploded "
+    "stream (exact HUGEINT/decimal weighted cent sums, one division "
+    "per replicate), and the interpolated 2.5/97.5 percentiles run "
+    "on the B-row-per-type replicate frame (means ROUNDED before "
+    "ranking, replicate id tiebreak — round-before-rank).",
+    tags=("analytics", "validation"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ex = ev.select(
+        "event_type",
+        rank_cents_col().alias("x"),
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = H.affine_col(
+        F.col("event_id") * BOOT_B + F.col("b"), _BOOT_A, _BOOT_B_
+    ) / F.lit(float(H.P))
+    w = ex.select("event_type", "x", "b", _boot_w_col(u).alias("w"))
+    reps = (
+        w.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w").cast(_DEC) * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round(_d(F.col("swx")) / (_d(F.col("sw")) * 100), 6).alias(
+                "mean_r"
+            ),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = reps.select(
+        "event_type",
+        "b",
+        "mean_r",
+        F.row_number().over(wp.orderBy("mean_r", "b")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("nb"),
+    )
+    ci_cols = []
+    for q, name in zip(_BOOT_QS, ("lo", "hi")):
+        h = q * (F.col("nb") - 1)
+        lo_idx = F.floor(h)
+        frac = h - lo_idx
+        ci_cols.append(
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") - 1 == lo_idx, F.col("mean_r") * (1 - frac))
+                    .when(F.col("rn") - 1 == lo_idx + 1, F.col("mean_r") * frac)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias(f"ci_{name}")
+        )
+    ci = ranked.groupBy("event_type").agg(*ci_cols)
+    full = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(rank_cents_col()) / (F.count(F.lit(1)) * 100.0), 6
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        full.join(ci, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "mean_v",
+            "ci_lo",
+            "ci_hi",
         )
         .orderBy("event_type")
     )

@@ -73,6 +73,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mannwhitney_fdr_bh",
     "changepoint_segmented_trend",
     "embedding_centroid_drift",
+    "value_anova_by_type",
+    "value_brown_forsythe",
+    "bootstrap_mean_ci",
     # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)

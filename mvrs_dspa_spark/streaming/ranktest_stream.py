@@ -80,6 +80,28 @@ class RankTestMonitor:
         per, tot = rank_stats_from_tgrid(self.grid)
         return kruskal_wallis_table(per, tot)
 
+    def anova_report(self) -> DataFrame:
+        """One-way ANOVA (#192) from the SAME grid: sums over cells
+        (v*cnt, v^2*cnt) are identical to sums over rows — a third
+        statistic from the one maintained state."""
+        from mvrs_dspa_spark.plans.analytics5 import (
+            anova_f_table,
+            anova_sums_from_tgrid,
+        )
+
+        return anova_f_table(anova_sums_from_tgrid(self.grid))
+
+    def bf_report(self) -> DataFrame:
+        """Brown-Forsythe (#193) from the SAME grid: medians from the
+        per-type cumulative counts, deviation sums weighted by cell
+        counts — a fourth statistic, still one state."""
+        from mvrs_dspa_spark.plans.analytics5 import (
+            anova_f_table,
+            bf_sums_from_tgrid,
+        )
+
+        return anova_f_table(bf_sums_from_tgrid(self.grid))
+
     def erase_users(self, user_ids) -> None:
         """No-op by construction (the PsiMonitor posture): the grid
         holds per-(type, cent) aggregate counts with no per-user

@@ -43,6 +43,8 @@ _NONEMPTY_ON_EMPTY = {
     "kruskal_wallis_value": 1,  # scalar aggregate: one all-NULL/zero row
     "graph_assortativity": 1,  # scalar aggregate: one all-NULL/zero row
     "graph_kcore_summary": 3,  # one all-zero row per k in the fixed ladder
+    "value_anova_by_type": 1,  # scalar aggregate: one all-NULL/zero row
+    "value_brown_forsythe": 1,  # scalar aggregate: one all-NULL/zero row
 }
 
 

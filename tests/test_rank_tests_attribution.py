@@ -483,3 +483,117 @@ def test_segmented_trend_matches_naive_ols(spark, sf_small):
             assert row.level_shift == pytest.approx(
                 cp.mean_after - cp.mean_before, abs=2e-6
             ), t
+
+
+def test_anova_and_bf_match_naive(spark, sf_small, events_values):
+    import statistics
+
+    by_type = {}
+    for t, v in events_values:
+        by_type.setdefault(t, []).append(v)
+
+    def f_oneway(groups):
+        all_v = [v for g in groups for v in g]
+        n, k = len(all_v), len(groups)
+        gm = sum(all_v) / n
+        ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups)
+        ssw = sum(
+            (v - sum(g) / len(g)) ** 2 for g in groups for v in g
+        )
+        sst = ssb + ssw
+        return (ssb / (k - 1)) / (ssw / (n - k)), ssb / sst
+
+    groups = list(by_type.values())
+    f, eta = f_oneway(groups)
+    (row,) = _run(spark, sf_small, "value_anova_by_type")
+    assert row.n_total == sum(len(g) for g in groups)
+    assert row.n_groups == len(groups)
+    # unit-coded per-group terms lose O(k) on the cent^2-scale SS —
+    # relative error ~1e-9 at sf0.001
+    assert row.f_stat == pytest.approx(f, rel=1e-4, abs=1e-6)
+    assert row.eta_sq == pytest.approx(eta, rel=1e-4, abs=1e-6)
+
+    zgroups = []
+    for g in groups:
+        med = statistics.median(g)
+        zgroups.append([abs(v - med) for v in g])
+    fz, etaz = f_oneway(zgroups)
+    (bf,) = _run(spark, sf_small, "value_brown_forsythe")
+    assert bf.f_stat == pytest.approx(fz, rel=1e-4, abs=1e-6)
+    assert bf.eta_sq == pytest.approx(etaz, rel=1e-4, abs=1e-6)
+
+
+def test_bootstrap_ci_properties(spark, sf_small):
+    """CI brackets the point estimate, widths are positive, and the
+    replicate machinery matches a naive recompute of one replicate."""
+    from mvrs_dspa_spark.functions import hashing as H
+    from mvrs_dspa_spark.plans.analytics5 import (
+        _BOOT_A,
+        _BOOT_B_,
+        _POIS_CUM,
+        BOOT_B,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    rows = _run(spark, sf_small, "bootstrap_mean_ci")
+    assert len(rows) > 0
+    for r in rows:
+        assert r.ci_lo <= r.mean_v <= r.ci_hi, r
+        assert r.ci_lo < r.ci_hi, r
+        # width sanity: a 95% CI of a mean over n~200 cent values in
+        # [0, 500] must be far narrower than the full range
+        assert r.ci_hi - r.ci_lo < 50, r
+
+    # naive recompute of replicate b=0's weighted mean for one type
+    ev = (
+        table(spark, sf_small, "events")
+        .selectExpr("event_type", "event_id", "cast(round(value*100) as long) as x")
+        .collect()
+    )
+    t0 = ev[0].event_type
+    a, b_ = _BOOT_A, _BOOT_B_
+    P = H.P
+
+    def w_of(eid, b):
+        u = ((a * ((eid * BOOT_B + b) % P) + b_) % P) / P
+        for k, c in enumerate(_POIS_CUM):
+            if u < c:
+                return k
+        return 6
+
+    sw = swx = 0
+    for r in ev:
+        if r.event_type != t0:
+            continue
+        w = w_of(r.event_id, 0)
+        sw += w
+        swx += w * r.x
+    want = round(swx / (sw * 100), 6)
+    # reproduce via the registered pipeline's replicate frame
+    from mvrs_dspa_spark.plans.analytics5 import rank_cents_col
+    import pyspark.sql.functions as F
+
+    got = (
+        table(spark, sf_small, "events")
+        .where(F.col("event_type") == t0)
+        .select(
+            rank_cents_col().alias("x"),
+            (
+                (
+                    F.lit(a)
+                    * ((F.col("event_id") * BOOT_B + 0) % P)
+                    + b_
+                )
+                % P
+                / float(P)
+            ).alias("u"),
+        )
+    )
+    wcol = F.lit(6)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        wcol = F.when(F.col("u") < _POIS_CUM[k], F.lit(k)).otherwise(wcol)
+    agg = got.select("x", wcol.alias("w")).agg(
+        F.sum(F.col("w") * F.col("x")).alias("swx"), F.sum("w").alias("sw")
+    ).collect()[0]
+    assert agg.sw == sw and agg.swx == swx
+    assert round(agg.swx / (agg.sw * 100), 6) == want

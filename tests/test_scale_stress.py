@@ -374,6 +374,9 @@ def test_10x_embeddings_scale_linear_no_spill(spark, tmp_path):
         # the repo, 64 subspace distances/row — must stay scan-bound)
         "ann_lsh_assign_pinned",
         "embedding_pq_encode_pinned",
+        # round 8 second wave: dim-sum drift grid is corpus x 64 rows
+        # into a (label, slice, dim)-bounded aggregate — scan-bound
+        "embedding_centroid_drift",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)

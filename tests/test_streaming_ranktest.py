@@ -34,11 +34,18 @@ def test_streaming_ranktests_equal_batch(spark, tmp_path):
     src = read_replay_stream(spark, replay_dir, ev.schema)
     mon = run_ranktest_stream(src, str(tmp_path / "ckpt"))
     assert mon.n_batches >= 4
-    # one state, two statistics — both equal their batch twins exactly
+    # one state, FOUR statistics — all equal their batch twins exactly
     assert _rows(mon.report()) == _rows(
         value_mannwhitney_by_type(spark, SF)
     )
     assert _rows(mon.kw_report()) == _rows(kruskal_wallis_value(spark, SF))
+    from mvrs_dspa_spark.plans.analytics5 import (
+        value_anova_by_type,
+        value_brown_forsythe,
+    )
+
+    assert _rows(mon.anova_report()) == _rows(value_anova_by_type(spark, SF))
+    assert _rows(mon.bf_report()) == _rows(value_brown_forsythe(spark, SF))
 
 
 def test_ranktest_replay_order_independent(spark):
