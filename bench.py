@@ -178,6 +178,9 @@ EXTRA_QUERIES = [
     "embedding_centroid_drift",
     "value_anova_by_type",
     "value_brown_forsythe",
+    "bootstrap_mean_ci",
+    "pack_efficiency_report",
+    "epoch_shuffle_order",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

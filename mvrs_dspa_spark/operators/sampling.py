@@ -770,3 +770,144 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_code") / F.sum("t_code").over(w_all).cast("double"), 6
         ).alias("domain_weight"),
     ).orderBy("source")
+
+
+# --- packing efficiency report ----------------------------------------------
+
+
+@register(
+    "pack_efficiency_report",
+    oracle=f"""
+        WITH packed AS (
+            SELECT source, bin_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM (
+                SELECT source, n_chars,
+                       CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ), 0) / {PACK_CAPACITY}) AS BIGINT) AS bin_id
+                FROM documents
+            )
+            GROUP BY source, bin_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS bins_used,
+               CAST(CEIL(SUM(total_chars)
+                         / CAST({PACK_CAPACITY} AS DOUBLE)) AS BIGINT)
+                   AS bins_lower_bound,
+               CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+               ROUND(SUM(total_chars)
+                     / (COUNT(*) * CAST({PACK_CAPACITY} AS DOUBLE)), 6)
+                   AS fill_rate,
+               CAST(COUNT(*) FILTER (WHERE total_chars > {PACK_CAPACITY})
+                    AS BIGINT) AS overflow_bins,
+               CAST(MAX(total_chars) AS BIGINT) AS max_bin_chars
+        FROM packed
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Packing-efficiency audit of the greedy contiguous packer "
+    "(#45, same binning definition inline): per source — bins used "
+    "vs the ceil(total/capacity) theoretical lower bound, fill rate, "
+    "bins the start-position rule lets overflow capacity, and the "
+    "worst bin. The report a trainer reads before choosing packing "
+    "strategy (greedy-contiguous trades fill for perfect input "
+    "locality; this quantifies the trade). Runs entirely on the "
+    "(source, bin) aggregate of #45 — no extra corpus pass.",
+    tags=("sampling", "llm"),
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pack_sequences(spark, sf_dir)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("bins_used"),
+            F.ceil(
+                F.sum("total_chars") / float(PACK_CAPACITY)
+            ).cast("long").alias("bins_lower_bound"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("total_chars")
+                / (F.count(F.lit(1)) * float(PACK_CAPACITY)),
+                6,
+            ).alias("fill_rate"),
+            F.count_if(F.col("total_chars") > PACK_CAPACITY)
+            .cast("long")
+            .alias("overflow_bins"),
+            F.max("total_chars").cast("long").alias("max_bin_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- deterministic per-epoch shuffle order ----------------------------------
+#
+# A trainer needs a NEW deterministic order each epoch — decorrelated
+# across epochs, reproducible across restarts, and shardable without a
+# global sort. Per epoch e, each doc's sort key is an independent
+# affine hash; docs shard by key mod N_EPOCH_SHARDS and take their
+# position WITHIN the shard (windows per (epoch, shard) — the #52
+# shard-manifest idiom, never a corpus-wide rank).
+
+EPOCHS = 2
+N_EPOCH_SHARDS = 8
+_EPOCH_ABS = H.hash_params(EPOCHS, seed=515)
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT e.epoch, d.doc_id,
+                   CASE e.epoch {" ".join(
+                       f"WHEN {e} THEN {H.affine_sql('d.doc_id', *ab)}"
+                       for e, ab in enumerate(_EPOCH_ABS)
+                   )} END AS k
+            FROM documents d,
+                 (SELECT unnest(generate_series(0, {EPOCHS - 1})) AS epoch) e
+        )
+        SELECT epoch,
+               CAST(k % {N_EPOCH_SHARDS} AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY epoch, k % {N_EPOCH_SHARDS}
+                   ORDER BY k, doc_id) - 1 AS BIGINT) AS pos,
+               doc_id
+        FROM keyed
+        ORDER BY epoch, shard, pos
+    """,
+    doc=f"Deterministic per-epoch training shuffle ({EPOCHS} epochs x "
+    f"{N_EPOCH_SHARDS} shards): each epoch keys every doc with an "
+    "independent member of the affine family, shards by key, and "
+    "ranks within (epoch, shard) — a fresh decorrelated order every "
+    "epoch (cross-epoch rank correlation ~0, pytest-pinned) with NO "
+    "corpus-wide sort (the #52 shard-manifest scale idiom), "
+    "reproducible across restarts because the keys are pure "
+    "functions of doc_id. The dataloader-side companion of the "
+    "shard manifest #52 and curriculum phases #90.",
+    tags=("sampling", "llm"),
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    frames = []
+    for e, ab in enumerate(_EPOCH_ABS):
+        frames.append(
+            docs.select(
+                F.lit(e).alias("epoch"),
+                "doc_id",
+                H.affine_col(F.col("doc_id"), *ab).alias("k"),
+            )
+        )
+    keyed = frames[0]
+    for f2 in frames[1:]:
+        keyed = keyed.unionByName(f2)
+    w = Window.partitionBy("epoch", F.col("k") % N_EPOCH_SHARDS).orderBy(
+        "k", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        (F.col("k") % N_EPOCH_SHARDS).cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "doc_id",
+    ).orderBy("epoch", "shard", "pos")

@@ -1304,6 +1304,89 @@ def _boot_w_sql(u: str) -> str:
     return f"(CASE {cases} ELSE 6 END)"
 
 
+def bootstrap_rep_sums(ev: DataFrame) -> DataFrame:
+    """Per-(type, replicate) weighted sufficient statistics
+    ``(event_type, b, swx, sw)`` from an events frame — ADDITIVE
+    (exact decimal/int64 sums keyed by the pure event_id hash), which
+    is what lets the streaming monitor (29an) merge them per
+    micro-batch; ONE definition shared with the batch query."""
+    ex = ev.select(
+        "event_type",
+        rank_cents_col().alias("x"),
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = H.affine_col(
+        F.col("event_id") * BOOT_B + F.col("b"), _BOOT_A, _BOOT_B_
+    ) / F.lit(float(H.P))
+    w = ex.select("event_type", "x", "b", _boot_w_col(u).alias("w"))
+    return w.groupBy("event_type", "b").agg(
+        F.sum(F.col("w").cast(_DEC) * F.col("x")).alias("swx"),
+        F.sum("w").alias("sw"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+    )
+
+
+def bootstrap_ci_from_reps(reps_raw: DataFrame) -> DataFrame:
+    """The CI table from the additive replicate sums — serving tail
+    shared by the batch query and the streaming monitor. The full-
+    sample mean/count ride the b=0 replicate row's (n, sx) columns
+    (identical across replicates by construction)."""
+    reps = (
+        reps_raw.where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round(_d(F.col("swx")) / (_d(F.col("sw")) * 100), 6).alias(
+                "mean_r"
+            ),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = reps.select(
+        "event_type",
+        "b",
+        "mean_r",
+        F.row_number().over(wp.orderBy("mean_r", "b")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("nb"),
+    )
+    ci_cols = []
+    for q, name in zip(_BOOT_QS, ("lo", "hi")):
+        h = q * (F.col("nb") - 1)
+        lo_idx = F.floor(h)
+        frac = h - lo_idx
+        ci_cols.append(
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") - 1 == lo_idx, F.col("mean_r") * (1 - frac))
+                    .when(F.col("rn") - 1 == lo_idx + 1, F.col("mean_r") * frac)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias(f"ci_{name}")
+        )
+    ci = ranked.groupBy("event_type").agg(*ci_cols)
+    # the full-sample mean/count from any single replicate's riding
+    # (n, sx) columns — identical across replicates by construction
+    full = reps_raw.where(F.col("b") == 0).select(
+        "event_type",
+        F.round(_d(F.col("sx")) / (F.col("n") * 100.0), 6).alias("mean_v"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return (
+        full.join(ci, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "mean_v",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "bootstrap_mean_ci",
     oracle=f"""
@@ -1377,69 +1460,166 @@ def _boot_w_sql(u: str) -> str:
 )
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    ex = ev.select(
-        "event_type",
+    return bootstrap_ci_from_reps(bootstrap_rep_sums(ev))
+
+
+# --- difference-in-differences ----------------------------------------------
+#
+# The quasi-experimental workhorse completing the causal family
+# (fixed-horizon #10ap, CUPED #160, uplift #168, SPRT 29ae/#167,
+# removal-effect #131, Shapley #180): arms from the SHARED
+# deterministic user hash (sprt_arm_filter — the same bucketing every
+# experiment query uses), periods from the halfway time split (the
+# drift-family convention), y = event value. DiD = (post-pre)_treated
+# - (post-pre)_control with the unpooled four-cell SE.
+
+from mvrs_dspa_spark.plans.analytics4 import _AB_A, sprt_arm_filter  # noqa: E402
+
+
+@register(
+    "did_analysis",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN (({_AB_A}::BIGINT * (user_id % 2147483647))
+                             % 2147483647) % 2 = 1
+                        THEN 1 ELSE 0 END AS treated,
+                   CASE WHEN epoch_us(ts) <
+                            (SELECT MIN(epoch_us(ts))
+                                 + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                                   // 2
+                             FROM events)
+                        THEN 0 ELSE 1 END AS post,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        cells AS (
+            SELECT treated, post, COUNT(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS s,
+                   SUM(CAST(x AS HUGEINT) * x) AS ss
+            FROM labeled GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT treated, post, n,
+                   CAST(s AS DOUBLE) / n / 100 AS mean_v,
+                   (n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * n * (n - 1)) / 10000 AS var_v
+            FROM cells
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END) AS m_t_pre,
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END) AS m_t_post,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END) AS m_c_pre,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END) AS m_c_post,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN var_v / n END) AS v_t_pre,
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN var_v / n END) AS v_t_post,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN var_v / n END) AS v_c_pre,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN var_v / n END) AS v_c_post
+            FROM m
+        ),
+        wide2 AS (
+            -- fixed-order per-row addition: no aggregate double sum,
+            -- so summation order cannot differ between engines
+            SELECT *, ((v_t_pre + v_t_post) + v_c_pre) + v_c_post AS se2
+            FROM wide
+        )
+        SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+               CAST(n_t_post AS BIGINT) AS n_t_post,
+               CAST(n_c_pre AS BIGINT) AS n_c_pre,
+               CAST(n_c_post AS BIGINT) AS n_c_post,
+               ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+                   AS did_estimate,
+               ROUND(sqrt(se2), 6) AS se,
+               ROUND(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                     / NULLIF(sqrt(se2), 0), 6) AS t_stat
+        FROM wide2
+    """,
+    doc="Difference-in-differences analysis of event value — the "
+    "quasi-experimental estimator completing the causal family "
+    "(CUPED #160 reduces variance WITHIN a randomized post-period; "
+    "DiD removes shared TRENDS when pre-period levels differ): arms "
+    "from the SHARED deterministic user hash every experiment query "
+    "buckets with (sprt_arm_filter), periods from the halfway time "
+    "split (the drift-family convention), four exact cent-sum cells "
+    "(decimal/HUGEINT), unpooled SE over the cells, and the DiD "
+    "estimate with its t statistic as single per-row formulas. The "
+    "se2 sum crosses only 4 cells whose var/n terms derive from "
+    "exact integers — identical doubles both engines.",
+    tags=("analytics", "validation"),
+)
+def did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    labeled = ev.crossJoin(F.broadcast(rng)).select(
+        F.when(sprt_arm_filter(), 1).otherwise(0).alias("treated"),
+        F.when(
+            F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("post"),
         rank_cents_col().alias("x"),
-        "event_id",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    u = H.affine_col(
-        F.col("event_id") * BOOT_B + F.col("b"), _BOOT_A, _BOOT_B_
-    ) / F.lit(float(H.P))
-    w = ex.select("event_type", "x", "b", _boot_w_col(u).alias("w"))
-    reps = (
-        w.groupBy("event_type", "b")
-        .agg(
-            F.sum(F.col("w").cast(_DEC) * F.col("x")).alias("swx"),
-            F.sum("w").alias("sw"),
-        )
-        .where(F.col("sw") > 0)
-        .select(
-            "event_type",
-            "b",
-            F.round(_d(F.col("swx")) / (_d(F.col("sw")) * 100), 6).alias(
-                "mean_r"
-            ),
-        )
-    )
-    wp = Window.partitionBy("event_type")
-    ranked = reps.select(
-        "event_type",
-        "b",
-        "mean_r",
-        F.row_number().over(wp.orderBy("mean_r", "b")).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("nb"),
-    )
-    ci_cols = []
-    for q, name in zip(_BOOT_QS, ("lo", "hi")):
-        h = q * (F.col("nb") - 1)
-        lo_idx = F.floor(h)
-        frac = h - lo_idx
-        ci_cols.append(
-            F.round(
-                F.sum(
-                    F.when(F.col("rn") - 1 == lo_idx, F.col("mean_r") * (1 - frac))
-                    .when(F.col("rn") - 1 == lo_idx + 1, F.col("mean_r") * frac)
-                    .otherwise(0.0)
-                ),
-                6,
-            ).alias(f"ci_{name}")
-        )
-    ci = ranked.groupBy("event_type").agg(*ci_cols)
-    full = ev.groupBy("event_type").agg(
-        F.round(
-            F.sum(rank_cents_col()) / (F.count(F.lit(1)) * 100.0), 6
-        ).alias("mean_v"),
+    cells = labeled.groupBy("treated", "post").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("s"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("ss"),
     )
-    return (
-        full.join(ci, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            "mean_v",
-            "ci_lo",
-            "ci_hi",
+    m = cells.select(
+        "treated",
+        "post",
+        "n",
+        (_d(F.col("s")) / F.col("n") / 100).alias("mean_v"),
+        (
+            (F.col("n") * _d(F.col("ss")) - _d(F.col("s")) * _d(F.col("s")))
+            / (_d(F.col("n")) * F.col("n") * (F.col("n") - 1))
+            / 10000
+        ).alias("var_v"),
+    ).withColumn("vn", F.col("var_v") / F.col("n"))
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
         )
-        .orderBy("event_type")
+
+    wide = m.agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "mean_v").alias("m_t_pre"),
+        cell(1, 1, "mean_v").alias("m_t_post"),
+        cell(0, 0, "mean_v").alias("m_c_pre"),
+        cell(0, 1, "mean_v").alias("m_c_post"),
+        cell(1, 0, "vn").alias("v_t_pre"),
+        cell(1, 1, "vn").alias("v_t_post"),
+        cell(0, 0, "vn").alias("v_c_pre"),
+        cell(0, 1, "vn").alias("v_c_post"),
+    ).withColumn(
+        "se2",
+        (
+            (F.col("v_t_pre") + F.col("v_t_post")) + F.col("v_c_pre")
+        )
+        + F.col("v_c_post"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return wide.select(
+        F.col("n_t_pre").cast("long").alias("n_t_pre"),
+        F.col("n_t_post").cast("long").alias("n_t_post"),
+        F.col("n_c_pre").cast("long").alias("n_c_pre"),
+        F.col("n_c_post").cast("long").alias("n_c_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(F.sqrt(F.col("se2")), 6).alias("se"),
+        F.round(
+            did / F.nullif(F.sqrt(F.col("se2")), F.lit(0.0)), 6
+        ).alias("t_stat"),
     )

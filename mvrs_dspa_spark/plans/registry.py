@@ -76,6 +76,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_anova_by_type",
     "value_brown_forsythe",
     "bootstrap_mean_ci",
+    "pack_efficiency_report",
+    "epoch_shuffle_order",
+    "did_analysis",
     # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)

@@ -45,6 +45,7 @@ _NONEMPTY_ON_EMPTY = {
     "graph_kcore_summary": 3,  # one all-zero row per k in the fixed ladder
     "value_anova_by_type": 1,  # scalar aggregate: one all-NULL/zero row
     "value_brown_forsythe": 1,  # scalar aggregate: one all-NULL/zero row
+    "did_analysis": 1,  # scalar aggregate: one all-NULL summary row
 }
 
 

@@ -93,6 +93,7 @@ _SCALAR_BNLJ_OK = {
     "graph_assortativity",  # 1-row n_users/n_nodes/n_edges scalar broadcasts
     "graph_kcore_summary",  # 1-row n_users + per-k core-count scalar broadcasts
     "mannwhitney_fdr_bh",  # inherits #178's 1-row (n, tie_t) scalar broadcast
+    "did_analysis",  # 1-row time-range scalar broadcast (drift convention)
 }
 
 

@@ -597,3 +597,106 @@ def test_bootstrap_ci_properties(spark, sf_small):
     ).collect()[0]
     assert agg.sw == sw and agg.swx == swx
     assert round(agg.swx / (agg.sw * 100), 6) == want
+
+
+def test_pack_efficiency_consistent_with_pack(spark, sf_small):
+    from mvrs_dspa_spark.operators.sampling import PACK_CAPACITY
+
+    packed = {}
+    for r in _run(spark, sf_small, "pack_sequences"):
+        packed.setdefault(r.source, []).append(r.total_chars)
+    got = {r.source: r for r in _run(spark, sf_small, "pack_efficiency_report")}
+    assert set(got) == set(packed)
+    for src, bins in packed.items():
+        row = got[src]
+        assert row.bins_used == len(bins)
+        assert row.total_chars == sum(bins)
+        assert row.bins_lower_bound == -(-sum(bins) // PACK_CAPACITY)
+        # the start-position rule lets bins overflow, so bins_used can
+        # sit BELOW the no-overflow lower bound — but never by more
+        # than the number of overflowing bins
+        assert row.bins_used >= row.bins_lower_bound - row.overflow_bins
+        assert row.max_bin_chars == max(bins)
+        assert row.overflow_bins == sum(1 for b in bins if b > PACK_CAPACITY)
+        assert 0 < row.fill_rate <= row.max_bin_chars / PACK_CAPACITY + 1
+
+
+def test_epoch_shuffle_decorrelated_and_complete(spark, sf_small):
+    from mvrs_dspa_spark.operators.sampling import EPOCHS, N_EPOCH_SHARDS
+
+    rows = _run(spark, sf_small, "epoch_shuffle_order")
+    by_epoch = {}
+    for r in rows:
+        assert 0 <= r.shard < N_EPOCH_SHARDS
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.pos)
+    assert set(by_epoch) == set(range(EPOCHS))
+    docs = set(by_epoch[0])
+    for e in range(EPOCHS):
+        # every epoch is a complete permutation of the corpus
+        assert set(by_epoch[e]) == docs
+        # positions within a shard are a dense prefix of naturals
+        from collections import defaultdict
+
+        per_shard = defaultdict(list)
+        for d, (s, p) in by_epoch[e].items():
+            per_shard[s].append(p)
+        for ps in per_shard.values():
+            assert sorted(ps) == list(range(len(ps)))
+    # cross-epoch decorrelation: Spearman rank correlation of global
+    # order keys (shard*BIG + pos) must be near zero
+    order0 = {d: s * 10**6 + p for d, (s, p) in by_epoch[0].items()}
+    order1 = {d: s * 10**6 + p for d, (s, p) in by_epoch[1].items()}
+    r0 = _midranks(list(order0.values()))
+    r1 = _midranks(list(order1.values()))
+    xs = [r0[order0[d]] for d in docs]
+    ys = [r1[order1[d]] for d in docs]
+    n = len(docs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = (
+        sum((a - mx) ** 2 for a in xs) * sum((b - my) ** 2 for b in ys)
+    ) ** 0.5
+    rho = num / den
+    assert abs(rho) < 0.15, rho
+
+
+def test_did_matches_naive(spark, sf_small):
+    from mvrs_dspa_spark.plans.analytics4 import _AB_A
+    from mvrs_dspa_spark.tables import table
+    import pyspark.sql.functions as F
+
+    rows = (
+        table(spark, sf_small, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+        .collect()
+    )
+    mn = min(r.us for r in rows)
+    mx = max(r.us for r in rows)
+    split = mn + (mx - mn) // 2
+    cells = {}
+    for r in rows:
+        treated = ((_AB_A * (r.user_id % 2147483647)) % 2147483647) % 2 == 1
+        post = r.us >= split
+        cells.setdefault((treated, post), []).append(r.x)
+
+    def mean_var(xs):
+        n = len(xs)
+        m = sum(xs) / n / 100
+        v = (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * n * (n - 1)) / 1e4
+        return n, m, v
+
+    stats = {k: mean_var(v) for k, v in cells.items()}
+    did = (stats[(True, True)][1] - stats[(True, False)][1]) - (
+        stats[(False, True)][1] - stats[(False, False)][1]
+    )
+    se = sum(v / n for n, _, v in stats.values()) ** 0.5
+    (row,) = _run(spark, sf_small, "did_analysis")
+    assert row.n_t_pre == stats[(True, False)][0]
+    assert row.n_c_post == stats[(False, True)][0]
+    assert row.did_estimate == pytest.approx(did, abs=2e-6)
+    assert row.se == pytest.approx(se, abs=2e-6)
+    assert row.t_stat == pytest.approx(did / se, abs=2e-5)

@@ -157,6 +157,9 @@ def test_10x_events_scale_linear_no_spill(spark, tmp_path):
         # is 2^k rows — ratio must track the corpus scan alone
         "value_mannwhitney_by_type",
         "shapley_channel_attribution",
+        # the 64x replicate explode collapses in the map-side partial
+        # aggregate — ratio must track the (64x) scan, not blow up
+        "bootstrap_mean_ci",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
