@@ -181,6 +181,9 @@ EXTRA_QUERIES = [
     "bootstrap_mean_ci",
     "pack_efficiency_report",
     "epoch_shuffle_order",
+    "did_analysis",
+    "user_capture_recapture",
+    "embedding_intrinsic_dim",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -988,3 +988,140 @@ def embedding_drift_from_sums(sums: DataFrame) -> DataFrame:
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return embedding_drift_from_sums(embedding_dim_sums(emb))
+
+
+# --- two-NN intrinsic dimension ----------------------------------------------
+#
+# Facco et al. 2017 (arXiv:1803.06992 lineage, "Estimating the
+# intrinsic dimension of datasets by a minimal neighborhood
+# information"): the ratio mu = r2/r1 of each point's two nearest-
+# neighbor distances follows a Pareto law with exponent equal to the
+# intrinsic dimension, giving the MLE id = n / sum(ln mu). The
+# diagnostic read before trusting PCA variance curves (#64) or
+# choosing ANN index parameters: a 64-dim table whose data lives on a
+# ~6-dim manifold wants very different index settings.
+
+IDIM_MOD = 50      # probe every 50th vector (the ann.py cap idiom)
+IDIM_MAXQ = 1024   # hard probe cap
+
+
+@register(
+    "embedding_intrinsic_dim",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_dot_sql("embedding", "embedding")} AS sq
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM v
+              WHERE vec_id % {IDIM_MOD} = 0
+                AND vec_id < {IDIM_MOD * IDIM_MAXQ}),
+        d AS (
+            SELECT q.vec_id AS probe_id, v.vec_id AS neighbor_id,
+                   ROUND(q.sq + v.sq
+                         - 2 * {_dot_sql("q.embedding", "v.embedding")},
+                         12) AS d2
+            FROM q JOIN v ON q.vec_id <> v.vec_id
+        ),
+        top2 AS (
+            SELECT probe_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY d2, neighbor_id) AS rn
+            FROM d
+        ),
+        mu AS (
+            SELECT probe_id,
+                   MIN(CASE WHEN rn = 1 THEN d2 END) AS r1s,
+                   MIN(CASE WHEN rn = 2 THEN d2 END) AS r2s
+            FROM top2 WHERE rn <= 2 GROUP BY probe_id
+        ),
+        coded AS (
+            SELECT probe_id, r1s,
+                   CASE WHEN r1s > 0 THEN
+                       CAST(ROUND(1e9 * ln(r2s / r1s) / 2) AS BIGINT)
+                   END AS lnmu_c
+            FROM mu
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(COUNT(*) FILTER (WHERE r1s <= 0) AS BIGINT)
+                   AS n_degenerate,
+               ROUND(COUNT(lnmu_c) * 1e9
+                     / NULLIF(CAST(SUM(lnmu_c) AS DOUBLE), 0), 4)
+                   AS id_twonn,
+               ROUND(CAST(SUM(lnmu_c) AS DOUBLE)
+                     / NULLIF(COUNT(lnmu_c), 0) / 1e9, 6) AS mean_log_mu
+        FROM coded
+    """,
+    doc="Two-NN intrinsic-dimension estimate of the embedding corpus "
+    "(Facco-Rodriguez-Laio 2017): per probe, the ratio of the two "
+    "nearest Euclidean distances is Pareto with exponent = intrinsic "
+    "dimension, so id = n / sum(ln r2/r1) — the manifold diagnostic "
+    "read before trusting PCA variance (#64) or sizing ANN indexes. "
+    "Probe set capped at "
+    f"{IDIM_MAXQ} (the ann.py broadcast idiom); squared distances "
+    "derive from fixed-order dot-product folds and are ROUNDED "
+    "before the NN rank (round-before-rank, neighbor tiebreak); the "
+    "per-probe ln(mu) terms are 1e9 int64 codes BEFORE the sum "
+    "(transcendental-sum house rule), one final division. Probes "
+    "with a zero first distance (exact duplicates) are excluded and "
+    "counted.",
+    tags=("embeddings", "validation", "llm"),
+)
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        dot_col(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    q = v.where(
+        (F.col("vec_id") % IDIM_MOD == 0)
+        & (F.col("vec_id") < IDIM_MOD * IDIM_MAXQ)
+    )
+    qa, vb = q.alias("q"), v.alias("v")
+    d2 = F.round(
+        F.col("q.sq")
+        + F.col("v.sq")
+        - 2 * dot_col(F.col("q.embedding"), F.col("v.embedding")),
+        12,
+    )
+    d = (
+        F.broadcast(qa)
+        .join(vb, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
+    top2 = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    mu = top2.groupBy("probe_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1s"),
+        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2s"),
+    )
+    coded = mu.select(
+        "r1s",
+        F.when(
+            F.col("r1s") > 0,
+            F.round(1e9 * F.log(F.col("r2s") / F.col("r1s")) / 2).cast(
+                "long"
+            ),
+        ).alias("lnmu_c"),
+    )
+    return coded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.count_if(F.col("r1s") <= 0).cast("long").alias("n_degenerate"),
+        F.round(
+            F.count("lnmu_c")
+            * 1e9
+            / F.nullif(F.sum("lnmu_c").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("id_twonn"),
+        F.round(
+            F.sum("lnmu_c").cast("double")
+            / F.nullif(F.count("lnmu_c"), F.lit(0))
+            / 1e9,
+            6,
+        ).alias("mean_log_mu"),
+    )

@@ -1623,3 +1623,100 @@ def did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             did / F.nullif(F.sqrt(F.col("se2")), F.lit(0.0)), 6
         ).alias("t_stat"),
     )
+
+
+# --- capture-recapture distinct estimate ------------------------------------
+#
+# Chapman's bias-corrected Lincoln-Petersen estimator (Chapman 1951):
+# treat the two time halves as capture occasions; the overlap of
+# their user sets estimates the total population the log ever draws
+# from — the STATISTICAL distinct estimate sitting next to the
+# algorithmic sketches (HLL #84, theta #108), and the sample-coverage
+# question ('how much of the user base did this window see') neither
+# sketch answers. One distinct-user aggregation carrying min/max
+# period flags; everything after runs on one row.
+
+
+@register(
+    "user_capture_recapture",
+    oracle="""
+        WITH labeled AS (
+            SELECT user_id,
+                   CASE WHEN epoch_us(ts) <
+                            (SELECT MIN(epoch_us(ts))
+                                 + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                                   // 2
+                             FROM events)
+                        THEN 0 ELSE 1 END AS period
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS in1,
+                   MAX(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS in2
+            FROM labeled GROUP BY user_id
+        ),
+        s AS (
+            SELECT SUM(in1) AS n1, SUM(in2) AS n2,
+                   SUM(in1 * in2) AS m, COUNT(*) AS observed
+            FROM per_user
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_first_half,
+               CAST(n2 AS BIGINT) AS n_second_half,
+               CAST(m AS BIGINT) AS n_both,
+               CAST(observed AS BIGINT) AS n_observed,
+               ROUND((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1, 4)
+                   AS chapman_estimate,
+               ROUND(CAST(observed AS DOUBLE)
+                     / NULLIF((CAST(n1 AS DOUBLE) + 1) * (n2 + 1)
+                              / (m + 1) - 1, 0), 6) AS coverage
+        FROM s
+    """,
+    doc="Chapman capture-recapture population estimate (Chapman 1951 "
+    "bias-corrected Lincoln-Petersen): the two time halves are "
+    "capture occasions, and the user-set overlap estimates the TOTAL "
+    "population the log draws from — the statistical distinct "
+    "estimate next to the algorithmic sketches (HLL #84, theta "
+    "#108), answering the coverage question ('what fraction of the "
+    "user base did this window observe') no sketch of the observed "
+    "stream can. ONE distinct-user aggregation with min/max period "
+    "flags; the estimator is a single-row formula over exact "
+    "integer counts.",
+    tags=("analytics", "sketch", "validation"),
+)
+def user_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    labeled = ev.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    per_user = labeled.groupBy("user_id").agg(
+        F.max(F.when(F.col("period") == 0, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(F.col("period") == 1, 1).otherwise(0)).alias("in2"),
+    )
+    s = per_user.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    chap = (_d(F.col("n1")) + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        F.col("n1").cast("long").alias("n_first_half"),
+        F.col("n2").cast("long").alias("n_second_half"),
+        F.col("m").cast("long").alias("n_both"),
+        F.col("observed").cast("long").alias("n_observed"),
+        F.round(chap, 4).alias("chapman_estimate"),
+        F.round(
+            _d(F.col("observed")) / F.nullif(chap, F.lit(0.0)), 6
+        ).alias("coverage"),
+    )

@@ -79,6 +79,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_efficiency_report",
     "epoch_shuffle_order",
     "did_analysis",
+    "user_capture_recapture",
+    "embedding_intrinsic_dim",
     # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)

@@ -46,6 +46,8 @@ _NONEMPTY_ON_EMPTY = {
     "value_anova_by_type": 1,  # scalar aggregate: one all-NULL/zero row
     "value_brown_forsythe": 1,  # scalar aggregate: one all-NULL/zero row
     "did_analysis": 1,  # scalar aggregate: one all-NULL summary row
+    "user_capture_recapture": 1,  # scalar aggregate: one all-NULL/zero row
+    "embedding_intrinsic_dim": 1,  # scalar aggregate: one all-NULL/zero row
 }
 
 

@@ -94,6 +94,8 @@ _SCALAR_BNLJ_OK = {
     "graph_kcore_summary",  # 1-row n_users + per-k core-count scalar broadcasts
     "mannwhitney_fdr_bh",  # inherits #178's 1-row (n, tie_t) scalar broadcast
     "did_analysis",  # 1-row time-range scalar broadcast (drift convention)
+    "user_capture_recapture",  # 1-row time-range scalar broadcast
+    "embedding_intrinsic_dim",  # broadcast probe set (same bound as topk)
 }
 
 

@@ -700,3 +700,49 @@ def test_did_matches_naive(spark, sf_small):
     assert row.did_estimate == pytest.approx(did, abs=2e-6)
     assert row.se == pytest.approx(se, abs=2e-6)
     assert row.t_stat == pytest.approx(did / se, abs=2e-5)
+
+
+def test_capture_recapture_identities(spark, sf_small):
+    (r,) = _run(spark, sf_small, "user_capture_recapture")
+    # inclusion-exclusion: observed = n1 + n2 - overlap
+    assert r.n_observed == r.n_first_half + r.n_second_half - r.n_both
+    # Chapman is >= the observed count minus rounding, and coverage <= ~1
+    assert r.chapman_estimate >= r.n_observed - 1
+    assert 0 < r.coverage <= 1.0 + 1e-6
+
+
+def test_intrinsic_dim_recovers_low_dim_manifold(spark, tmp_path):
+    """Vectors on a 2-dim linear subspace of R^64 must estimate
+    id ~ 2, far from the ambient 64."""
+    import pyspark.sql.functions as F
+
+    n, d, k = 400, 64, 2
+    # deterministic pseudo-random latent coords and mixing matrix
+    lat = [
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(10_000)) / 10_000.0)
+        for j in range(k)
+    ]
+    mix = [[((7 * i + 3 * j + 1) % 13) / 13.0 for j in range(k)] for i in range(d)]
+    dims = F.array(
+        *[
+            sum(F.lit(mix[i][j]) * lat[j] for j in range(k)).cast("float")
+            for i in range(d)
+        ]
+    )
+    (
+        spark.range(0, n, 1, 8)
+        .select(
+            F.col("id").alias("vec_id"),
+            dims.alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+        .write.parquet(str(tmp_path / "embeddings.parquet"))
+    )
+    (r,) = (
+        all_queries()["embedding_intrinsic_dim"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert r.n_probes > 0
+    assert r.id_twonn is not None
+    assert 1.0 < r.id_twonn < 5.0, r  # ~2 expected, wide noise band
