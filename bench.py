@@ -184,6 +184,7 @@ EXTRA_QUERIES = [
     "did_analysis",
     "user_capture_recapture",
     "embedding_intrinsic_dim",
+    "conversion_trend_cochran_armitage",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -1637,6 +1637,52 @@ def did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # period flags; everything after runs on one row.
 
 
+def capture_table_from_flags(per_user: DataFrame) -> DataFrame:
+    """The Chapman estimate from a (user_id, in1, in2) capture-flag
+    frame — serving tail shared by the batch query and the streaming
+    monitor (streaming/capture_stream.CaptureMonitor), whose state IS
+    the flag frame (user-dimension-bounded, OR-mergeable)."""
+    s = per_user.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    chap = (_d(F.col("n1")) + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        F.col("n1").cast("long").alias("n_first_half"),
+        F.col("n2").cast("long").alias("n_second_half"),
+        F.col("m").cast("long").alias("n_both"),
+        F.col("observed").cast("long").alias("n_observed"),
+        F.round(chap, 4).alias("chapman_estimate"),
+        F.round(
+            _d(F.col("observed")) / F.nullif(chap, F.lit(0.0)), 6
+        ).alias("coverage"),
+    )
+
+
+def capture_flags(ev: DataFrame) -> DataFrame:
+    """(user_id, in1, in2) capture flags from an events frame with a
+    given halfway split derived from the frame itself (batch form)."""
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    labeled = ev.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    return labeled.groupBy("user_id").agg(
+        F.max(F.when(F.col("period") == 0, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(F.col("period") == 1, 1).otherwise(0)).alias("in2"),
+    )
+
+
 @register(
     "user_capture_recapture",
     oracle="""
@@ -1686,37 +1732,130 @@ def did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    rng = ev.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
-    )
-    labeled = ev.crossJoin(F.broadcast(rng)).select(
-        "user_id",
-        F.when(
-            F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
-            F.lit(0),
+    return capture_table_from_flags(capture_flags(ev))
+
+
+# --- Cochran-Armitage trend test --------------------------------------------
+#
+# Is the conversion RATE trending across ordered days? (Cochran 1954 /
+# Armitage 1955.) The categorical-trend complement of Mann-Kendall
+# (#187 trends a measure; this trends a proportion) on the SAME
+# measurement surface as the SPRT monitor (shared sprt_day_col /
+# sprt_success_col definitions): scores = relative day index, and the
+# z statistic is a single formula over five exact integer sums.
+
+from mvrs_dspa_spark.plans.analytics4 import (  # noqa: E402
+    sprt_day_col,
+    sprt_success_col,
+)
+from mvrs_dspa_spark.plans.analytics4 import _DAY_US as _CA_DAY_US  # noqa: E402
+
+
+@register(
+    "conversion_trend_cochran_armitage",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_us(ts) // {_CA_DAY_US} AS day,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS s
+            FROM events GROUP BY 1
+        ),
+        rel AS (
+            SELECT day - (SELECT MIN(day) FROM daily) AS w, n, s
+            FROM daily
+        ),
+        sums AS (
+            SELECT COUNT(*) AS k,
+                   SUM(n) AS nn, SUM(s) AS ss,
+                   SUM(CAST(w AS HUGEINT) * n) AS swn,
+                   SUM(CAST(w AS HUGEINT) * s) AS sws,
+                   SUM(CAST(w AS HUGEINT) * w * n) AS swwn
+            FROM rel
         )
-        .otherwise(F.lit(1))
-        .alias("period"),
+        SELECT CAST(k AS BIGINT) AS n_days,
+               CAST(nn AS BIGINT) AS n_trials,
+               CAST(ss AS BIGINT) AS n_success,
+               ROUND((CAST(sws AS DOUBLE)
+                      - CAST(ss AS DOUBLE) * CAST(swn AS DOUBLE) / nn)
+                     / NULLIF(sqrt(
+                           (CAST(ss AS DOUBLE) / nn)
+                           * (1 - CAST(ss AS DOUBLE) / nn)
+                           * (CAST(swwn AS DOUBLE)
+                              - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                                / nn)), 0), 6) AS z_ca,
+               CASE WHEN (CAST(sws AS DOUBLE)
+                          - CAST(ss AS DOUBLE) * CAST(swn AS DOUBLE) / nn)
+                         / NULLIF(sqrt(
+                               (CAST(ss AS DOUBLE) / nn)
+                               * (1 - CAST(ss AS DOUBLE) / nn)
+                               * (CAST(swwn AS DOUBLE)
+                                  - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                                    / nn)), 0) > 1.96 THEN 'increasing'
+                    WHEN (CAST(sws AS DOUBLE)
+                          - CAST(ss AS DOUBLE) * CAST(swn AS DOUBLE) / nn)
+                         / NULLIF(sqrt(
+                               (CAST(ss AS DOUBLE) / nn)
+                               * (1 - CAST(ss AS DOUBLE) / nn)
+                               * (CAST(swwn AS DOUBLE)
+                                  - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                                    / nn)), 0) < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM sums
+    """,
+    doc="Cochran-Armitage trend test of the daily conversion rate "
+    "(Cochran 1954/Armitage 1955) — 'is the purchase share drifting "
+    "monotonically across days', the categorical-trend complement of "
+    "Mann-Kendall #187 (which trends a measure; this trends a "
+    "PROPORTION), on the SAME measurement surface the SPRT monitor "
+    "sequences (shared sprt_day_col/sprt_success_col definitions). "
+    "Scores are relative day indexes; z is one formula over five "
+    "exact integer sums (decimal/HUGEINT weighted counts); verdict "
+    "at |z| > 1.96.",
+    tags=("analytics", "validation"),
+)
+def conversion_trend_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(sprt_day_col(), sprt_success_col()).groupBy(
+        "day"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("success").alias("s"))
+    mn = daily.agg(F.min("day").alias("mnd"))
+    rel = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("day") - F.col("mnd")).alias("w"), "n", "s"
     )
-    per_user = labeled.groupBy("user_id").agg(
-        F.max(F.when(F.col("period") == 0, 1).otherwise(0)).alias("in1"),
-        F.max(F.when(F.col("period") == 1, 1).otherwise(0)).alias("in2"),
+    sums = rel.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("w").cast(_DEC) * F.col("n")).alias("swn"),
+        F.sum(F.col("w").cast(_DEC) * F.col("s")).alias("sws"),
+        F.sum(F.col("w").cast(_DEC) * F.col("w") * F.col("n")).alias(
+            "swwn"
+        ),
     )
-    s = per_user.agg(
-        F.sum("in1").alias("n1"),
-        F.sum("in2").alias("n2"),
-        F.sum(F.col("in1") * F.col("in2")).alias("m"),
-        F.count(F.lit(1)).alias("observed"),
+    p = _d(F.col("ss")) / F.col("nn")
+    num = _d(F.col("sws")) - _d(F.col("ss")) * _d(F.col("swn")) / F.col("nn")
+    den = F.nullif(
+        F.sqrt(
+            p
+            * (1 - p)
+            * (
+                _d(F.col("swwn"))
+                - _d(F.col("swn")) * _d(F.col("swn")) / F.col("nn")
+            )
+        ),
+        F.lit(0.0),
     )
-    chap = (_d(F.col("n1")) + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
-    return s.select(
-        F.col("n1").cast("long").alias("n_first_half"),
-        F.col("n2").cast("long").alias("n_second_half"),
-        F.col("m").cast("long").alias("n_both"),
-        F.col("observed").cast("long").alias("n_observed"),
-        F.round(chap, 4).alias("chapman_estimate"),
-        F.round(
-            _d(F.col("observed")) / F.nullif(chap, F.lit(0.0)), 6
-        ).alias("coverage"),
+    z = num / den
+    return sums.select(
+        F.col("k").cast("long").alias("n_days"),
+        F.col("nn").cast("long").alias("n_trials"),
+        F.col("ss").cast("long").alias("n_success"),
+        F.round(z, 6).alias("z_ca"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
     )

@@ -48,6 +48,7 @@ _NONEMPTY_ON_EMPTY = {
     "did_analysis": 1,  # scalar aggregate: one all-NULL summary row
     "user_capture_recapture": 1,  # scalar aggregate: one all-NULL/zero row
     "embedding_intrinsic_dim": 1,  # scalar aggregate: one all-NULL/zero row
+    "conversion_trend_cochran_armitage": 1,  # scalar: one all-NULL/zero row
 }
 
 

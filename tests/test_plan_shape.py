@@ -96,6 +96,7 @@ _SCALAR_BNLJ_OK = {
     "did_analysis",  # 1-row time-range scalar broadcast (drift convention)
     "user_capture_recapture",  # 1-row time-range scalar broadcast
     "embedding_intrinsic_dim",  # broadcast probe set (same bound as topk)
+    "conversion_trend_cochran_armitage",  # 1-row min-day scalar broadcast
 }
 
 

@@ -746,3 +746,42 @@ def test_intrinsic_dim_recovers_low_dim_manifold(spark, tmp_path):
     assert r.n_probes > 0
     assert r.id_twonn is not None
     assert 1.0 < r.id_twonn < 5.0, r  # ~2 expected, wide noise band
+
+
+def test_cochran_armitage_matches_naive(spark, sf_small):
+    from mvrs_dspa_spark.tables import table
+    import pyspark.sql.functions as F
+
+    rows = (
+        table(spark, sf_small, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("s"),
+        )
+        .collect()
+    )
+    daily = {}
+    for r in rows:
+        n, s = daily.get(r.day, (0, 0))
+        daily[r.day] = (n + 1, s + r.s)
+    mn = min(daily)
+    ws = [(d - mn, n, s) for d, (n, s) in daily.items()]
+    N = sum(n for _, n, _ in ws)
+    S = sum(s for _, _, s in ws)
+    p = S / N
+    num = sum(w * s for w, _, s in ws) - p * sum(w * n for w, n, _ in ws)
+    den = (
+        p
+        * (1 - p)
+        * (
+            sum(w * w * n for w, n, _ in ws)
+            - sum(w * n for w, n, _ in ws) ** 2 / N
+        )
+    ) ** 0.5
+    z = num / den
+    (row,) = _run(spark, sf_small, "conversion_trend_cochran_armitage")
+    assert row.n_days == len(daily)
+    assert row.n_trials == N and row.n_success == S
+    assert row.z_ca == pytest.approx(z, abs=2e-6)
+    want = "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "no_trend"
+    assert row.trend == want
