@@ -185,6 +185,7 @@ EXTRA_QUERIES = [
     "user_capture_recapture",
     "embedding_intrinsic_dim",
     "conversion_trend_cochran_armitage",
+    "ql_dirichlet_search",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

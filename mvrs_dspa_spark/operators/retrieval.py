@@ -437,3 +437,116 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(HYBRID_TOP_N)
     )
+
+
+# --- query-likelihood retrieval (Dirichlet smoothing) ------------------------
+
+QL_MU = 2000.0
+
+
+@register(
+    "ql_dirichlet_search",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {T.tokens_sql('lower(text)')} AS toks
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        tot AS (SELECT SUM(dl) AS total_toks FROM dl),
+        tf AS (
+            SELECT doc_id, dl, tok, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, dl,
+                       unnest(list_filter(toks, t -> t IN ({_TERMS_IN})))
+                           AS tok
+                FROM dl
+            )
+            GROUP BY doc_id, dl, tok
+        ),
+        ctf AS (SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok),
+        matched AS (
+            SELECT tf.doc_id, ANY_VALUE(tf.dl) AS dl,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+                   SUM(CAST(ROUND(1e9 * ln(
+                       1.0 + tf.tf * t.total_toks
+                             / ({QL_MU} * ctf.ctf))) AS BIGINT)) AS m_c
+            FROM tf JOIN ctf USING (tok) CROSS JOIN tot t
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_terms_matched,
+               ROUND((m_c + {len(GATE_QUERY_TERMS)}
+                      * CAST(ROUND(1e9 * ln({QL_MU} / (dl + {QL_MU})))
+                             AS BIGINT)) / 1e9, 6) AS ql_score
+        FROM matched
+        ORDER BY (m_c + {len(GATE_QUERY_TERMS)}
+                  * CAST(ROUND(1e9 * ln({QL_MU} / (dl + {QL_MU})))
+                         AS BIGINT)) DESC, doc_id
+        LIMIT {TOP_N}
+    """,
+    doc="Query-likelihood retrieval with Dirichlet smoothing (Ponte & "
+    "Croft 1998; Zhai & Lafferty 2001, mu=2000) — the language-"
+    "modeling ranker completing the classic trio next to BM25 (#62) "
+    "and the RRF hybrid (#62b): score = sum ln(1 + tf/(mu*p_t)) + "
+    "|q| ln(mu/(dl+mu)) over the pinned query, decomposed so only "
+    "matched postings are scored (filter-before-explode bounded "
+    "postings, the #62 scale shape, vocabulary-sized ctf broadcast). "
+    "Every ln term is a 1e9 int64 code BEFORE the sum and the top-20 "
+    "ranks on the integer total (house round-before-rank rule — "
+    "stricter than #62's rounded-double sum).",
+    tags=("text", "retrieval", "llm"),
+)
+def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    dl = docs.select("doc_id", "toks", F.size("toks").alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("total_toks"))
+    term_arr = F.array(*[F.lit(t) for t in GATE_QUERY_TERMS])
+    tf = (
+        dl.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(
+                    F.col("toks"), lambda t: F.array_contains(term_arr, t)
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
+    term_code = F.round(
+        1e9
+        * F.log(
+            1.0
+            + F.col("tf")
+            * F.col("total_toks")
+            / (QL_MU * F.col("ctf"))
+        )
+    ).cast("long")
+    matched = (
+        tf.join(F.broadcast(ctf), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("dl").alias("dl"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(term_code).alias("m_c"),
+        )
+    )
+    len_code = F.round(
+        1e9 * F.log(QL_MU / (F.col("dl") + QL_MU))
+    ).cast("long")
+    score_c = F.col("m_c") + len(GATE_QUERY_TERMS) * len_code
+    return (
+        matched.select(
+            "doc_id",
+            F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+            F.round(score_c / 1e9, 6).alias("ql_score"),
+            score_c.alias("_sc"),
+        )
+        .orderBy(F.desc("_sc"), "doc_id")
+        .limit(TOP_N)
+        .drop("_sc")
+    )

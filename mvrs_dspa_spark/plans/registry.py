@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_capture_recapture",
     "embedding_intrinsic_dim",
     "conversion_trend_cochran_armitage",
+    "ql_dirichlet_search",
     # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)

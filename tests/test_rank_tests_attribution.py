@@ -785,3 +785,47 @@ def test_cochran_armitage_matches_naive(spark, sf_small):
     assert row.z_ca == pytest.approx(z, abs=2e-6)
     want = "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "no_trend"
     assert row.trend == want
+
+
+def test_ql_dirichlet_matches_naive(spark, sf_small):
+    import math
+
+    from mvrs_dspa_spark.operators.retrieval import (
+        GATE_QUERY_TERMS,
+        QL_MU,
+        TOP_N,
+    )
+    from mvrs_dspa_spark.tables import table
+
+    docs = [
+        (r.doc_id, r.text.lower().split())
+        for r in table(spark, sf_small, "documents").collect()
+    ]
+    total = sum(len(t) for _, t in docs)
+    ctf = {
+        q: sum(t.count(q) for _, t in docs) for q in GATE_QUERY_TERMS
+    }
+    scored = []
+    for doc_id, toks in docs:
+        m_c, matched = 0, 0
+        for q in GATE_QUERY_TERMS:
+            tf = toks.count(q)
+            if tf > 0 and ctf[q] > 0:
+                matched += 1
+                m_c += round(1e9 * math.log(1 + tf * total / (QL_MU * ctf[q])))
+        if matched == 0:
+            continue
+        sc = m_c + len(GATE_QUERY_TERMS) * round(
+            1e9 * math.log(QL_MU / (len(toks) + QL_MU))
+        )
+        scored.append((-sc, doc_id, matched))
+    scored.sort()
+    want = [
+        (doc_id, matched, round(-sc / 1e9, 6))
+        for sc, doc_id, matched in scored[:TOP_N]
+    ]
+    got = [
+        (r.doc_id, r.n_terms_matched, r.ql_score)
+        for r in _run(spark, sf_small, "ql_dirichlet_search")
+    ]
+    assert got == want
