@@ -186,6 +186,7 @@ EXTRA_QUERIES = [
     "embedding_intrinsic_dim",
     "conversion_trend_cochran_armitage",
     "ql_dirichlet_search",
+    "value_drift_divergences",
 ]
 
 # Multi-iteration model fits amortize codegen across their own

@@ -1247,3 +1247,160 @@ def value_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c2"),
     )
     return w1_from_cells(cells)
+
+
+# --- bounded divergences from the same drift grid ---------------------------
+#
+# Jensen-Shannon divergence and Hellinger distance between the two
+# half-period value distributions — the BOUNDED divergences ([0, ln 2]
+# and [0, 1]) completing the drift read-outs served from the ONE
+# (event_type, cents, c1, c2) grid (W1 = magnitude, KS = sup-distance,
+# PSI = binned ratio; these two saturate gracefully where PSI
+# explodes on empty bins). Every per-cell transcendental term
+# (p ln p-form, sqrt products) is a 1e9/1e12 int64 code BEFORE the
+# grid sum (house rule), then one division per type.
+
+
+def divergences_from_cells(cells: DataFrame) -> DataFrame:
+    """JSD + Hellinger per type from the shared drift grid — serving
+    tail used by the batch query (#202) and WassersteinMonitor's
+    `divergence_report()` (29ah)."""
+    wt = Window.partitionBy("event_type")
+    tot = cells.select(
+        "event_type",
+        "cents",
+        "c1",
+        "c2",
+        F.sum("c1").over(wt).alias("t1"),
+        F.sum("c2").over(wt).alias("t2"),
+    ).where((F.col("t1") > 0) & (F.col("t2") > 0))
+    p = F.col("c1") / F.col("t1")
+    q = F.col("c2") / F.col("t2")
+    m = (p + q) / 2
+    # KL(p||m) + KL(q||m) cell terms; 0 ln 0 = 0 via the when-guards
+    jsd_term = F.round(
+        1e9
+        * (
+            F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(0.0)
+            + F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(0.0)
+        )
+        / 2
+    ).cast("long")
+    hel_term = F.round(1e12 * F.sqrt(p * q)).cast("long")
+    return (
+        tot.select(
+            "event_type",
+            F.col("t1").alias("n_first_half"),
+            F.col("t2").alias("n_second_half"),
+            jsd_term.alias("j_c"),
+            hel_term.alias("h_c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_first_half").cast("long").alias("n_first_half"),
+            F.max("n_second_half").cast("long").alias("n_second_half"),
+            F.round(F.sum("j_c") / 1e9, 6).alias("jsd"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0), 1.0 - F.sum("h_c") / 1e12
+                    )
+                ),
+                6,
+            ).alias("hellinger"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "value_drift_divergences",
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        labeled AS (
+            SELECT event_type,
+                   CASE WHEN epoch_us(ts) <
+                            (SELECT mn + (mx - mn) // 2 FROM rng)
+                        THEN 0 ELSE 1 END AS period,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type, cents,
+                   SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS c1,
+                   SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c2
+            FROM labeled GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, cents, c1, c2,
+                   SUM(c1) OVER (PARTITION BY event_type) AS t1,
+                   SUM(c2) OVER (PARTITION BY event_type) AS t2
+            FROM cells
+        ),
+        terms AS (
+            SELECT event_type, t1, t2,
+                   CAST(ROUND(1e9 * (
+                       CASE WHEN c1 > 0 THEN
+                           (c1 / CAST(t1 AS DOUBLE))
+                           * ln((c1 / CAST(t1 AS DOUBLE))
+                                / ((c1 / CAST(t1 AS DOUBLE)
+                                    + c2 / CAST(t2 AS DOUBLE)) / 2))
+                       ELSE 0 END
+                       + CASE WHEN c2 > 0 THEN
+                           (c2 / CAST(t2 AS DOUBLE))
+                           * ln((c2 / CAST(t2 AS DOUBLE))
+                                / ((c1 / CAST(t1 AS DOUBLE)
+                                    + c2 / CAST(t2 AS DOUBLE)) / 2))
+                       ELSE 0 END) / 2) AS BIGINT) AS j_c,
+                   CAST(ROUND(1e12 * sqrt(
+                       (c1 / CAST(t1 AS DOUBLE))
+                       * (c2 / CAST(t2 AS DOUBLE)))) AS BIGINT) AS h_c
+            FROM tot WHERE t1 > 0 AND t2 > 0
+        )
+        SELECT event_type,
+               CAST(MAX(t1) AS BIGINT) AS n_first_half,
+               CAST(MAX(t2) AS BIGINT) AS n_second_half,
+               ROUND(SUM(j_c) / 1e9, 6) AS jsd,
+               ROUND(sqrt(GREATEST(0.0, 1.0 - SUM(h_c) / 1e12)), 6)
+                   AS hellinger
+        FROM terms
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Jensen-Shannon divergence + Hellinger distance between the "
+    "two half-period value distributions per type — the BOUNDED "
+    "divergences ([0, ln 2] / [0, 1]) completing the drift family's "
+    "read-outs from ONE grid (W1 #175 magnitude, KS #10am-b "
+    "sup-distance, PSI #10am binned ratio — which explodes on empty "
+    "bins exactly where these saturate gracefully). Cell terms "
+    "(p ln p-form, sqrt pq) are 1e9/1e12 int64 codes BEFORE the "
+    "grid sums (house rule); the SAME `divergences_from_cells` tail "
+    "serves from the streaming W1 monitor's maintained grid "
+    "(`divergence_report()`, 29ah) — one state, FOUR drift "
+    "statistics.",
+    tags=("analytics", "validation"),
+)
+def value_drift_divergences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    labeled = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        w1_cents_col().alias("cents"),
+        F.when(
+            F.unix_micros("ts") < F.col("mn") + F.expr("(mx - mn) div 2"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    cells = labeled.groupBy("event_type", "cents").agg(
+        F.count_if(F.col("period") == 0).alias("c1"),
+        F.count_if(F.col("period") == 1).alias("c2"),
+    )
+    return divergences_from_cells(cells)

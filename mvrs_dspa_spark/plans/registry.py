@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_intrinsic_dim",
     "conversion_trend_cochran_armitage",
     "ql_dirichlet_search",
+    "value_drift_divergences",
     # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
     # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
     # (plan-identical; changed-implementation policy)

@@ -98,6 +98,15 @@ class WassersteinMonitor:
 
         return ks_from_cells(self.grid)
 
+    def divergence_report(self) -> DataFrame:
+        """JSD + Hellinger from the SAME grid through the shared
+        `divergences_from_cells` tail (#202) — one maintained state,
+        four drift statistics (W1, KS, JSD, Hellinger), all equal to
+        their batch twins exactly (pytest-pinned)."""
+        from mvrs_dspa_spark.plans.analytics4 import divergences_from_cells
+
+        return divergences_from_cells(self.grid)
+
     def erase_users(self, user_ids) -> None:
         """GDPR hook parity (see `scd2_stream.Scd2Maintainer`): the
         grid keys on (type, cents) only — no per-user state, erasure

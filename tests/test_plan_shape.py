@@ -98,6 +98,7 @@ _SCALAR_BNLJ_OK = {
     "embedding_intrinsic_dim",  # broadcast probe set (same bound as topk)
     "conversion_trend_cochran_armitage",  # 1-row min-day scalar broadcast
     "ql_dirichlet_search",  # 1-row corpus-total scalar broadcast (as bm25)
+    "value_drift_divergences",  # 1-row time-range scalar broadcast
 }
 
 

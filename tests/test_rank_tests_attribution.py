@@ -829,3 +829,55 @@ def test_ql_dirichlet_matches_naive(spark, sf_small):
         for r in _run(spark, sf_small, "ql_dirichlet_search")
     ]
     assert got == want
+
+
+def test_drift_divergences_match_naive(spark, sf_small):
+    import math
+
+    from mvrs_dspa_spark.tables import table
+    import pyspark.sql.functions as F
+
+    rows = (
+        table(spark, sf_small, "events")
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    mn = min(r.us for r in rows)
+    mx = max(r.us for r in rows)
+    split = mn + (mx - mn) // 2
+    grids = {}
+    for r in rows:
+        g = grids.setdefault(r.event_type, {})
+        a, b = g.get(r.c, (0, 0))
+        g[r.c] = (a + 1, b) if r.us < split else (a, b + 1)
+    got = {r.event_type: r for r in _run(spark, sf_small, "value_drift_divergences")}
+    for t, g in grids.items():
+        t1 = sum(a for a, _ in g.values())
+        t2 = sum(b for _, b in g.values())
+        if t1 == 0 or t2 == 0:
+            assert t not in got
+            continue
+        j_c = h_c = 0
+        for a, b in g.values():
+            p, q = a / t1, b / t2
+            m = (p + q) / 2
+            term = 0.0
+            if a > 0:
+                term += p * math.log(p / m)
+            if b > 0:
+                term += q * math.log(q / m)
+            j_c += round(1e9 * term / 2)
+            h_c += round(1e12 * math.sqrt(p * q))
+        row = got[t]
+        assert row.n_first_half == t1 and row.n_second_half == t2
+        assert row.jsd == round(j_c / 1e9, 6), t
+        assert row.hellinger == round(
+            math.sqrt(max(0.0, 1 - h_c / 1e12)), 6
+        ), t
+        # bounded divergences
+        assert 0 <= row.jsd <= math.log(2) + 1e-9
+        assert 0 <= row.hellinger <= 1 + 1e-9

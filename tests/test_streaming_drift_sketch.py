@@ -150,6 +150,15 @@ def test_streaming_wasserstein_equals_batch(spark, tmp_path):
     ks_got = sorted(tuple(r) for r in mon.ks_report().collect())
     assert ks_got == ks_want
 
+    # ...and the bounded divergences (#202) — four statistics total
+    from mvrs_dspa_spark.plans.analytics4 import value_drift_divergences
+
+    dv_want = sorted(
+        tuple(r) for r in value_drift_divergences(spark, SF).collect()
+    )
+    dv_got = sorted(tuple(r) for r in mon.divergence_report().collect())
+    assert dv_got == dv_want
+
 
 def test_wasserstein_monitor_empty_state(spark):
     from mvrs_dspa_spark.streaming.wasserstein_stream import (
