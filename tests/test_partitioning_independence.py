@@ -26,6 +26,16 @@ QUERIES = [
     "salted_event_rollup",
     "hll_user_counts",
     "top_user_per_type",
+    # round-8 second wave: global-grid midranks (summation-order
+    # hazards if any accumulator were float), coalition lattice,
+    # greedy selection with argmax ties, bootstrap replicate ranks,
+    # integer-total retrieval ranking
+    "value_mannwhitney_by_type",
+    "shapley_channel_attribution",
+    "coreset_kcenter_selection",
+    "bootstrap_mean_ci",
+    "ql_dirichlet_search",
+    "graph_kcore_summary",
 ]
 
 
