@@ -160,7 +160,11 @@ def mannwhitney_table(per: DataFrame, tot: DataFrame) -> DataFrame:
         F.round(
             (u1 - n2 / 2) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
         ).alias("z_u"),
-        F.round(2 * u1 / n2 - 1, 6).alias("r_rank_biserial"),
+        # a single-type slice has n2 = 0: the effect size is undefined
+        # (NULL), and ANSI would otherwise throw on the division
+        F.when(
+            n2 > 0, F.round(2 * u1 / n2 - 1, 6)
+        ).alias("r_rank_biserial"),
     ).orderBy("event_type")
 
 
@@ -206,10 +210,11 @@ _MW_SQL = f"""
                               - CAST(tie_t AS DOUBLE)
                                 / (CAST(n AS DOUBLE) * (n - 1)))), 0),
                      6) AS z_u,
-               ROUND(2 * (CAST(rr2 AS DOUBLE) / 2
-                          - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
-                     / (CAST(n1 AS DOUBLE) * (n - n1)) - 1,
-                     6) AS r_rank_biserial
+               CASE WHEN n - n1 > 0 THEN
+                   ROUND(2 * (CAST(rr2 AS DOUBLE) / 2
+                              - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+                         / (CAST(n1 AS DOUBLE) * (n - n1)) - 1, 6)
+               END AS r_rank_biserial
         FROM per, tot
         ORDER BY event_type
 """
@@ -1060,8 +1065,13 @@ def anova_f_table(sums: DataFrame) -> DataFrame:
     sst = _d(F.col("ss_tot")) - _d(F.col("s_tot")) * _d(F.col("s_tot")) / F.col(
         "n_tot"
     )
-    f_stat = (ssb / (F.col("k") - 1)) / F.nullif(
-        ssw / (F.col("n_tot") - F.col("k")), F.lit(0.0)
+    # k = 1 (single group) or n = k (one row per group) leave F
+    # undefined — NULL, not an ANSI divide-by-zero (the r6
+    # embedding_truncation_eval lesson)
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n_tot") > F.col("k")),
+        (ssb / (F.col("k") - 1))
+        / F.nullif(ssw / (F.col("n_tot") - F.col("k")), F.lit(0.0)),
     )
     return agg.select(
         F.col("n_tot").cast("long").alias("n_total"),
@@ -1086,12 +1096,14 @@ _ANOVA_TAIL_SQL = """
         )
         SELECT CAST(n_tot AS BIGINT) AS n_total,
                CAST(k AS BIGINT) AS n_groups,
-               ROUND(((CAST(t_sum AS DOUBLE)
-                       - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                         / n_tot) / (k - 1))
-                     / NULLIF((CAST(ss_tot AS DOUBLE)
-                               - CAST(t_sum AS DOUBLE)) / (n_tot - k), 0),
-                     6) AS f_stat,
+               CASE WHEN k > 1 AND n_tot > k THEN
+                   ROUND(((CAST(t_sum AS DOUBLE)
+                           - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                             / n_tot) / (k - 1))
+                         / NULLIF((CAST(ss_tot AS DOUBLE)
+                                   - CAST(t_sum AS DOUBLE)) / (n_tot - k),
+                                  0), 6)
+               END AS f_stat,
                ROUND((CAST(t_sum AS DOUBLE)
                       - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
                         / n_tot)

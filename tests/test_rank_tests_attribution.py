@@ -881,3 +881,49 @@ def test_drift_divergences_match_naive(spark, sf_small):
         # bounded divergences
         assert 0 <= row.jsd <= math.log(2) + 1e-9
         assert 0 <= row.hellinger <= 1 + 1e-9
+
+
+def test_single_type_slice_degrades_to_nulls(spark, tmp_path):
+    """A slice with ONE event type (a filtered export, the routine
+    degenerate case at scale) must yield NULL for the undefined
+    statistics — not an ANSI DIVIDE_BY_ZERO (the r6
+    embedding_truncation_eval failure class, re-found in r8 for
+    MW/ANOVA/BF and fixed with engine-mirrored guards)."""
+    import datetime
+
+    sdf = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, 0, 0, i % 60), i % 7,
+             "click", 1.0 + i % 5, "{}")
+            for i in range(40)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sdf.write.parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    (mw,) = all_queries()["value_mannwhitney_by_type"].fn(spark, sf).collect()
+    assert mw.n_type == 40
+    assert mw.z_u is None and mw.r_rank_biserial is None
+
+    (an,) = all_queries()["value_anova_by_type"].fn(spark, sf).collect()
+    assert an.n_groups == 1 and an.f_stat is None
+
+    (bf,) = all_queries()["value_brown_forsythe"].fn(spark, sf).collect()
+    assert bf.n_groups == 1 and bf.f_stat is None
+
+    (kw,) = all_queries()["kruskal_wallis_value"].fn(spark, sf).collect()
+    assert kw.n_groups == 1 and kw.h == 0.0
+
+    # the rest of the family already degrades cleanly
+    for name in (
+        "mannwhitney_fdr_bh",
+        "shapley_channel_attribution",
+        "did_analysis",
+        "conversion_trend_cochran_armitage",
+        "user_capture_recapture",
+        "bootstrap_mean_ci",
+        "value_drift_divergences",
+    ):
+        all_queries()[name].fn(spark, sf).collect()
