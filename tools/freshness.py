@@ -5,8 +5,17 @@ rows) and the LATEST round the external driver checked it, derived
 mechanically from the CORRECTNESS_r*.json files plus the registry's
 current 50-slot `_DRIVER_PRIORITY` window. VERDICT r7 'What's wrong'
 #3: the hand-maintained table went stale the round after it was
-written; this script is the single source of truth, run at round
-close and pinned by tests/test_freshness_ledger.py.
+written; this script is the single source of truth.
+
+Staleness protocol (VERDICT r8 'What's wrong' #1): the driver drops
+CORRECTNESS_r{N}.json AFTER the builder's close commit, so a ledger
+regenerated at round close is stale one file-drop later, every round,
+by construction. The ledger therefore carries an explicit
+``through CORRECTNESS_r{N}`` stamp, and ``--check`` compares against a
+regeneration FROM THAT STAMPED ROUND ONLY — correctness files newer
+than the stamp are *pending*, not staleness. The regeneration schedule
+is the FIRST commit of each round (when the previous round's
+correctness file exists), not round close.
 
 Usage:
     python tools/freshness.py            # rewrite SURVEY.md in place
@@ -28,31 +37,33 @@ _HEADER = """### 2g Verification-freshness ledger (rotation bookkeeping)
 
 One row per registered query: its gate kind and the LATEST round the
 external driver checked it — regenerated mechanically from
-CORRECTNESS_r*.json by `tools/freshness.py` (run it at round close;
-`tests/test_freshness_ledger.py` fails if this table is stale).
-`(r{next} window)` marks the 50 slots the current `_DRIVER_PRIORITY`
-submits for checking; `never` = implemented and locally parity-green
-but awaiting a first driver slot. Policy: changed or never-checked
-queries outrank re-verification of stable hash-green rows; the
-re-sweep queue cycles the remainder oldest-first.
+CORRECTNESS_r*.json through CORRECTNESS_r{through} by
+`tools/freshness.py` (run as the FIRST commit of each round;
+`tests/test_freshness_ledger.py` fails if this table is stale relative
+to its stamped round — driver files newer than the stamp are pending,
+not staleness). `(r{next} window)` marks the 50 slots the current
+`_DRIVER_PRIORITY` submits for checking; `never` = implemented and
+locally parity-green but awaiting a first driver slot. Policy: changed
+or never-checked queries outrank re-verification of stable hash-green
+rows; the re-sweep queue cycles the remainder oldest-first.
 
 | query | gate | latest driver check |
 |---|---|---|
 """
 
+_STAMP_RE = re.compile(r"through CORRECTNESS_r(\d+)")
 
-def _latest_checks() -> tuple[dict[str, str], int]:
+
+def _latest_checks(through: int) -> dict[str, str]:
     """Map query -> 'rN hash-pass' / 'rN rows-ran' / 'rN HASH-FAIL' /
-    'rN ERROR(...)' from the newest round that checked it, plus the
-    upcoming round number (max seen + 1)."""
+    'rN ERROR(...)' from the newest round <= ``through`` that checked
+    it."""
     latest: dict[str, str] = {}
-    max_round = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
+        if not m or int(m.group(1)) > through:
             continue
         rnd = int(m.group(1))
-        max_round = max(max_round, rnd)
         with open(path) as f:
             data = json.load(f)
         for name, res in data.items():
@@ -67,17 +78,31 @@ def _latest_checks() -> tuple[dict[str, str], int]:
             else:
                 state = f"r{rnd} ROWS-FAIL"
             latest[name] = state
-    return latest, max_round + 1
+    return latest
 
 
-def render() -> str:
+def max_available_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+def render(through: int) -> str:
     sys.path.insert(0, REPO)
     from mvrs_dspa_spark.plans.registry import all_queries
 
     specs = all_queries()
     window = list(specs)[:50]
-    latest, next_round = _latest_checks()
-    lines = [_HEADER.replace("{next}", str(next_round))]
+    latest = _latest_checks(through)
+    next_round = through + 1
+    lines = [
+        _HEADER.replace("{through}", f"{through:02d}").replace(
+            "{next}", str(next_round)
+        )
+    ]
     # Row order must be deterministic regardless of which modules a
     # host process imported first (_REGISTRY insertion order follows
     # import order for names outside _DRIVER_PRIORITY): the 50-slot
@@ -93,21 +118,45 @@ def render() -> str:
     return "".join(lines) + "\n"
 
 
+def stamped_round(text: str) -> int:
+    """The ``through CORRECTNESS_r{N}`` stamp of the checked-in ledger."""
+    start = text.index("### 2g ")
+    end = text.index("\n## ", start) + 1
+    m = _STAMP_RE.search(text[start:end])
+    if m is None:
+        raise ValueError(
+            "SURVEY.md §2g carries no 'through CORRECTNESS_rNN' stamp — "
+            "run: python tools/freshness.py"
+        )
+    return int(m.group(1))
+
+
 def apply(check_only: bool) -> int:
     with open(SURVEY) as f:
         text = f.read()
     start = text.index("### 2g ")
     end = text.index("\n## ", start) + 1
-    new_text = text[:start] + render() + text[end:]
-    if new_text == text:
-        print("SURVEY.md §2g ledger is up to date")
-        return 0
     if check_only:
+        try:
+            through = stamped_round(text)
+        except ValueError as exc:
+            print(exc)
+            return 1
+        if text[start:end] == render(through):
+            pending = max_available_round() - through
+            note = f" ({pending} round(s) pending)" if pending > 0 else ""
+            print(f"SURVEY.md §2g ledger is up to date through r{through}{note}")
+            return 0
         print("SURVEY.md §2g ledger is STALE — run: python tools/freshness.py")
         return 1
+    through = max_available_round()
+    new_text = text[:start] + render(through) + text[end:]
+    if new_text == text:
+        print(f"SURVEY.md §2g ledger is up to date through r{through}")
+        return 0
     with open(SURVEY, "w") as f:
         f.write(new_text)
-    print("SURVEY.md §2g ledger regenerated")
+    print(f"SURVEY.md §2g ledger regenerated through r{through}")
     return 0
 
 
