@@ -877,11 +877,33 @@ CONTAINMENT_TAU = 0.8  # |A∩B| / |A| >= tau -> A is (near-)contained in B
     "(dedup_minhash_lsh machinery) with estimated sizes.",
     tags=("dedup", "llm"),
 )
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """`df_cap` (VERDICT r8 #3) is the web-scale knob: codes whose
+    document frequency exceeds the cap are dropped BEFORE the
+    inverted-index self-join, bounding per-key join output at df_cap^2
+    (a crawl's license-header shingle has corpus-proportional df, and
+    no partition split can divide OUTPUT-side df^2 work inside one
+    key — the r8 AQE probe's measured mechanism). Set sizes `n` stay
+    UNCAPPED, so surviving pairs report exact containment; pairs whose
+    overlap lives ONLY in above-cap boilerplate codes are the recall
+    traded away — precisely the pairs containment dedup should not act
+    on. df_cap=None (the registered query) is plan-identical to the
+    uncapped join, and capped == uncapped on any corpus whose max df
+    is below the cap (tests/test_df_cap.py)."""
     sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
     items = sh.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("code")
     )
+    if df_cap is not None:
+        keep = (
+            items.groupBy("code")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("code")
+        )
+        items = items.join(keep, "code", "left_semi")
     a, b = items.alias("a"), items.alias("b")
     inter = (
         a.join(
@@ -1110,7 +1132,19 @@ _CONT_SIZES_SQL = f"""
     "identical to the LSH family: band-bucket-bounded.",
     tags=("dedup", "llm"),
 )
-def minhash_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_containment_join(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """`df_cap` (VERDICT r8 #3) caps the posting-list length of the
+    join key — here the (band, bucket-hash) bucket: buckets holding
+    more than df_cap signatures are skipped, bounding per-bucket pair
+    output at df_cap^2 (the standard LSH hot-bucket skip; a
+    boilerplate cluster lands its members in the same bucket in EVERY
+    band, so the cluster's pair volume is bands * cluster^2 without
+    the cap). Signatures and sizes are untouched, so surviving pairs
+    score identically; df_cap=None (the registered query) is
+    plan-identical to the uncapped join, and capped == uncapped when
+    no bucket exceeds the cap (tests/test_df_cap.py)."""
     sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
     sigs = sh.select(
         "doc_id",
@@ -1118,6 +1152,14 @@ def minhash_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         MH.signature_array_col(F.col("sh"), _PARAMS).alias("sg"),
     )
     buckets = MH.bucket_rows_from_sig_df(sigs, "sg", N_HASHES, BANDS)
+    if df_cap is not None:
+        keep = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(keep, ["band", "bh"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     m = MH.sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
     pairs = (

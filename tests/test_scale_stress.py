@@ -283,11 +283,13 @@ def test_10x_containment_skew_bounded(spark, tmp_path):
     input-balanced (every doc spreads over ~39 code partitions; a hot
     code's rows never exceed the partition median). The explosion is
     OUTPUT-side, inside single join keys, which no partition split can
-    divide. At web scale the mitigation is semantic: document-
-    frequency-capped codes / the LSH band path (see dedup_containment
-    doc); this probe pins that a bounded boilerplate cluster stays
-    bounded. test_aqe_skew_split_engages pins the engine mechanism on
-    the shape it DOES rescue."""
+    divide. At web scale the mitigation is semantic: the df_cap option
+    shipped in r9 (drop above-cap codes/buckets before the self-join;
+    ratio pin in test_10x_containment_proportional_hot_df_cap, output
+    pins in tests/test_df_cap.py); this probe pins that a bounded
+    boilerplate cluster stays bounded even UNCAPPED.
+    test_aqe_skew_split_engages pins the engine mechanism on the
+    shape it DOES rescue."""
     small, big = str(tmp_path / "skew1x"), str(tmp_path / "skew10x")
     _write_documents_skewed(spark, DOC_SMALL, small)
     _write_documents_skewed(spark, DOC_SMALL * SCALE, big)
@@ -310,6 +312,86 @@ def test_10x_containment_skew_bounded(spark, tmp_path):
     )
     assert hot >= 0  # pairs pass only above tau; presence not required
     assert _total_spill(spark) - spill0 == 0, "skew run spilled"
+
+
+_HOT_SHARE = 10  # 1-in-10 docs IS the boilerplate page (exact copy)
+_PROP_SMALL = 2_000
+_HOT_PAGE = " ".join(f"licenseword{i:03d}" for i in range(_DOC_WORDS))
+
+
+def _write_documents_prop_hot(spark, n: int, out_dir: str) -> None:
+    """The CRAWL regime (VERDICT r8 #3): every 10th document is an
+    exact copy of ONE boilerplate page (license text, cookie banner),
+    so the page's ~38 shingle codes carry corpus-PROPORTIONAL
+    document frequency and the uncapped inverted-index join's
+    hot-pair volume grows with corpus^2 — 100x under a 10x corpus.
+    (Contrast _write_documents_skewed, where the cluster is
+    fixed-size and the uncapped join stays bounded.) Exact copies
+    also collide in every MinHash band, exercising the LSH bucket
+    cap the same way."""
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = F.array(*[F.lit(f"w{i:04d}") for i in range(_VOCAB_SIZE)])
+    word = lambda i: F.element_at(  # noqa: E731
+        vocab,
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(_VOCAB_SIZE)) + 1)
+        .cast("int"),
+    )
+    text = F.when(
+        F.col("id") % _HOT_SHARE == 0, F.lit(_HOT_PAGE)
+    ).otherwise(F.concat_ws(" ", *[word(i) for i in range(_DOC_WORDS)]))
+    (
+        spark.range(0, n, 1, 16)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+
+@pytest.mark.slow
+def test_10x_containment_proportional_hot_df_cap(spark, tmp_path):
+    """VERDICT r8 #3's ratio pin, in the regime where it is the right
+    claim: with corpus-PROPORTIONAL boilerplate (every 10th doc an
+    exact copy of one page), the uncapped containment join's hot-pair
+    work grows 100x under a 10x corpus while df_cap drops the hot
+    codes/buckets before the self-join on BOTH scales — so the capped
+    path's 10x ratio must stay linear AND strictly below the uncapped
+    ratio. (On the fixed-size-cluster corpus the comparison inverts by
+    construction: the cluster is a constant cost that pads the
+    uncapped 1x denominator; that regime's pin is the bounded-ratio
+    probe above.)"""
+    small = str(tmp_path / "prop1x")
+    big = str(tmp_path / "prop10x")
+    _write_documents_prop_hot(spark, _PROP_SMALL, small)
+    _write_documents_prop_hot(spark, _PROP_SMALL * SCALE, big)
+    spill0 = _total_spill(spark)
+    q = all_queries()
+    cap = _PROP_SMALL // _HOT_SHARE // 2  # below hot df at BOTH scales
+    for name in ("dedup_containment", "minhash_containment_join"):
+        fn = q[name].fn
+        t1 = _timed(fn, small, spark)
+        t10 = _timed(fn, big, spark)
+
+        def capped(s, d, _fn=fn):
+            return _fn(s, d, df_cap=cap)
+
+        c1 = _timed(capped, small, spark)
+        c10 = _timed(capped, big, spark)
+        print(f"SCALE-PROP-HOT {name}: uncapped {t1:.2f}s->{t10:.2f}s "
+              f"ratio={t10 / t1:.1f}; df_cap={cap} {c1:.2f}s->{c10:.2f}s "
+              f"ratio={c10 / c1:.1f}")
+        assert c10 / c1 < MAX_RATIO, (name, c1, c10)
+        assert c10 / c1 < (t10 / t1) * 0.9, (
+            f"{name}: capped ratio {c10 / c1:.1f} not clearly below "
+            f"uncapped {t10 / t1:.1f} under corpus-proportional "
+            "boilerplate"
+        )
+    assert _total_spill(spark) - spill0 == 0, "proportional-hot run spilled"
 
 
 def test_aqe_skew_split_engages(spark):
