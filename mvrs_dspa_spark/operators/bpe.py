@@ -109,18 +109,84 @@ def bpe_train_merges(
     return merges
 
 
+_SEP = "\x1f"  # unit separator: non-whitespace, so it can never
+# appear inside a whitespace-split token
+
+
+def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
+    """The full merge loop unrolled as {rounds} MATERIALIZED CTE
+    stages (VERDICT r8 #4a; the kcore idiom — every stage pinned so
+    DuckDB never re-inlines the chain). Words are carried as
+    delimiter-wrapped symbol strings ('<SEP>sym<SEP>' concatenated),
+    because the greedy left-to-right non-overlapping merge fold is
+    then EXACTLY one plain-string replace():
+    replace(s, '<SEP>L<SEP><SEP>R<SEP>', '<SEP>LR<SEP>') consumes
+    matches left to right and cannot rematch inside a replacement —
+    the same semantics as the Spark side's F.aggregate fold (and the
+    pure-python reference in tests/test_bpe.py). Pair stats and
+    argmax tie-breaks ((count DESC, left, right)) are exact integer /
+    string comparisons on both engines, so the driver hash is exact."""
+    sep, s2 = _SEP, _SEP + _SEP
+    ctes = [
+        f"toks AS (SELECT unnest({T.tokens_sql('text')}) AS w"
+        " FROM documents)",
+        f"""v0 AS MATERIALIZED (
+            SELECT regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g') AS sym,
+                   COUNT(*) AS freq
+            FROM toks GROUP BY w
+        )""",
+    ]
+    tops = []
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+            SELECT pr[1] AS lft, pr[2] AS rgt, SUM(freq) AS wc
+            FROM (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(l) - 1),
+                           i -> [l[i], l[i + 1]])) AS pr,
+                       freq
+                FROM (SELECT string_split(trim(sym, '{sep}'), '{s2}')
+                          AS l, freq FROM {prev})
+            ) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+            SELECT lft, rgt, wc FROM p{r}
+            ORDER BY wc DESC, lft, rgt LIMIT 1
+        )""")
+        ctes.append(f"""v{r} AS MATERIALIZED (
+            SELECT replace(sym, '{sep}' || lft || '{s2}' || rgt || '{sep}',
+                           '{sep}' || lft || rgt || '{sep}') AS sym, freq
+            FROM {prev}, t{r}
+        )""")
+        tops.append(
+            f'SELECT {r - 1} AS merge_round, lft AS "left", '
+            f'rgt AS "right", lft || rgt AS merged, '
+            f"CAST(wc AS BIGINT) AS weighted_count FROM t{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL ".join(tops)
+        + "\n) ORDER BY merge_round"
+    )
+
+
 @register(
     "bpe_train",
-    oracle=None,  # iterative argmax loop; gated by the exact python-
-    # reference equivalence in tests/test_bpe.py instead
+    oracle=_bpe_train_sql(),
     doc=f"Full BPE tokenizer training ({BPE_ROUNDS} merge rounds, "
     "Sennrich 2016): one corpus pass builds the word-frequency table, "
     "then every round is a vocabulary-bounded pair aggregation + a "
     "column-expression merge fold — R small jobs, no corpus rescan, "
-    "the HuggingFace pre-count training shape at 100 TB. Merge "
-    "sequence exactly equals a pure-python reference BPE "
-    "(tests/test_bpe.py); merge counts are provably non-increasing.",
-    tags=("llm", "text", "rows_gate"),
+    "the HuggingFace pre-count training shape at 100 TB. Oracle-gated "
+    "since r9 (VERDICT r8 #4a): the loop unrolls to 16 MATERIALIZED "
+    "SQL stages where the greedy merge fold is a delimiter-exact "
+    "string replace (see _bpe_train_sql). Merge sequence also exactly "
+    "equals a pure-python reference BPE (tests/test_bpe.py); merge "
+    "counts are provably non-increasing.",
+    tags=("llm", "text"),
 )
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(

@@ -1353,128 +1353,313 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Markov removal-effect attribution ----------------------------------------
+#
+# r9 (VERDICT r8 #4b): rows-gate -> oracle hash gate, and the driver-
+# side Gauss solve -> a fully declarative plan. The chain's transition
+# probabilities are quantized to an exact integer grid (p_ij =
+# floor(G * c_ij / tot_i), G = 1e6), the absorption system
+# (I - Q) x = b is scaled by G into an INTEGER matrix M = G*I - P,
+# and x_start is solved by CRAMER'S RULE: two determinants per
+# scenario, expanded as the explicit permutation sum (120 terms for
+# the 5x5 base chain, 24 for each 4x4 removal minor — removing a
+# channel deletes its row+column since its redirected row is the
+# identity). Every determinant term is a product of <=7-digit
+# integers carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+# exact 128-bit arithmetic, identical on both engines — and the one
+# float division per scenario happens on identical integers, so the
+# driver hash is exact by construction. The SAME generated expression
+# strings drive Spark's selectExpr and the DuckDB oracle. Channel
+# domain is schema-pinned like user_event_type_pivot's value list.
+# Corpus-sized work is unchanged: ONE ordered-LEAD pass + one global
+# conditional aggregation to a single 35-cell row; everything after
+# is single-row projection arithmetic (no collect, no driver solve).
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_STATES = ("start",) + _MK_CHANNELS  # transient states, index 0..4
+_MK_G = 1_000_000  # probability grid: p in [0, G] exact integers
+
+
+def _mk_cells_exprs() -> list[str]:
+    """One conditional-aggregation row over trans(src, dst): per
+    transient state i its outgoing total t_i, per (i, j) the count
+    into transient j, and cb_i the count into 'conversion'."""
+    out = []
+    for i, s in enumerate(_MK_STATES):
+        out.append(
+            f"CAST(SUM(CASE WHEN src = '{s}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS t_{i}"
+        )
+        for j, d in enumerate(_MK_STATES):
+            out.append(
+                f"CAST(SUM(CASE WHEN src = '{s}' AND dst = '{d}' "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS c_{i}_{j}"
+            )
+        out.append(
+            f"CAST(SUM(CASE WHEN src = '{s}' AND dst = 'conversion' "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS cb_{i}"
+        )
+    return out
+
+
+def _mk_p_exprs() -> list[str]:
+    """Exact grid quantization: round-half-up of G*c/tot computed as
+    floor((2*G*c + tot) / (2*tot)) via integer remainder (the double
+    division is exact: the numerator is divisible and < 2^53; half-up
+    rather than floor so a closed-form chain like p = 2/3 lands on
+    0.666667, the 6-dp round of the true value). A state never
+    observed as src (tot 0) keeps an all-zero row -> M row =
+    G*identity, b = 0: it absorbs, contributing 0."""
+
+    def p(c: str, t: str) -> str:
+        num = f"(2 * {_MK_G} * {c} + {t})"
+        den = f"(2 * {t})"
+        return (
+            f"CASE WHEN {t} = 0 THEN 0 "
+            f"ELSE CAST(({num} - {num} % {den}) / {den} AS BIGINT) END"
+        )
+
+    out = []
+    for i in range(len(_MK_STATES)):
+        for j in range(len(_MK_STATES)):
+            out.append(f"{p(f'c_{i}_{j}', f't_{i}')} AS p_{i}_{j}")
+        out.append(f"{p(f'cb_{i}', f't_{i}')} AS pb_{i}")
+    return out
+
+
+def _mk_det(cells: list[list[str]], cast) -> str:
+    """Permutation-expansion determinant over expression strings.
+
+    The 120-term sum is combined as a BALANCED binary tree (depth ~7),
+    not a left chain: DuckDB's binder recurses per nesting level and
+    caps at depth 128. Addition order is immaterial — every term is
+    exact integer arithmetic."""
+    from itertools import permutations
+
+    n = len(cells)
+    terms = []
+    for perm in permutations(range(n)):
+        inv = sum(
+            1
+            for x in range(n)
+            for y in range(x + 1, n)
+            if perm[x] > perm[y]
+        )
+        prod = " * ".join(cast(cells[i][perm[i]]) for i in range(n))
+        terms.append(f"(- ({prod}))" if inv % 2 else f"({prod})")
+
+    def tree(ts: list[str]) -> str:
+        if len(ts) == 1:
+            return ts[0]
+        mid = len(ts) // 2
+        return f"({tree(ts[:mid])} + {tree(ts[mid:])})"
+
+    return tree(terms)
+
+
+def _mk_m(i: int, j: int) -> str:
+    return f"({_MK_G} - p_{i}_{j})" if i == j else f"(0 - p_{i}_{j})"
+
+
+def _mk_minor_exprs(cast) -> list[str]:
+    """Cofactor stage: every determinant this query needs is expanded
+    ALONG COLUMN 0, and the numerator det (column 0 replaced by b)
+    shares the denominator's minors — so each scenario computes its
+    column-0 minors ONCE as columns here (24-term 4x4 dets for the
+    full chain, 6-term 3x3 dets per removal), and the dets stage is
+    short signed dot products. 2x120 + 8x24 leaf products become
+    5x24 + 16x6 — small enough for whole-stage codegen to compile."""
+    n = len(_MK_STATES)
+    out = []
+    # full chain: minors of (row i, col 0)
+    for i in range(n):
+        rows = [r for r in range(n) if r != i]
+        sub = [[_mk_m(r, c) for c in range(1, n)] for r in rows]
+        out.append(f"{_mk_det(sub, cast)} AS mn_full_{i}")
+    # removal of channel k: minors of M_k (rows/cols without k)
+    for k in range(1, n):
+        idx = [r for r in range(n) if r != k]
+        for i in idx:
+            rows = [r for r in idx if r != i]
+            sub = [[_mk_m(r, c) for c in idx[1:]] for r in rows]
+            out.append(f"{_mk_det(sub, cast)} AS mn_{k}_{i}")
+    return out
+
+
+def _mk_det_exprs(cast) -> list[str]:
+    n = len(_MK_STATES)
+
+    def dot(col0: list[str], minors: list[str]) -> str:
+        terms = []
+        for pos, (c, mn) in enumerate(zip(col0, minors)):
+            t = f"({cast(c)} * {mn})"
+            terms.append(f"(- {t})" if pos % 2 else t)
+        return "(" + " + ".join(terms) + ")"
+
+    m0 = [_mk_m(i, 0) for i in range(n)]
+    b = [f"pb_{i}" for i in range(n)]
+    full_mn = [f"mn_full_{i}" for i in range(n)]
+    out = [
+        f"CAST({dot(m0, full_mn)} AS DOUBLE) AS d_full",
+        f"CAST({dot(b, full_mn)} AS DOUBLE) AS n_full",
+    ]
+    for k in range(1, n):  # remove channel k: delete row+col k
+        idx = [i for i in range(n) if i != k]
+        mk0 = [_mk_m(i, 0) for i in idx]
+        bk = [b[i] for i in idx]
+        mns = [f"mn_{k}_{i}" for i in idx]
+        out.append(f"CAST({dot(mk0, mns)} AS DOUBLE) AS d_{k}")
+        out.append(f"CAST({dot(bk, mns)} AS DOUBLE) AS n_{k}")
+    return out
+
+
+def _mk_x_exprs() -> list[str]:
+    out = [
+        "CASE WHEN d_full <> 0 THEN n_full / d_full ELSE 0.0 END AS base"
+    ]
+    for k in range(1, len(_MK_STATES)):
+        out.append(
+            f"CASE WHEN d_{k} <> 0 THEN n_{k} / d_{k} ELSE 0.0 END"
+            f" AS x_{k}"
+        )
+    return out
+
+
+def _mk_e_exprs() -> list[str]:
+    out = ["base"]
+    for k in range(1, len(_MK_STATES)):
+        out.append(
+            f"CASE WHEN base > 0 THEN GREATEST(0.0, 1 - x_{k} / base) "
+            f"ELSE 0.0 END AS e_{k}"
+        )
+    return out
+
+
+_MK_TOT_E = "(" + " + ".join(
+    f"e_{k}" for k in range(1, len(_MK_STATES))
+) + ")"
+
+
+def _mk_out_selects() -> list[list[str]]:
+    outs = []
+    for k, ch in enumerate(_MK_CHANNELS, start=1):
+        outs.append(
+            [
+                f"'{ch}' AS channel",
+                "ROUND(base, 6) AS base_conversion",
+                f"ROUND(e_{k}, 6) AS removal_effect",
+                f"CASE WHEN tot_e > 0 THEN ROUND(e_{k} / tot_e, 6) END"
+                " AS attribution_share",
+            ]
+        )
+    return outs
+
+
+_MK_TRANS_SQL = """
+    steps AS (
+        SELECT user_id, event_id, event_type,
+               LEAD(event_type) OVER w AS next_raw,
+               ROW_NUMBER() OVER w AS pos
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)
+    ),
+    trans AS (
+        SELECT 'start' AS src,
+               CASE WHEN event_type = 'purchase' THEN 'conversion'
+                    ELSE event_type END AS dst
+        FROM steps WHERE pos = 1
+        UNION ALL
+        SELECT event_type AS src,
+               CASE WHEN next_raw IS NULL THEN 'null'
+                    WHEN next_raw = 'purchase' THEN 'conversion'
+                    ELSE next_raw END AS dst
+        FROM steps WHERE event_type <> 'purchase'
+    )
+"""
+
+
+def _mk_oracle_sql() -> str:
+    duck_cast = lambda c: f"CAST({c} AS HUGEINT)"  # noqa: E731
+    return (
+        "WITH "
+        + _MK_TRANS_SQL
+        + f""",
+        cells AS MATERIALIZED (SELECT {", ".join(_mk_cells_exprs())} FROM trans),
+        pcells AS MATERIALIZED (SELECT {", ".join(_mk_p_exprs())} FROM cells),
+        minors AS MATERIALIZED (SELECT *, {", ".join(_mk_minor_exprs(duck_cast))} FROM pcells),
+        dets AS MATERIALIZED (SELECT {", ".join(_mk_det_exprs(duck_cast))} FROM minors),
+        xs AS (SELECT {", ".join(_mk_x_exprs())} FROM dets),
+        fin AS (SELECT {", ".join(_mk_e_exprs())} FROM xs),
+        tot AS (SELECT *, {_MK_TOT_E} AS tot_e FROM fin)
+        """
+        + "\nUNION ALL ".join(
+            f"SELECT {', '.join(sel)} FROM tot" for sel in _mk_out_selects()
+        )
+        + "\nORDER BY channel"
+    )
 
 
 @register(
     "markov_attribution",
-    oracle=None,  # absorption probabilities need a linear solve
+    oracle=_mk_oracle_sql(),
     doc="Markov removal-effect channel attribution (Anderl et al. "
     "2014, the data-driven alternative to last-touch): user journeys "
     "become a first-order Markov chain over channels (non-purchase "
     "event types) with absorbing states CONVERSION (next event is a "
     "purchase) and NULL (journey ends unconverted); a channel's "
     "removal effect is the relative drop in start->conversion "
-    "absorption probability when its transitions are redirected to "
-    "NULL, and attribution shares normalize the removal effects. "
-    "Corpus-sized work is ONE ordered-LAG transition aggregation (the "
-    "10ad shape); the chain itself is a (channels+2)^2 cell grid, so "
-    "the absorption solve — a (I-Q)x = b linear system per removal — "
-    "runs on the driver over a <=6x6 matrix (the k-means "
-    "bounded-fit discipline, never per-row work). Gauss elimination "
-    "with partial pivoting on exact transition fractions; "
-    "deterministic. Closed-form chains pytest-pinned (a channel on "
-    "every converting path has removal effect 1, an unused channel "
-    "0).",
-    tags=("analytics", "temporal", "rows_gate"),
+    "absorption probability when its row is removed (redirected to "
+    "NULL), and attribution shares normalize the removal effects. "
+    "Corpus-sized work is ONE ordered-LEAD transition aggregation to "
+    "a single 35-cell row; the absorption solve is Cramer's rule on "
+    "the G-scaled INTEGER chain matrix, unrolled as exact "
+    "decimal/HUGEINT permutation sums identical on both engines "
+    "(oracle hash gate since r9 — VERDICT r8 #4b; previously a "
+    "driver-side float Gauss solve under a rows gate). Closed-form "
+    "chains pytest-pinned (a channel on every converting path has "
+    "removal effect 1, an unused channel 0).",
+    tags=("analytics", "temporal"),
 )
 def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     steps = ev.select(
         "user_id",
-        F.col("event_type").alias("state"),
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    ).select(
+        "event_type",
         F.lead("event_type").over(w).alias("next_raw"),
         F.row_number().over(w).alias("pos"),
     )
-    # transitions: start -> first state; state -> next (purchase
-    # absorbs as 'conversion', journey end absorbs as 'null');
-    # purchase itself is the absorbing event, not a channel state
-    firsts = steps.where(F.col("pos") == 1).select(
-        F.lit("start").alias("src"), F.col("state").alias("dst")
+    firsts = steps.where(F.col("pos") == 1).selectExpr(
+        "'start' AS src",
+        "CASE WHEN event_type = 'purchase' THEN 'conversion' "
+        "ELSE event_type END AS dst",
     )
-    chans = steps.where(F.col("state") != "purchase").select(
-        F.col("state").alias("src"),
-        F.when(F.col("next_raw").isNull(), F.lit("null"))
-        .when(F.col("next_raw") == "purchase", F.lit("conversion"))
-        .otherwise(F.col("next_raw"))
-        .alias("dst"),
+    chans = steps.where(F.col("event_type") != "purchase").selectExpr(
+        "event_type AS src",
+        "CASE WHEN next_raw IS NULL THEN 'null' "
+        "WHEN next_raw = 'purchase' THEN 'conversion' "
+        "ELSE next_raw END AS dst",
     )
-    trans = (
+    spark_cast = lambda c: f"CAST({c} AS DECIMAL(7,0))"  # noqa: E731
+    tot = (
         firsts.unionByName(chans)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .selectExpr(*_mk_cells_exprs())
+        .selectExpr(*_mk_p_exprs())
+        .selectExpr("*", *_mk_minor_exprs(spark_cast))
+        .selectExpr(*_mk_det_exprs(spark_cast))
+        .selectExpr(*_mk_x_exprs())
+        .selectExpr(*_mk_e_exprs())
+        .selectExpr("*", f"{_MK_TOT_E} AS tot_e")
     )
-
-    counts: dict = {}
-    for r in trans:
-        counts.setdefault(r.src, {})[r.dst] = r.n
-    channels = sorted(s for s in counts if s != "start")
-    states = ["start"] + channels  # transient states
-
-    def conv_prob(removed: str | None) -> float:
-        # P(absorb in conversion | start), with `removed`'s outgoing
-        # transitions redirected to null (rows of removed -> identity
-        # to null; transitions INTO removed still occur and then die)
-        n = len(states)
-        q = [[0.0] * n for _ in range(n)]
-        b = [0.0] * n
-        for i, s in enumerate(states):
-            row = counts.get(s, {})
-            tot = sum(row.values())
-            if s == removed or tot == 0:
-                continue
-            for dst, c in row.items():
-                p = c / tot
-                if dst == "conversion":
-                    b[i] += p
-                elif dst in ("null",):
-                    pass
-                elif dst in states:
-                    q[i][states.index(dst)] += p
-        # solve (I - Q) x = b by Gauss elimination w/ partial pivot
-        a = [
-            [(1.0 if i == j else 0.0) - q[i][j] for j in range(n)]
-            + [b[i]]
-            for i in range(n)
-        ]
-        for col in range(n):
-            piv = max(range(col, n), key=lambda r_: abs(a[r_][col]))
-            a[col], a[piv] = a[piv], a[col]
-            if abs(a[col][col]) < 1e-15:
-                continue
-            for r_ in range(n):
-                if r_ != col and a[r_][col] != 0.0:
-                    f = a[r_][col] / a[col][col]
-                    for c_ in range(col, n + 1):
-                        a[r_][c_] -= f * a[col][c_]
-        x = [
-            a[i][n] / a[i][i] if abs(a[i][i]) > 1e-15 else 0.0
-            for i in range(n)
-        ]
-        return x[0]
-
-    base = conv_prob(None)
-    rows = []
-    for ch in channels:
-        without = conv_prob(ch)
-        effect = 0.0 if base == 0 else max(0.0, 1.0 - without / base)
-        rows.append((ch, effect))
-    total = sum(e for _, e in rows)
-    out = [
-        (
-            ch,
-            round(base, 6),
-            round(e, 6),
-            round(e / total, 6) if total > 0 else None,
-        )
-        for ch, e in rows
-    ]
-    return spark.createDataFrame(
-        out,
-        "channel string, base_conversion double, removal_effect double, "
-        "attribution_share double",
-    ).orderBy("channel")
+    out = None
+    for sel in _mk_out_selects():
+        row = tot.selectExpr(*sel)
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("channel")
 
 
 

@@ -49,6 +49,10 @@ _NONEMPTY_ON_EMPTY = {
     "user_capture_recapture": 1,  # scalar aggregate: one all-NULL/zero row
     "embedding_intrinsic_dim": 1,  # scalar aggregate: one all-NULL/zero row
     "conversion_trend_cochran_armitage": 1,  # scalar: one all-NULL/zero row
+    # r9 oracle conversion: channel domain is schema-pinned, so the
+    # report is always one all-zero row per channel (effects 0, NULL
+    # shares) even on empty input
+    "markov_attribution": 4,
 }
 
 

@@ -57,7 +57,10 @@ def test_markov_attribution_closed_form(spark, tmp_path):
     """Hand-checkable chain: two users convert via signup->click->
     purchase, one user views and leaves. Removing signup OR click
     kills every converting path (removal effect 1, equal shares);
-    view is on no converting path (effect 0). Base conversion 2/3."""
+    view is on no converting path (effect 0), and the pinned-domain
+    channel 'error' never occurs (tot 0 -> absorbing identity row,
+    effect 0). Base conversion 2/3, which the half-up G-grid
+    quantization must land on 0.666667 exactly."""
     import datetime as dt
 
     from mvrs_dspa_spark.plans.analytics2 import markov_attribution
@@ -79,14 +82,16 @@ def test_markov_attribution_closed_form(spark, tmp_path):
         f"{tmp_path}/events.parquet"
     )
     out = {r.channel: r for r in markov_attribution(spark, str(tmp_path)).collect()}
-    assert set(out) == {"signup", "click", "view"}
+    assert set(out) == {"click", "error", "signup", "view"}
     assert out["signup"].base_conversion == round(2 / 3, 6)
     assert out["signup"].removal_effect == 1.0
     assert out["click"].removal_effect == 1.0
     assert out["view"].removal_effect == 0.0
+    assert out["error"].removal_effect == 0.0
     assert out["signup"].attribution_share == 0.5
     assert out["click"].attribution_share == 0.5
     assert out["view"].attribution_share == 0.0
+    assert out["error"].attribution_share == 0.0
 
 
 def test_markov_attribution_shares_normalize(spark, sf_small):
