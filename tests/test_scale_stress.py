@@ -394,6 +394,58 @@ def test_10x_containment_proportional_hot_df_cap(spark, tmp_path):
     assert _total_spill(spark) - spill0 == 0, "proportional-hot run spilled"
 
 
+@pytest.mark.slow
+def test_10x_als_fit_scale_bounded(spark):
+    """VERDICT r8 #6: the one slow-slot query with no 10x probe. Time
+    the DISTRIBUTED ALS fit (als_fit_distributed, the path a real
+    cluster runs) on 150k vs 1.5M synthetic interactions over a fixed
+    2000-item vocabulary. The fit is 2*iters sequential half-steps
+    whose only global state is the 36-column Gramian; per-key work is
+    bucketed Arrow solves over an equi-join. Expectation, and what
+    the measured split shows: at small volume the 6-solve SEQUENTIAL
+    FLOOR (scheduling + one blocking job per half-step) dominates, so
+    10x data must come in well under 10x wall — the Arrow solves only
+    start to matter once a bucket approaches its 50k-row sizing
+    bound. Zero spill at both scales."""
+    from mvrs_dspa_spark.operators.mlmodels import als_fit_distributed
+
+    def inter_df(n_users: int):
+        # ~10 interactions/user, 2000-item vocabulary, small counts
+        return (
+            spark.range(0, n_users * 10, 1, 16)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(n_users)).alias("custkey"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2000)).alias(
+                    "partkey"
+                ),
+                (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1)
+                .cast("long")
+                .alias("cnt"),
+            )
+            .groupBy("custkey", "partkey")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def fit_wall(n_users: int) -> float:
+        t0 = time.perf_counter()
+        users, items = als_fit_distributed(
+            inter_df(n_users), "custkey", "partkey"
+        )
+        wall = time.perf_counter() - t0
+        users.unpersist()
+        items.unpersist()
+        return wall
+
+    spill0 = _total_spill(spark)
+    fit_wall(2_000)  # untimed: Arrow/pandas-UDF + codegen warm-up
+    t1 = fit_wall(15_000)
+    t10 = fit_wall(150_000)
+    print(f"SCALE als_fit: 1x={t1:.2f}s 10x={t10:.2f}s "
+          f"ratio={t10 / t1:.1f}")
+    assert t10 / t1 < MAX_RATIO, (t1, t10)
+    assert _total_spill(spark) - spill0 == 0, "ALS fit spilled"
+
+
 def test_aqe_skew_split_engages(spark):
     """Pin the engine mechanism the salted/AQE scale posture relies
     on: for an INPUT-skewed sort-merge join (one hot key dominating a
