@@ -36,6 +36,11 @@ QUERIES = [
     "bootstrap_mean_ci",
     "ql_dirichlet_search",
     "graph_kcore_summary",
+    # round 9: the two rows->oracle conversions — the Cramer solve's
+    # single-row conditional aggregation and the BPE argmax loop must
+    # be partition-count-blind (integer/decimal arithmetic only)
+    "markov_attribution",
+    "bpe_train",
 ]
 
 
