@@ -113,8 +113,10 @@ _SEP = "\x1f"  # unit separator: non-whitespace, so it can never
 # appear inside a whitespace-split token
 
 
-def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
-    """The full merge loop unrolled as {rounds} MATERIALIZED CTE
+def _bpe_chain_ctes(
+    rounds: int, vocab_sql: str, carry: str = ""
+) -> tuple[list[str], list[str]]:
+    """The full merge loop unrolled as `rounds` MATERIALIZED CTE
     stages (VERDICT r8 #4a; the kcore idiom — every stage pinned so
     DuckDB never re-inlines the chain). Words are carried as
     delimiter-wrapped symbol strings ('<SEP>sym<SEP>' concatenated),
@@ -125,15 +127,19 @@ def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
     the same semantics as the Spark side's F.aggregate fold (and the
     pure-python reference in tests/test_bpe.py). Pair stats and
     argmax tie-breaks ((count DESC, left, right)) are exact integer /
-    string comparisons on both engines, so the driver hash is exact."""
+    string comparisons on both engines, so the driver hash is exact.
+
+    `vocab_sql` must select (w, freq); `carry` names extra v0 columns
+    (e.g. 'w, ') to thread through every stage. An exhausted round
+    (no pairs left -> empty argmax) LEFT-JOINs through unchanged,
+    matching the Spark loop's break. Returns (ctes, top_selects)."""
     sep, s2 = _SEP, _SEP + _SEP
     ctes = [
-        f"toks AS (SELECT unnest({T.tokens_sql('text')}) AS w"
-        " FROM documents)",
         f"""v0 AS MATERIALIZED (
-            SELECT regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g') AS sym,
-                   COUNT(*) AS freq
-            FROM toks GROUP BY w
+            SELECT {carry}
+                   regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g') AS sym,
+                   freq
+            FROM ({vocab_sql})
         )""",
     ]
     tops = []
@@ -155,15 +161,29 @@ def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
             ORDER BY wc DESC, lft, rgt LIMIT 1
         )""")
         ctes.append(f"""v{r} AS MATERIALIZED (
-            SELECT replace(sym, '{sep}' || lft || '{s2}' || rgt || '{sep}',
-                           '{sep}' || lft || rgt || '{sep}') AS sym, freq
-            FROM {prev}, t{r}
+            SELECT {carry}
+                   COALESCE(replace(sym,
+                       '{sep}' || lft || '{s2}' || rgt || '{sep}',
+                       '{sep}' || lft || rgt || '{sep}'), sym) AS sym,
+                   freq
+            FROM {prev} LEFT JOIN t{r} ON TRUE
         )""")
         tops.append(
             f'SELECT {r - 1} AS merge_round, lft AS "left", '
             f'rgt AS "right", lft || rgt AS merged, '
             f"CAST(wc AS BIGINT) AS weighted_count FROM t{r}"
         )
+    return ctes, tops
+
+
+_BPE_VOCAB_SQL = (
+    f"SELECT w, COUNT(*) AS freq FROM (SELECT "
+    f"unnest({T.tokens_sql('text')}) AS w FROM documents) GROUP BY w"
+)
+
+
+def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
+    ctes, tops = _bpe_chain_ctes(rounds, _BPE_VOCAB_SQL)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -232,9 +252,50 @@ def bpe_encode_vocab(
     )
 
 
+_FERT_VOCAB_SQL = "SELECT w, SUM(n) AS freq FROM lang_w GROUP BY w"
+
+
+def _tokenizer_fertility_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Train + encode + per-language rollup, all in SQL (r9): the
+    shared _bpe_chain_ctes merge chain carries `w` through every
+    stage, so the final stage's symbol string IS the encoded word —
+    n_pieces is one split-length away, and fertility is integer sums
+    with single final divisions."""
+    sep, s2 = _SEP, _SEP + _SEP
+    ctes, _tops = _bpe_chain_ctes(rounds, _FERT_VOCAB_SQL, carry="w, ")
+    pre = [
+        f"toksl AS (SELECT lang, unnest({T.tokens_sql('text')}) AS w"
+        " FROM documents)",
+        "lang_w AS MATERIALIZED (SELECT lang, w, COUNT(*) AS n"
+        " FROM toksl GROUP BY 1, 2)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(pre + ctes)
+        + f""",
+        enc AS MATERIALIZED (
+            SELECT w,
+                   CAST(len(string_split(trim(sym, '{sep}'), '{s2}'))
+                        AS BIGINT) AS n_pieces
+            FROM v{rounds}
+        )
+        SELECT lang,
+               CAST(SUM(n) AS BIGINT) AS n_words,
+               CAST(SUM(n * n_pieces) AS BIGINT) AS n_tokens,
+               ROUND(SUM(n * n_pieces) / CAST(SUM(n) AS DOUBLE), 4)
+                   AS fertility,
+               ROUND(SUM(n * length(w))
+                     / CAST(SUM(n * n_pieces) AS DOUBLE), 4)
+                   AS chars_per_token
+        FROM lang_w JOIN enc USING (w)
+        GROUP BY lang ORDER BY lang
+    """
+    )
+
+
 @register(
     "tokenizer_fertility",
-    oracle=None,  # iterative merge training is not SQL-expressible
+    oracle=_tokenizer_fertility_sql(),
     doc="Tokenizer fertility per language — tokens-per-word under the "
     f"trained {BPE_ROUNDS}-merge BPE (#92), the standard multilingual "
     "tokenizer-equity metric (a tokenizer trained on mixed text "
@@ -246,9 +307,12 @@ def bpe_encode_vocab(
     "the word VOCABULARY (bpe_train_merges / bpe_encode_vocab, "
     "vocabulary-bounded); per-language rollup is integer sums joined "
     "through the encoded vocab — no float order sensitivity. "
+    "Oracle hash gate since r9: the shared _bpe_chain_ctes SQL chain "
+    "carries the word through training, so encode == the final "
+    "stage's symbol split (no separate apply pass in the oracle). "
     "Invariants pytest-pinned: fertility >= 1, and applying MORE "
     "merges can never increase any language's token count.",
-    tags=("llm", "text", "rows_gate"),
+    tags=("llm", "text"),
 )
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
