@@ -737,6 +737,18 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGES_CTE_SQL = f"""
+        items AS ({_ITEMS_SQL}),
+        u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM items),
+        edges AS (
+            SELECT a.item AS i, b.item AS j, COUNT(*) AS support
+            FROM items a
+            JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= (SELECT {TRI_SUPPORT_FRAC} * n_users FROM u)
+        )"""
+
+
 # --- label-propagation community detection ---------------------------------
 
 LPA_ROUNDS = 8
@@ -776,59 +788,155 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     return labels
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> float:
+def modularity_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity Q of a partition over the undirected edge
-    list (each undirected edge appears in BOTH directions):
-    Q = sum_c [ in_c / 2m - (deg_c / 2m)^2 ]. Runs entirely on the
-    community-bounded aggregates."""
-    deg = edges.groupBy("src").agg(F.sum("support").alias("deg"))
-    two_m = deg.agg(F.sum("deg").alias("m2"))
-    lab = labels.withColumnRenamed("node", "src")
-    within = (
-        edges.join(lab, "src")
-        .join(
-            labels.select(
-                F.col("node").alias("dst"),
-                F.col("community").alias("c2"),
-            ),
-            "dst",
+    list (each undirected edge appears in BOTH directions), as a
+    1-row DataFrame (q double) computed EXACTLY: every term of
+    Q = sum_c [ in_c / 2m - (deg_c / 2m)^2 ] is a rational with
+    denominator (2m)^2, so Q = (2m * w_in_total - sum_c deg_c^2)
+    / (2m)^2 with an INTEGER numerator — carried in DECIMAL(38,0)
+    (HUGEINT on the oracle side), one float division at the end.
+    No float summation order anywhere, no collect (r9: this made the
+    LPA query oracle-gateable and removed its driver-side solve)."""
+    deg = edges.groupBy("src").agg(
+        F.sum("support").cast("long").alias("deg")
+    )
+    m2 = edges.agg(
+        F.coalesce(F.sum("support"), F.lit(0)).cast("long").alias("m2")
+    )
+    w_in = (
+        edges.join(
+            labels.selectExpr("node AS src", "community AS ca"), "src"
         )
-        .where(F.col("community") == F.col("c2"))
-        .groupBy("community")
-        .agg(F.sum("support").alias("w_in"))
-    )
-    deg_c = (
-        deg.join(lab.select("src", "community"), "src")
-        .groupBy("community")
-        .agg(F.sum("deg").alias("deg_c"))
-    )
-    row = (
-        deg_c.join(within, "community", "left")
-        .crossJoin(F.broadcast(two_m))
+        .join(labels.selectExpr("node AS dst", "community AS cb"), "dst")
+        .where(F.col("ca") == F.col("cb"))
         .agg(
-            F.sum(
-                F.coalesce("w_in", F.lit(0)) / F.col("m2")
-                - F.pow(F.col("deg_c") / F.col("m2"), F.lit(2.0))
-            ).alias("q")
+            F.coalesce(F.sum("support"), F.lit(0))
+            .cast("long")
+            .alias("w_in")
         )
-        .collect()
     )
-    return float(row[0].q) if row and row[0].q is not None else 0.0
+    degsq = (
+        deg.join(labels.selectExpr("node AS src", "community"), "src")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("long").alias("deg_c"))
+        .selectExpr("CAST(deg_c AS DECIMAL(19,0)) AS dc")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("dc") * F.col("dc")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("sq")
+        )
+    )
+    return (
+        m2.crossJoin(F.broadcast(w_in))
+        .crossJoin(F.broadcast(degsq))
+        .selectExpr(
+            "CASE WHEN m2 = 0 THEN 0.0 ELSE "
+            "CAST(CAST(m2 AS DECIMAL(19,0)) * CAST(w_in AS DECIMAL(19,0))"
+            " - sq AS DOUBLE) "
+            "/ CAST(CAST(m2 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))"
+            " AS DOUBLE) END AS q"
+        )
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    row = modularity_df(edges, labels).collect()
+    return float(row[0].q) if row else 0.0
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    """The synchronous LPA rounds unrolled as MATERIALIZED CTEs (the
+    kcore idiom), plus the exact-integer modularity of modularity_df
+    — everything is integer counts, ROW_NUMBER tie-breaks, and ONE
+    final float division, so the driver hash is exact (r9 rows-gate
+    -> oracle conversion; the third instance of the unrolled-
+    iteration playbook after kcore and bpe_train)."""
+    ctes = [
+        """de AS MATERIALIZED (
+            SELECT i AS src, j AS dst, support FROM edges
+            UNION ALL SELECT j AS src, i AS dst, support FROM edges
+        )""",
+        """l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS community FROM de
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""n{r} AS (
+            SELECT e.src, l.community, SUM(e.support) AS w
+            FROM de e JOIN l{r - 1} l ON l.node = e.dst
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""l{r} AS MATERIALIZED (
+            SELECT src AS node, community FROM (
+                SELECT src, community, ROW_NUMBER() OVER (
+                    PARTITION BY src ORDER BY w DESC, community) AS rn
+                FROM n{r}) WHERE rn = 1
+        )""")
+    last = f"l{rounds}"
+    return (
+        "WITH "
+        + _EDGES_CTE_SQL
+        + ",\n"
+        + ",\n".join(ctes)
+        + f""",
+        deg AS (SELECT src AS node, CAST(SUM(support) AS BIGINT) AS deg
+                FROM de GROUP BY src),
+        m2t AS (SELECT CAST(COALESCE(SUM(support), 0) AS BIGINT) AS m2
+                FROM de),
+        wint AS (
+            SELECT CAST(COALESCE(SUM(e.support), 0) AS BIGINT) AS w_in
+            FROM de e
+            JOIN {last} a ON a.node = e.src
+            JOIN {last} b ON b.node = e.dst
+            WHERE a.community = b.community
+        ),
+        degsq AS (
+            SELECT COALESCE(SUM(CAST(deg_c AS HUGEINT)
+                                * CAST(deg_c AS HUGEINT)),
+                            CAST(0 AS HUGEINT)) AS sq
+            FROM (SELECT CAST(SUM(d.deg) AS BIGINT) AS deg_c
+                  FROM deg d JOIN {last} l ON l.node = d.node
+                  GROUP BY l.community)
+        ),
+        qv AS (
+            SELECT CASE WHEN m2 = 0 THEN 0.0 ELSE
+                CAST(CAST(m2 AS HUGEINT) * CAST(w_in AS HUGEINT)
+                     - sq AS DOUBLE)
+                / CAST(CAST(m2 AS HUGEINT) * CAST(m2 AS HUGEINT)
+                       AS DOUBLE) END AS q
+            FROM m2t, wint, degsq
+        ),
+        sizes AS (SELECT community,
+                         CAST(COUNT(*) AS BIGINT) AS community_size
+                  FROM {last} GROUP BY community)
+        SELECT l.node AS item, l.community, s.community_size,
+               ROUND(q, 6) AS modularity
+        FROM {last} l JOIN sizes s USING (community), qv
+        ORDER BY item
+    """
+    )
 
 
 @register(
     "item_communities_lpa",
-    oracle=None,  # iterative fixed-round propagation; invariants +
-    # clique-recovery pytest gate (tests/test_lpa.py)
+    oracle=_lpa_sql(),
     doc=f"Label-propagation communities (Raghavan 2007, {LPA_ROUNDS} "
     "synchronous rounds, max-incident-support adoption with smallest-"
     "label tiebreak) over the same scale-invariant co-occurrence "
     "edges as item_pagerank, with the partition's Newman modularity "
     "published alongside — the community-structure companion to the "
     "centrality (#20d) and triangle (#20c) views of the item graph. "
-    "Each round is one vocabulary-bounded join+agg; disjoint-clique "
-    "recovery and modularity bounds are pytest-pinned.",
-    tags=("similarity", "graph", "rows_gate"),
+    "Each round is one vocabulary-bounded join+agg. Oracle hash gate "
+    "since r9: the rounds unroll as MATERIALIZED CTEs (the kcore "
+    "idiom) and modularity is the exact integer rational "
+    "(2m*w_in - sum deg_c^2)/(2m)^2 with one final float division — "
+    "both engines run the IDENTICAL bounded iteration, no float "
+    "summation anywhere, and the former driver-side Q collect is now "
+    "a declarative 1-row broadcast. Disjoint-clique recovery and "
+    "modularity bounds stay pytest-pinned.",
+    tags=("similarity", "graph"),
 )
 def item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = cooccurrence_edges(spark, sf_dir)
@@ -836,17 +944,18 @@ def item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.selectExpr("j AS src", "i AS dst", "support")
     )
     labels = lpa_communities(edges)
-    q = modularity(edges, labels)
+    q_df = modularity_df(edges, labels)
     sizes = labels.groupBy("community").agg(
         F.count(F.lit(1)).alias("community_size")
     )
     return (
         labels.join(sizes, "community")
+        .crossJoin(F.broadcast(q_df))
         .select(
             F.col("node").alias("item"),
             "community",
             "community_size",
-            F.round(F.lit(q), 6).alias("modularity"),
+            F.round(F.col("q"), 6).alias("modularity"),
         )
         .orderBy("item")
     )
@@ -912,18 +1021,6 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- local clustering coefficient ------------------------------------------
-
-_EDGES_CTE_SQL = f"""
-        items AS ({_ITEMS_SQL}),
-        u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM items),
-        edges AS (
-            SELECT a.item AS i, b.item AS j, COUNT(*) AS support
-            FROM items a
-            JOIN items b ON a.user_id = b.user_id AND a.item < b.item
-            GROUP BY 1, 2
-            HAVING COUNT(*) >= (SELECT {TRI_SUPPORT_FRAC} * n_users FROM u)
-        )"""
-
 
 @register(
     "graph_clustering_coefficient",
