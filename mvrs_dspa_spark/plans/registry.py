@@ -74,7 +74,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "markov_attribution",
     "bpe_train",
     "graph_kcore_summary",
-    # Slots 4-33: the full r3 block (27 oracle + 3 rows-gates,
+    # Two MORE rows->oracle conversions landed mid-round (beyond the
+    # VERDICT ask): tokenizer_fertility rides the shared _bpe_chain_ctes
+    # merge chain, item_communities_lpa unrolls its rounds with
+    # exact-integer modularity. First hash checks — changed
+    # implementations outrank stale re-verification, so these take the
+    # two r4 slots events_profile / events_quarantine (deferred to r10).
+    "tokenizer_fertility",
+    "item_communities_lpa",
+    # Slots 6-35: the full r3 block (27 oracle + 3 rows-gates,
     # including the two rows-gates displaced from the r8 window).
     "user_sessions",
     "session_conversion",
@@ -106,7 +114,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk",
     "media_features",
     "semantic_dedup",
-    # Slots 34-50: the 17 alphabetically-first r4 ORACLE rows (the two
+    # Slots 36-50: the 15 alphabetically-first r4 ORACLE rows (the two
     # r4 rows-gates ann_lsh_banded / ann_ivf_pq carry pytest invariant
     # pins and defer — oracle rows buy more re-verification per slot).
     "ab_test_report",
@@ -124,9 +132,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_bigram_logprob",
     "embedding_quantize",
     "event_value_equidepth_histogram",
-    "events_profile",
-    "events_quarantine",
-    # (re-sweep queue for round 10, oldest-first: the remaining 25 r4
+    # (re-sweep queue for round 10, oldest-first: events_profile,
+    # events_quarantine, then the remaining 25 r4
     # oracle rows — hll_user_counts, hourly_crosscorr_leadlag,
     # hourly_value_autocorrelation, hybrid_search,
     # incremental_hourly_rollup, interarrival_profile,
