@@ -99,6 +99,8 @@ _SCALAR_BNLJ_OK = {
     "conversion_trend_cochran_armitage",  # 1-row min-day scalar broadcast
     "ql_dirichlet_search",  # 1-row corpus-total scalar broadcast (as bm25)
     "value_drift_divergences",  # 1-row time-range scalar broadcast
+    # round 9:
+    "item_communities_lpa",  # 1-row n_users + 1-row exact-Q scalar broadcasts
 }
 
 
