@@ -65,3 +65,25 @@ def test_ledger_row_per_registered_query():
     rendered = mod.render(mod.max_available_round())
     for name in all_queries():
         assert f"| `{name}` |" in rendered
+
+
+def test_queue_is_oldest_first_and_covers_registry():
+    from mvrs_dspa_spark.plans.registry import all_queries
+
+    mod = _load_freshness()
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    n = len(all_queries())
+    with contextlib.redirect_stdout(buf):
+        mod.queue(n)
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == n
+    # ranked by latest-check round, non-decreasing
+    rounds = []
+    for ln in lines:
+        state = ln[ln.index("[") :]
+        m = __import__("re").search(r"r(\d+)", state)
+        rounds.append(int(m.group(1)) if m else -1)
+    assert rounds == sorted(rounds)

@@ -20,6 +20,9 @@ correctness file exists), not round close.
 Usage:
     python tools/freshness.py            # rewrite SURVEY.md in place
     python tools/freshness.py --check    # exit 1 if SURVEY.md is stale
+    python tools/freshness.py --queue N  # print the N oldest-first
+                                         # re-sweep candidates for the
+                                         # next round's window
 """
 
 from __future__ import annotations
@@ -160,5 +163,40 @@ def apply(check_only: bool) -> int:
     return 0
 
 
+def queue(n: int) -> None:
+    """Print the n oldest-first re-sweep candidates: every registered
+    query ranked by (latest driver-check round, never-checked first),
+    oracle gates before rows gates within a round (an oracle slot buys
+    a value-hash re-verification; a rows slot only re-runs), name as
+    the final tiebreak. The mechanical source for the next round's
+    `_DRIVER_PRIORITY` drain block."""
+    sys.path.insert(0, REPO)
+    from mvrs_dspa_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    latest = _latest_checks(max_available_round())
+    rnd = {
+        name: int(m.group(1))
+        for name, state in latest.items()
+        if (m := re.match(r"r(\d+)", state))
+    }
+
+    def key(name: str):
+        return (
+            rnd.get(name, -1),  # never-checked first
+            specs[name].oracle is None,  # oracle gates first
+            name,
+        )
+
+    for name in sorted(specs, key=key)[:n]:
+        gate = "oracle" if specs[name].oracle is not None else "rows"
+        print(f"{name}  [{gate}, {latest.get(name, 'never')}]")
+
+
 if __name__ == "__main__":
-    sys.exit(apply(check_only="--check" in sys.argv[1:]))
+    args = sys.argv[1:]
+    if "--queue" in args:
+        n = int(args[args.index("--queue") + 1])
+        queue(n)
+        sys.exit(0)
+    sys.exit(apply(check_only="--check" in args))
