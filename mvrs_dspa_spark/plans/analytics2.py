@@ -1554,6 +1554,50 @@ def _mk_out_selects() -> list[list[str]]:
     return outs
 
 
+def _mk_cells_exprs_weighted() -> list[str]:
+    """The cells aggregation from a pre-counted (src, dst, n) grid —
+    the streaming maintainer's serving entry (29ap): identical cell
+    values to _mk_cells_exprs over raw transition rows, since the
+    grid is just those rows pre-grouped."""
+    out = []
+    for i, s in enumerate(_MK_STATES):
+        out.append(
+            f"CAST(COALESCE(SUM(CASE WHEN src = '{s}' THEN n ELSE 0 "
+            f"END), 0) AS BIGINT) AS t_{i}"
+        )
+        for j, d in enumerate(_MK_STATES):
+            out.append(
+                f"CAST(COALESCE(SUM(CASE WHEN src = '{s}' AND dst = "
+                f"'{d}' THEN n ELSE 0 END), 0) AS BIGINT) AS c_{i}_{j}"
+            )
+        out.append(
+            f"CAST(COALESCE(SUM(CASE WHEN src = '{s}' AND dst = "
+            f"'conversion' THEN n ELSE 0 END), 0) AS BIGINT) AS cb_{i}"
+        )
+    return out
+
+
+def markov_table_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared serving tail (#131 batch query AND the 29ap streaming
+    maintainer): single 35-cell row -> the 4-row attribution table via
+    the exact integer-grid Cramer solve. ONE definition, so a replayed
+    event log reproduces the batch attribution bit-for-bit."""
+    spark_cast = lambda c: f"CAST({c} AS DECIMAL(7,0))"  # noqa: E731
+    tot = (
+        cells.selectExpr(*_mk_p_exprs())
+        .selectExpr("*", *_mk_minor_exprs(spark_cast))
+        .selectExpr(*_mk_det_exprs(spark_cast))
+        .selectExpr(*_mk_x_exprs())
+        .selectExpr(*_mk_e_exprs())
+        .selectExpr("*", f"{_MK_TOT_E} AS tot_e")
+    )
+    out = None
+    for sel in _mk_out_selects():
+        row = tot.selectExpr(*sel)
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("channel")
+
+
 _MK_TRANS_SQL = """
     steps AS (
         SELECT user_id, event_id, event_type,
@@ -1644,22 +1688,8 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN next_raw = 'purchase' THEN 'conversion' "
         "ELSE next_raw END AS dst",
     )
-    spark_cast = lambda c: f"CAST({c} AS DECIMAL(7,0))"  # noqa: E731
-    tot = (
-        firsts.unionByName(chans)
-        .selectExpr(*_mk_cells_exprs())
-        .selectExpr(*_mk_p_exprs())
-        .selectExpr("*", *_mk_minor_exprs(spark_cast))
-        .selectExpr(*_mk_det_exprs(spark_cast))
-        .selectExpr(*_mk_x_exprs())
-        .selectExpr(*_mk_e_exprs())
-        .selectExpr("*", f"{_MK_TOT_E} AS tot_e")
-    )
-    out = None
-    for sel in _mk_out_selects():
-        row = tot.selectExpr(*sel)
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("channel")
+    cells = firsts.unionByName(chans).selectExpr(*_mk_cells_exprs())
+    return markov_table_from_cells(cells)
 
 
 
