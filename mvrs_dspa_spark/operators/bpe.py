@@ -87,8 +87,12 @@ def bpe_train_merges(
 
     Returns [(round, left, right, weighted_count), ...]. `vocab` is
     corpus-independent after the caller's one aggregation pass.
+    Separator-bearing words are dropped up front (`_drop_sep_words`,
+    mirroring the SQL chain's v0 filter).
     """
-    sym = vocab.select(_chars(F.col("w")).alias("symbols"), "freq")
+    sym = _drop_sep_words(vocab).select(
+        _chars(F.col("w")).alias("symbols"), "freq"
+    )
     sym = sym.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(rounds):
@@ -109,8 +113,23 @@ def bpe_train_merges(
     return merges
 
 
-_SEP = "\x1f"  # unit separator: non-whitespace, so it can never
-# appear inside a whitespace-split token
+# Unit separator, used as the symbol delimiter in the SQL-side merge
+# fold. It is NOT whitespace, so a corpus token CAN contain it after
+# whitespace tokenization (ADVICE r9 — the previous comment claimed
+# the opposite), and such a token would corrupt the delimiter-exact
+# trim/split/replace on the oracle side while the Spark array fold
+# treated it as an ordinary character. The invariant is therefore
+# enforced, not assumed: `_drop_sep_words` / the v0 WHERE clause in
+# `_bpe_chain_ctes` filter separator-bearing words from the vocabulary
+# IDENTICALLY on both engines before any merge arithmetic.
+_SEP = "\x1f"
+
+
+def _drop_sep_words(vocab: DataFrame) -> DataFrame:
+    """Spark twin of the v0 `NOT contains(w, chr(31))` filter: drop
+    vocabulary words containing the symbol delimiter (none exist in
+    sane corpora; a hostile one must not desync the engines)."""
+    return vocab.where(~F.col("w").contains(_SEP))
 
 
 def _bpe_chain_ctes(
@@ -140,6 +159,7 @@ def _bpe_chain_ctes(
                    regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g') AS sym,
                    freq
             FROM ({vocab_sql})
+            WHERE NOT contains(w, chr(31))
         )""",
     ]
     tops = []
@@ -239,7 +259,9 @@ def bpe_encode_vocab(
     localCheckpoint every few merges to keep codegen expression depth
     bounded.
     """
-    sym = vocab.select("w", "freq", _chars(F.col("w")).alias("symbols"))
+    sym = _drop_sep_words(vocab).select(
+        "w", "freq", _chars(F.col("w")).alias("symbols")
+    )
     col = F.col("symbols")
     for i, (_, left, right, _c) in enumerate(merges):
         col = _merge_fold(col, left, right)

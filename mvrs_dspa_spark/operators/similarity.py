@@ -797,7 +797,20 @@ def modularity_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
     / (2m)^2 with an INTEGER numerator — carried in DECIMAL(38,0)
     (HUGEINT on the oracle side), one float division at the end.
     No float summation order anywhere, no collect (r9: this made the
-    LPA query oracle-gateable and removed its driver-side solve)."""
+    LPA query oracle-gateable and removed its driver-side solve).
+
+    Cross-engine exactness assumption (ADVICE r9, documented): the
+    final division casts both integer sides to DOUBLE. Below 2^53 the
+    casts are exact on both engines; above it they rely on Spark's
+    BigDecimal->double (correctly rounded) and DuckDB's HUGEINT->
+    double agreeing, which is not formally guaranteed — a 1-ulp
+    disagreement could flip the consumer's ROUND(q, 6) exactly at a
+    6-dp boundary. 2^53 covers numerators to ~9e15, i.e. graphs to
+    ~2m = 9.5e7 weighted half-edges with every node in one community
+    (numerator <= (2m)^2); the co-occurrence graphs here are support-
+    thresholded far below that. If the graph ever outgrows it, switch
+    the division to the two-stage small-quotient integer grid used by
+    plans/analytics2._mk_x_exprs (exact at any magnitude)."""
     deg = edges.groupBy("src").agg(
         F.sum("support").cast("long").alias("deg")
     )
@@ -842,6 +855,10 @@ def modularity_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Scalar convenience wrapper over `modularity_df` — pytest-only
+    (tests assert Q bounds on tiny graphs); the registered
+    `item_communities_lpa` query uses the declarative `modularity_df`
+    broadcast, so no production plan collects through here."""
     row = modularity_df(edges, labels).collect()
     return float(row[0].q) if row else 0.0
 

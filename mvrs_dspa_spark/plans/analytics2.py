@@ -1365,14 +1365,21 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # channel deletes its row+column since its redirected row is the
 # identity). Every determinant term is a product of <=7-digit
 # integers carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
-# exact 128-bit arithmetic, identical on both engines — and the one
-# float division per scenario happens on identical integers, so the
-# driver hash is exact by construction. The SAME generated expression
-# strings drive Spark's selectExpr and the DuckDB oracle. Channel
+# exact 128-bit arithmetic, identical on both engines — and each
+# scenario's x = n/d is quantized onto the exact 1e-10 grid by two
+# small-quotient integer divisions (_mk_x_exprs) before the single
+# small-int float division, so the driver hash is exact by
+# construction at any magnitude (r10, ADVICE r9: no DECIMAL->double
+# cast of huge determinants, no double round-trip in the p grid).
+# The SAME generated expression strings drive Spark's selectExpr and
+# the DuckDB oracle, modulo the engine spelling of integer division
+# (DIV vs //) and the wide-integer cast (DECIMAL vs HUGEINT). Channel
 # domain is schema-pinned like user_event_type_pivot's value list.
 # Corpus-sized work is unchanged: ONE ordered-LEAD pass + one global
 # conditional aggregation to a single 35-cell row; everything after
-# is single-row projection arithmetic (no collect, no driver solve).
+# is single-row projection arithmetic (no collect, no driver solve),
+# fanned to the 4 output rows by ONE stack() generator (no unionAll
+# re-execution of the corpus subtree).
 
 _MK_CHANNELS = ("click", "error", "signup", "view")
 _MK_STATES = ("start",) + _MK_CHANNELS  # transient states, index 0..4
@@ -1401,21 +1408,26 @@ def _mk_cells_exprs() -> list[str]:
     return out
 
 
-def _mk_p_exprs() -> list[str]:
+def _mk_p_exprs(widecast, idiv) -> list[str]:
     """Exact grid quantization: round-half-up of G*c/tot computed as
-    floor((2*G*c + tot) / (2*tot)) via integer remainder (the double
-    division is exact: the numerator is divisible and < 2^53; half-up
-    rather than floor so a closed-form chain like p = 2/3 lands on
-    0.666667, the 6-dp round of the true value). A state never
-    observed as src (tot 0) keeps an all-zero row -> M row =
-    G*identity, b = 0: it absorbs, contributing 0."""
+    floor((2*G*c + tot) / (2*tot)) via native INTEGER division
+    (ADVICE r9: the former double-divide round-trip was exact only
+    below 2^53 and Spark/DuckDB casts disagree past it; `DIV` / `//`
+    are exact at any magnitude, and both floor — identical here since
+    every operand is nonnegative). `widecast` lifts the count into
+    DECIMAL/HUGEINT so 2*G*c cannot overflow int64 (c ~ 4.6e12 would);
+    the quotient is <= 2G, long-safe for Spark's DIV. Half-up rather
+    than floor so a closed-form chain like p = 2/3 lands on 0.666667,
+    the 6-dp round of the true value. A state never observed as src
+    (tot 0) keeps an all-zero row -> M row = G*identity, b = 0: it
+    absorbs, contributing 0."""
 
     def p(c: str, t: str) -> str:
-        num = f"(2 * {_MK_G} * {c} + {t})"
+        num = f"(2 * {_MK_G} * {widecast(c)} + {t})"
         den = f"(2 * {t})"
         return (
             f"CASE WHEN {t} = 0 THEN 0 "
-            f"ELSE CAST(({num} - {num} % {den}) / {den} AS BIGINT) END"
+            f"ELSE CAST({idiv(num, den)} AS BIGINT) END"
         )
 
     out = []
@@ -1499,28 +1511,48 @@ def _mk_det_exprs(cast) -> list[str]:
     b = [f"pb_{i}" for i in range(n)]
     full_mn = [f"mn_full_{i}" for i in range(n)]
     out = [
-        f"CAST({dot(m0, full_mn)} AS DOUBLE) AS d_full",
-        f"CAST({dot(b, full_mn)} AS DOUBLE) AS n_full",
+        f"{dot(m0, full_mn)} AS d_full",
+        f"{dot(b, full_mn)} AS n_full",
     ]
     for k in range(1, n):  # remove channel k: delete row+col k
         idx = [i for i in range(n) if i != k]
         mk0 = [_mk_m(i, 0) for i in idx]
         bk = [b[i] for i in idx]
         mns = [f"mn_{k}_{i}" for i in idx]
-        out.append(f"CAST({dot(mk0, mns)} AS DOUBLE) AS d_{k}")
-        out.append(f"CAST({dot(bk, mns)} AS DOUBLE) AS n_{k}")
+        out.append(f"{dot(mk0, mns)} AS d_{k}")
+        out.append(f"{dot(bk, mns)} AS n_{k}")
     return out
 
 
-def _mk_x_exprs() -> list[str]:
-    out = [
-        "CASE WHEN d_full <> 0 THEN n_full / d_full ELSE 0.0 END AS base"
-    ]
-    for k in range(1, len(_MK_STATES)):
-        out.append(
-            f"CASE WHEN d_{k} <> 0 THEN n_{k} / d_{k} ELSE 0.0 END"
-            f" AS x_{k}"
+_MK_XQ = 100_000  # per-stage quotient grid; two stages -> 1e-10 x-resolution
+
+
+def _mk_x_exprs(idiv) -> list[str]:
+    """x = n/d quantized to the exact 1e-10 integer grid by TWO
+    small-quotient integer divisions (ADVICE r9: the former
+    DECIMAL(38,0)/HUGEINT -> DOUBLE cast of ~1e31 determinants relied
+    on both engines rounding the cast identically, which DuckDB's
+    two-limb HUGEINT->double composition does not guarantee). Each
+    stage's quotient is <= ~1e5 (n <= d: x_start is a probability), so
+    Spark's long-valued DIV never overflows, every intermediate stays
+    inside DECIMAL(38,0)/HUGEINT (1e5 * |det| <= 1.2e37), and all
+    operands are nonnegative so floor == trunc on both engines. The
+    one float division per scenario is then small-int/1e10 — exact by
+    construction at ANY corpus magnitude."""
+
+    def x(nc: str, dc: str, alias: str) -> str:
+        q1 = idiv(f"({_MK_XQ} * {nc})", dc)
+        rem = f"({_MK_XQ} * {nc} - {q1} * {dc})"
+        q2 = idiv(f"({_MK_XQ} * {rem})", dc)
+        return (
+            f"CASE WHEN {dc} <= 0 THEN 0.0 "
+            f"ELSE CAST({q1} * {_MK_XQ} + {q2} AS DOUBLE) / 1.0e10 END"
+            f" AS {alias}"
         )
+
+    out = [x("n_full", "d_full", "base")]
+    for k in range(1, len(_MK_STATES)):
+        out.append(x(f"n_{k}", f"d_{k}", f"x_{k}"))
     return out
 
 
@@ -1581,21 +1613,40 @@ def markov_table_from_cells(cells: DataFrame) -> DataFrame:
     """Shared serving tail (#131 batch query AND the 29ap streaming
     maintainer): single 35-cell row -> the 4-row attribution table via
     the exact integer-grid Cramer solve. ONE definition, so a replayed
-    event log reproduces the batch attribution bit-for-bit."""
+    event log reproduces the batch attribution bit-for-bit. The 4
+    channel rows come from ONE stack() generator over the 1-row `tot`
+    (ADVICE r9: the former 4-way unionAll repeated the corpus-sized
+    aggregation subtree 4x unless ReuseExchange happened to dedupe
+    it; stack keeps the plan a single pass by construction)."""
     spark_cast = lambda c: f"CAST({c} AS DECIMAL(7,0))"  # noqa: E731
+    spark_wide = lambda c: f"CAST({c} AS DECIMAL(19,0))"  # noqa: E731
+    spark_idiv = lambda a, b: f"({a} DIV {b})"  # noqa: E731
     tot = (
-        cells.selectExpr(*_mk_p_exprs())
+        cells.selectExpr(*_mk_p_exprs(spark_wide, spark_idiv))
         .selectExpr("*", *_mk_minor_exprs(spark_cast))
         .selectExpr(*_mk_det_exprs(spark_cast))
-        .selectExpr(*_mk_x_exprs())
+        .selectExpr(*_mk_x_exprs(spark_idiv))
         .selectExpr(*_mk_e_exprs())
         .selectExpr("*", f"{_MK_TOT_E} AS tot_e")
     )
-    out = None
-    for sel in _mk_out_selects():
-        row = tot.selectExpr(*sel)
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("channel")
+    pairs = ", ".join(
+        f"'{ch}', e_{k}" for k, ch in enumerate(_MK_CHANNELS, start=1)
+    )
+    return (
+        tot.selectExpr(
+            "base",
+            "tot_e",
+            f"stack({len(_MK_CHANNELS)}, {pairs}) AS (channel, eff)",
+        )
+        .selectExpr(
+            "channel",
+            "ROUND(base, 6) AS base_conversion",
+            "ROUND(eff, 6) AS removal_effect",
+            "CASE WHEN tot_e > 0 THEN ROUND(eff / tot_e, 6) END"
+            " AS attribution_share",
+        )
+        .orderBy("channel")
+    )
 
 
 _MK_TRANS_SQL = """
@@ -1624,15 +1675,16 @@ _MK_TRANS_SQL = """
 
 def _mk_oracle_sql() -> str:
     duck_cast = lambda c: f"CAST({c} AS HUGEINT)"  # noqa: E731
+    duck_idiv = lambda a, b: f"({a} // {b})"  # noqa: E731
     return (
         "WITH "
         + _MK_TRANS_SQL
         + f""",
         cells AS MATERIALIZED (SELECT {", ".join(_mk_cells_exprs())} FROM trans),
-        pcells AS MATERIALIZED (SELECT {", ".join(_mk_p_exprs())} FROM cells),
+        pcells AS MATERIALIZED (SELECT {", ".join(_mk_p_exprs(duck_cast, duck_idiv))} FROM cells),
         minors AS MATERIALIZED (SELECT *, {", ".join(_mk_minor_exprs(duck_cast))} FROM pcells),
         dets AS MATERIALIZED (SELECT {", ".join(_mk_det_exprs(duck_cast))} FROM minors),
-        xs AS (SELECT {", ".join(_mk_x_exprs())} FROM dets),
+        xs AS (SELECT {", ".join(_mk_x_exprs(duck_idiv))} FROM dets),
         fin AS (SELECT {", ".join(_mk_e_exprs())} FROM xs),
         tot AS (SELECT *, {_MK_TOT_E} AS tot_e FROM fin)
         """

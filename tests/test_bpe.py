@@ -167,3 +167,42 @@ def test_tokenizer_fertility_invariants(spark, sf_small):
     assert set(few) == set(full)
     for lang in full:
         assert full[lang] <= few[lang], lang
+
+
+def test_bpe_separator_words_dropped_identically(spark):
+    """ADVICE r9: \\x1f is NOT whitespace, so a hostile corpus token
+    can carry it into the vocabulary; both the Spark trainer and the
+    SQL merge chain must drop such words (identically) instead of the
+    oracle's delimiter arithmetic silently desyncing."""
+    import duckdb
+
+    from mvrs_dspa_spark.operators.bpe import _SEP, _bpe_chain_ctes
+
+    clean = [("aab", 5), ("abab", 3), ("bb", 2)]
+    dirty = clean + [(f"a{_SEP}b", 100)]  # would dominate every argmax
+    rounds = 3
+
+    def spark_merges(rows):
+        vocab = spark.createDataFrame(rows, "w string, freq long")
+        return bpe_train_merges(vocab, rounds=rounds)
+
+    assert spark_merges(dirty) == spark_merges(clean)
+    assert len(spark_merges(clean)) > 0
+
+    vals = ", ".join(
+        f"('{w.replace(chr(31), chr(39) + ' || chr(31) || ' + chr(39))}', {f})"
+        if chr(31) in w
+        else f"('{w}', {f})"
+        for w, f in dirty
+    )
+    vocab_sql = f"SELECT * FROM (VALUES {vals}) t(w, freq)"
+    ctes, tops = _bpe_chain_ctes(rounds, vocab_sql)
+    sql = (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL ".join(tops) + "\n) ORDER BY merge_round"
+    )
+    got = duckdb.connect().execute(sql).fetchall()
+    want = [
+        (r, lt, rt, lt + rt, c) for r, lt, rt, c in spark_merges(clean)
+    ]
+    assert got == want
