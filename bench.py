@@ -231,8 +231,16 @@ def main() -> None:
             timings[name] = round(best, 3)
         return timings
 
+    # 1-min load average bracketing each block: SURVEY §6's noisy-
+    # neighbor methodology (VERDICT r9 #5) — a bench row is only
+    # comparable round-over-round at matched calibration_q1, and the
+    # load samples let a reader attribute a swing to host conditions
+    # without re-running.
+    loads = {"start": round(os.getloadavg()[0], 2)}
     timings = run(BENCH_QUERIES)
+    loads["after_headline"] = round(os.getloadavg()[0], 2)
     extra = run(EXTRA_QUERIES)
+    loads["end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
     # Multi-minute one-shot fits are reported in their own field and
     # excluded from the extras sum so extras-total stays comparable
@@ -252,6 +260,13 @@ def main() -> None:
             "extra_total": round(sum(extra.values()), 3),
             "slow_queries": slow,
             "calibration_q1": timings.get("q1_pricing_summary"),
+            # headline normalized by the calibration constant — the
+            # PRIMARY round-over-round metric (SURVEY §6 contract):
+            # raw seconds move with host load; this mostly doesn't.
+            "headline_over_cal": round(
+                total / timings["q1_pricing_summary"], 1
+            ),
+            "load_avg_1m": loads,
             "sf": sf,
             "methodology": "cold-first-run" if cold else "steady-state-min-of-3",
         }

@@ -258,45 +258,14 @@ def unusual_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- external clustering evaluation (purity / NMI) --------------------------
 
 
-@register(
-    "kmeans_label_agreement",
-    oracle=None,  # k-means is iterative/driver-seeded; invariants +
-    # perfect-recovery pytest gate instead (tests/test_clustering.py)
-    doc="External clustering evaluation against the labeled "
-    "embeddings: purity (each cluster votes its majority label) and "
-    "normalized mutual information sqrt-form (Strehl & Ghosh 2002) "
-    "between the k-means partition and the label partition — the "
-    "companion readout to the kNN probe (#99): do the clusters the "
-    "engine finds align with the supervision? The contingency table "
-    "is k x |labels| (bounded), so everything after the assignment "
-    "scan is constant-sized; entropies/MI computed from that table "
-    "with NULL-safe log guards. Chance-level on the synthetic "
-    "labels — pinned to recover purity=NMI=1 on separable data.",
-    tags=("clustering", "validation", "rows_gate"),
-)
-def kmeans_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mvrs_dspa_spark.tables import table as _table
-
-    emb = _table(spark, sf_dir, "embeddings")
-    return label_agreement_report(emb, "embedding", "label")
-
-
-def label_agreement_report(
-    df: DataFrame, vec_col: str, label_col: str, k: int = K
-) -> DataFrame:
-    """(n, k, n_labels, purity, nmi) for k-means clusters vs labels."""
-    cents = kmeans_fit(df, vec_col, k=k, iters=ITERS, id_col="vec_id")
-    if not cents:
-        return df.sparkSession.createDataFrame(
-            [], "n long, k int, n_labels long, purity double, nmi double"
-        )
-    assigned = assign_clusters(df, vec_col, cents).select(
-        "cluster", F.col(label_col).alias("lbl")
-    )
-    # bounded contingency table: k x |labels| cells
-    ct = assigned.groupBy("cluster", "lbl").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+def _agreement_from_ct(ct: DataFrame, k: int) -> DataFrame:
+    """(n, k, n_labels, purity, nmi) from a (cluster, lbl, c) INTEGER
+    contingency table — the shared serving tail of both agreement
+    entry points. Purity is exact-integer + one division; every MI /
+    entropy term is a 1e9 int64 code (house summation-order rule)
+    over ratios of exact integers, so given an engine-exact
+    contingency table the whole report is engine-exact: this is what
+    lets the registered query carry a full value-hash oracle."""
     n = ct.agg(F.sum("c").alias("n"))
     row_m = ct.groupBy("cluster").agg(F.sum("c").alias("rc"))
     col_m = ct.groupBy("lbl").agg(F.sum("c").alias("lc"))
@@ -310,34 +279,31 @@ def label_agreement_report(
         .join(col_m, "lbl")
         .crossJoin(F.broadcast(n))
     )
-    # I(C;L) = sum p_ij * log(n * c_ij / (rc * lc))
-    mi_term = (F.col("c") / F.col("n")) * F.log(
-        F.col("n").cast("double")
-        * F.col("c")
-        / (F.col("rc") * F.col("lc"))
-    )
-    mi = joint.agg(F.sum(mi_term).alias("mi"))
-    h_c = (
-        row_m.crossJoin(F.broadcast(n))
-        .agg(
-            (-F.sum((F.col("rc") / F.col("n")) * F.log(F.col("rc") / F.col("n"))))
-            .alias("h")
+    # I(C;L) = sum p_ij * ln((c/rc) * (n/lc)); term -> 1e9 int code
+    mi_code = F.round(
+        (F.col("c") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("c") / F.col("rc").cast("double"))
+            * (F.col("n") / F.col("lc").cast("double"))
         )
-    )
-    h_l = (
-        col_m.crossJoin(F.broadcast(n))
-        .agg(
-            (-F.sum((F.col("lc") / F.col("n")) * F.log(F.col("lc") / F.col("n"))))
-            .alias("h")
+        * 1e9
+    ).cast("long")
+    mi = joint.agg((F.sum(mi_code) / 1e9).alias("mi"))
+
+    def h(df: DataFrame, cnt: str, alias: str) -> DataFrame:
+        p = F.col(cnt) / F.col("n").cast("double")
+        code = F.round((-p * F.log(p)) * 1e9).cast("long")
+        return df.crossJoin(F.broadcast(n)).agg(
+            (F.sum(code) / 1e9).alias(alias)
         )
-    )
+
     n_lbl = col_m.agg(F.count(F.lit(1)).alias("n_labels"))
     return (
         n.crossJoin(F.broadcast(purity))
         .crossJoin(F.broadcast(mi))
         .crossJoin(F.broadcast(n_lbl))
-        .crossJoin(F.broadcast(h_c.withColumnRenamed("h", "hc")))
-        .crossJoin(F.broadcast(h_l.withColumnRenamed("h", "hl")))
+        .crossJoin(F.broadcast(h(row_m, "rc", "hc")))
+        .crossJoin(F.broadcast(h(col_m, "lc", "hl")))
         .select(
             F.col("n").cast("long").alias("n"),
             F.lit(k).cast("int").alias("k"),
@@ -352,6 +318,28 @@ def label_agreement_report(
             ).alias("nmi"),
         )
     )
+
+
+def label_agreement_report(
+    df: DataFrame, vec_col: str, label_col: str, k: int = K
+) -> DataFrame:
+    """(n, k, n_labels, purity, nmi) for FITTED k-means clusters vs
+    labels — the iterative-fit form, pytest-gated (perfect recovery
+    on separable data); the registered query below is the pinned-
+    centroid form under a full value-hash oracle."""
+    cents = kmeans_fit(df, vec_col, k=k, iters=ITERS, id_col="vec_id")
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], "n long, k int, n_labels long, purity double, nmi double"
+        )
+    assigned = assign_clusters(df, vec_col, cents).select(
+        "cluster", F.col(label_col).alias("lbl")
+    )
+    # bounded contingency table: k x |labels| cells
+    ct = assigned.groupBy("cluster", "lbl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _agreement_from_ct(ct, k)
 
 
 # --- pinned-centroid assignment (the oracle-checkable k-means step) ----------
@@ -422,3 +410,91 @@ def kmeans_assign_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_AGREE_ORACLE = f"""
+    WITH cents(cid, cvec) AS (VALUES {_PIN_CENTS_SQL}),
+    dists AS (
+        SELECT e.vec_id, e.label, c.cid,
+               list_reduce(list_prepend(0.0, list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> (e.embedding[i]::DOUBLE - c.cvec[i])
+                        * (e.embedding[i]::DOUBLE - c.cvec[i]))),
+                   (x, y) -> x + y) AS d
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT label AS lbl, cid AS cluster FROM (
+            SELECT label, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    ct AS (SELECT cluster, lbl, COUNT(*) AS c FROM assigned GROUP BY 1, 2),
+    tot AS (SELECT SUM(c) AS n FROM ct),
+    rm AS (SELECT cluster, SUM(c) AS rc FROM ct GROUP BY cluster),
+    cm AS (SELECT lbl, SUM(c) AS lc FROM ct GROUP BY lbl),
+    pur AS (SELECT SUM(mx) AS s FROM (
+        SELECT MAX(c) AS mx FROM ct GROUP BY cluster)),
+    mi AS (
+        SELECT SUM(CAST(ROUND(
+                   (c / CAST(n AS DOUBLE))
+                   * ln((c / CAST(rc AS DOUBLE))
+                        * (n / CAST(lc AS DOUBLE)))
+                   * 1e9) AS BIGINT)) / 1e9 AS mi
+        FROM ct JOIN rm USING (cluster) JOIN cm USING (lbl)
+        CROSS JOIN tot
+    ),
+    hc AS (
+        SELECT SUM(CAST(ROUND(
+                   (-(rc / CAST(n AS DOUBLE))
+                    * ln(rc / CAST(n AS DOUBLE))) * 1e9)
+               AS BIGINT)) / 1e9 AS hc
+        FROM rm CROSS JOIN tot
+    ),
+    hl AS (
+        SELECT SUM(CAST(ROUND(
+                   (-(lc / CAST(n AS DOUBLE))
+                    * ln(lc / CAST(n AS DOUBLE))) * 1e9)
+               AS BIGINT)) / 1e9 AS hl
+        FROM cm CROSS JOIN tot
+    ),
+    nl AS (SELECT COUNT(*) AS n_labels FROM cm)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST({PIN_K} AS INTEGER) AS k,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           ROUND(s / CAST(n AS DOUBLE), 6) AS purity,
+           ROUND(mi / NULLIF(sqrt(hc * hl), 0.0), 6) AS nmi
+    FROM tot, pur, mi, hc, hl, nl
+"""
+
+
+@register(
+    "kmeans_label_agreement",
+    oracle=_AGREE_ORACLE,
+    doc="External clustering evaluation against the labeled "
+    "embeddings: purity (each cluster votes its majority label) and "
+    "normalized mutual information sqrt-form (Strehl & Ghosh 2002) "
+    "between the cluster partition and the label partition — the "
+    "companion readout to the kNN probe (#99). Oracle hash gate "
+    "since r10 (VERDICT r9 #4a, the pinned-twin playbook): clusters "
+    "come from the ALREADY hash-gated pinned dyadic-exact centroid "
+    "assignment (kmeans_assign_pinned), so the k x |labels| "
+    "contingency table is engine-exact integers, purity is one final "
+    "division, and every MI/entropy term is a 1e9 int64 code before "
+    "the sum (house summation-order rule) — the Cramer/LPA "
+    "integer-rational idiom applied to information theory. The "
+    "iterative-fit form stays available as label_agreement_report, "
+    "pytest-pinned to recover purity = NMI = 1 on separable data.",
+    tags=("clustering", "validation"),
+)
+def kmeans_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = assign_clusters(emb, "embedding", PINNED_CENTROIDS).select(
+        "cluster", F.col("label").alias("lbl")
+    )
+    ct = assigned.groupBy("cluster", "lbl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _agreement_from_ct(ct, PIN_K)

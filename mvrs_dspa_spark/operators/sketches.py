@@ -822,25 +822,37 @@ def _make_td_helpers():
 _td_compress, _td_quantile = _make_td_helpers()
 
 
-@register(
-    "tdigest_value_quantiles",
-    oracle=None,  # the digest is an approximation; invariants are pytest-pinned
-    doc="Mergeable t-digest quantiles of event value per type (Dunning "
-    "& Ertl 2019) — the MERGEABLE companion of the exact sort-based "
-    "percentiles (10w) and the KLL approx_percentile (10w-a), and the "
-    "shape a streaming/partitioned system actually deploys: partial "
-    "digests per (type, salt=16-way hash split) built in parallel via "
-    "applyInPandas over Arrow batches (each sees 1/16 of one type's "
-    "values, NEVER the corpus), then per-type digest-of-digests merge "
-    "— the two-level tree that extends to any depth at 100 TB. State "
-    "is <= ~2*delta centroids per partial (delta=100), so the final "
-    "merge touches <= 16*2*delta rows per type. Accuracy-vs-exact, "
-    "monotonicity, merge-invariance and determinism pinned in "
-    "tests/test_sketches.py; rows-gate only (the greedy merge order "
-    "is not SQL-expressible).",
-    tags=("sketch", "analytics", "rows_gate"),
-)
-def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+# k1-scale bucket boundaries, K(b) = (sin(pi*(b/delta - 1/2)) + 1)/2
+# for b = 0..delta: the inverse of Dunning's k1 scale function, i.e.
+# the quantile split points a delta-cluster t-digest targets (small
+# clusters at both tails, wide in the middle). Computed ONCE in
+# Python and embedded as identical double literals in the Spark plan
+# and the DuckDB oracle (the PINNED_CENTROIDS idiom: repr round-trips
+# doubles exactly in both parsers), so bucket rank boundaries
+# round(n * K_b) are bit-identical across engines.
+def _td_k_bounds(delta: int = TD_DELTA) -> list[float]:
+    import math
+
+    return [
+        (math.sin(math.pi * (b / delta - 0.5)) + 1.0) / 2.0
+        for b in range(delta + 1)
+    ]
+
+
+TD_K_BOUNDS = _td_k_bounds()
+
+
+def tdigest_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GREEDY two-level mergeable t-digest (Dunning & Ertl 2019):
+    partial digests per (type, salt=16-way hash split) built in
+    parallel via applyInPandas over Arrow batches (each sees 1/16 of
+    one type's values, never the corpus), then per-type
+    digest-of-digests merge — the streaming/partitioned deployment
+    shape, extending to any tree depth at 100 TB. Pytest-gated
+    (accuracy-vs-exact, merge-invariance, agreement with the
+    registered declarative digest); the greedy merge ORDER is not
+    SQL-expressible, which is why the registered query uses the
+    rank-bucket construction below instead."""
     import pandas as pd
 
     ev = table(spark, sf_dir, "events")
@@ -886,6 +898,231 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             merge,
             "event_type string, q double, est_value double, n_centroids int",
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+_TD_BOUNDS_SQL = ", ".join(
+    f"({b}, {klo!r}, {khi!r})"
+    for b, (klo, khi) in enumerate(zip(TD_K_BOUNDS, TD_K_BOUNDS[1:]))
+)
+_TD_QS_SQL = ", ".join(f"({q!r})" for q in TD_QS)
+
+
+def _td_oracle_sql() -> str:
+    return f"""
+    WITH grid AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT event_type, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM grid
+    ),
+    bounds AS (SELECT * FROM (VALUES {_TD_BOUNDS_SQL}) t(b, klo, khi)),
+    seg AS (
+        SELECT c.event_type, c.cents, b.b,
+               LEAST(c.cum, CAST(ROUND(c.n * b.khi) AS BIGINT))
+               - GREATEST(c.cum - c.cnt,
+                          CAST(ROUND(c.n * b.klo) AS BIGINT)) AS w
+        FROM cells c JOIN bounds b
+          ON CAST(ROUND(c.n * b.klo) AS BIGINT) < c.cum
+         AND CAST(ROUND(c.n * b.khi) AS BIGINT) > c.cum - c.cnt
+    ),
+    cent AS (
+        SELECT event_type, b,
+               CAST(SUM(w) AS BIGINT) AS w,
+               CAST(SUM(cents * w) AS BIGINT) AS sc
+        FROM seg WHERE w > 0 GROUP BY 1, 2
+    ),
+    srv AS (
+        SELECT event_type, b,
+               CAST(sc AS DOUBLE) / CAST(w AS DOUBLE) / 100.0 AS mean,
+               2 * SUM(w) OVER (PARTITION BY event_type ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) - w AS two_mid,
+               SUM(w) OVER (PARTITION BY event_type) AS tw,
+               COUNT(*) OVER (PARTITION BY event_type) AS nc
+        FROM cent
+    ),
+    pairs AS (
+        SELECT event_type, mean, two_mid, tw, nc,
+               LEAD(two_mid) OVER wb AS c1, LEAD(mean) OVER wb AS m1,
+               FIRST_VALUE(mean) OVER wf AS fm,
+               LAST_VALUE(mean) OVER wf AS lm,
+               MIN(two_mid) OVER wp AS minc
+        FROM srv
+        WINDOW wb AS (PARTITION BY event_type ORDER BY b),
+               wf AS (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING),
+               wp AS (PARTITION BY event_type)
+    ),
+    qs AS (
+        SELECT t.event_type, CAST(v.q AS DOUBLE) AS q
+        FROM (SELECT DISTINCT event_type FROM cent) t
+        CROSS JOIN (VALUES {_TD_QS_SQL}) v(q)
+    ),
+    est AS (
+        SELECT p.event_type, q.q,
+               MAX(CASE WHEN (q.q * p.tw) * 2.0 > p.two_mid
+                         AND (q.q * p.tw) * 2.0 <= p.c1
+                        THEN p.mean + (p.m1 - p.mean)
+                             * ((q.q * p.tw) * 2.0 - p.two_mid)
+                             / (p.c1 - p.two_mid) END) AS interp,
+               MAX(CASE WHEN (q.q * p.tw) * 2.0 <= p.minc
+                        THEN p.fm ELSE p.lm END) AS edge,
+               MAX(p.nc) AS nc
+        FROM pairs p JOIN qs q USING (event_type)
+        GROUP BY 1, 2
+    )
+    SELECT event_type, q,
+           ROUND(COALESCE(interp, edge), 4) AS est_value,
+           CAST(nc AS INTEGER) AS n_centroids
+    FROM est ORDER BY event_type, q
+    """
+
+
+@register(
+    "tdigest_value_quantiles",
+    oracle=_td_oracle_sql(),
+    doc="t-digest quantiles of event value per type (Dunning & Ertl "
+    "2019) — the mergeable-sketch companion of the exact sort-based "
+    "percentiles (10w) and the KLL approx_percentile (10w-a). Oracle "
+    "hash gate since r10 (VERDICT r9 #4b): the digest is built by the "
+    "RANK-BUCKET construction — the (event_type, cents) bounded count "
+    "grid (the W1/PSI/CUSUM drift-grid shape: ONE corpus shuffle to a "
+    "value-domain-bounded grid, no per-row window, no giant per-type "
+    "sort) is split at the k1-scale quantile boundaries round(n*K_b), "
+    "K_b = (sin(pi*(b/delta-1/2))+1)/2 pinned as identical double "
+    "literals on both engines, straddling cells splitting their "
+    "weight by exact integer rank overlap. Centroid means are exact "
+    "int64 cent sums over int64 weights (one division each) and "
+    "serving is the standard cumulative-midpoint interpolation on "
+    "2*mid integers — engine-exact end to end. The greedy two-level "
+    "digest-of-digests form stays available as tdigest_merge_partials "
+    "(pytest-gated: merge-invariance + agreement with this digest); "
+    "state here is <= delta centroids per type.",
+    tags=("sketch", "analytics"),
+)
+def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cells = grid.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bounds = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [
+                (b, klo, khi)
+                for b, (klo, khi) in enumerate(
+                    zip(TD_K_BOUNDS, TD_K_BOUNDS[1:])
+                )
+            ],
+            "b int, klo double, khi double",
+        )
+    )
+    r_lo = F.round(F.col("n") * F.col("klo")).cast("long")
+    r_hi = F.round(F.col("n") * F.col("khi")).cast("long")
+    seg = (
+        cells.join(
+            bounds,
+            (r_lo < F.col("cum")) & (r_hi > F.col("cum") - F.col("cnt")),
+        )
+        .select(
+            "event_type",
+            "cents",
+            "b",
+            (
+                F.least(F.col("cum"), r_hi)
+                - F.greatest(F.col("cum") - F.col("cnt"), r_lo)
+            ).alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    cent = seg.groupBy("event_type", "b").agg(
+        F.sum("w").cast("long").alias("w"),
+        F.sum(F.col("cents") * F.col("w")).cast("long").alias("sc"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("b")
+    w_bcum = w_b.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_b.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    srv = cent.select(
+        "event_type",
+        "b",
+        (F.col("sc").cast("double") / F.col("w").cast("double") / 100.0)
+        .alias("mean"),
+        (2 * F.sum("w").over(w_bcum) - F.col("w")).alias("two_mid"),
+        F.sum("w").over(w_all).alias("tw"),
+        F.count(F.lit(1)).over(w_all).alias("nc"),
+    )
+    pairs = srv.select(
+        "event_type",
+        "mean",
+        "two_mid",
+        "tw",
+        "nc",
+        F.lead("two_mid").over(w_b).alias("c1"),
+        F.lead("mean").over(w_b).alias("m1"),
+        F.first("mean").over(w_full).alias("fm"),
+        F.last("mean").over(w_full).alias("lm"),
+        F.min("two_mid").over(w_all).alias("minc"),
+    )
+    qs = (
+        cent.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.array(*[F.lit(float(q)) for q in TD_QS])).alias("q"),
+        )
+    )
+    t2 = (F.col("q") * F.col("tw")) * F.lit(2.0)
+    interp = F.when(
+        (t2 > F.col("two_mid")) & (t2 <= F.col("c1")),
+        F.col("mean")
+        + (F.col("m1") - F.col("mean"))
+        * (t2 - F.col("two_mid"))
+        / (F.col("c1") - F.col("two_mid")),
+    )
+    edge = F.when(t2 <= F.col("minc"), F.col("fm")).otherwise(F.col("lm"))
+    return (
+        pairs.join(qs, "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.max(interp).alias("interp"),
+            F.max(edge).alias("edge"),
+            F.max("nc").alias("nc"),
+        )
+        .select(
+            "event_type",
+            "q",
+            F.round(F.coalesce("interp", "edge"), 4).alias("est_value"),
+            F.col("nc").cast("int").alias("n_centroids"),
         )
         .orderBy("event_type", "q")
     )

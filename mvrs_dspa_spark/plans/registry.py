@@ -47,400 +47,93 @@ def register(
     return deco
 
 
-# The external correctness driver checks the FIRST 50 registered queries
-# each round. This list pins the front of the ordering explicitly so slot
-# allocation doesn't depend on import side-effect order: queries never
-# driver-verified (r1-r2), queries whose implementation changed this round,
-# and queries first registered this round go first; stable r2-green queries
-# rotate to the back. Names not in this list follow in registration order.
+# The external correctness driver checks the FIRST 50 registered
+# queries each round. Since r10 the window is GENERATED, not accreted
+# (VERDICT r9 #2): `python tools/freshness.py --write-window` rewrites
+# the tuple between the markers below as _CHANGED_THIS_ROUND (first
+# driver checks of changed/new implementations, <=5 by policy)
+# followed by the oldest-first re-sweep queue (never-checked first,
+# then stalest round, oracle gates before rows gates, name tiebreak).
+# tests/test_freshness_ledger.py pins _DRIVER_PRIORITY to the tool's
+# output, so a hand edit or a missed regeneration fails CI. Names not
+# in the window follow in registration order.
+
+# Queries whose implementation changed (or that were first registered)
+# this round — they take the window's front slots for a first driver
+# check of the NEW behavior; everything else is re-verification and
+# cycles mechanically. Keep <=5 (the drain policy) and clear at the
+# next round open.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r10: integer-division grid quantization + exact two-stage x
+    # quantization + stack() output fan-out (ADVICE r9 items 1/2/4).
+    "markov_attribution",
+    # r10: the \x1f separator invariant is now enforced in the shared
+    # vocab filter on both engines (ADVICE r9 item 3) — re-check both
+    # riders of the _bpe_chain_ctes merge chain.
+    "bpe_train",
+    "tokenizer_fertility",
+    # r10: rows-gate -> oracle hash gate conversions (VERDICT r9 #4):
+    # pinned-centroid contingency table + 1e9 int-code MI/entropy for
+    # the agreement report; rank-bucket k1-scale digest on the bounded
+    # cents grid for the t-digest.
+    "kmeans_label_agreement",
+    "tdigest_value_quantiles",
+)
+
+# --- BEGIN GENERATED WINDOW (python tools/freshness.py --write-window) ---
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND 9 WINDOW =================
-    # Verification-drain round (VERDICT r8 'Next round' #1): ZERO new
-    # registered queries; the whole window re-sweeps the staleness
-    # backlog oldest-first. Only 3 slots go to changed implementations:
-    # - markov_attribution: rows-gate -> oracle hash gate (VERDICT r8
-    #   #4b; the <=6x6 absorbing solve unrolled as exact fraction
-    #   arithmetic on both engines) — first hash check.
-    # - bpe_train: rows-gate -> oracle hash gate (VERDICT r8 #4a; the
-    #   bounded merge fold inlined in recursive SQL, kcore
-    #   MATERIALIZED idiom) — first hash check.
-    # - graph_kcore_summary: k=3 peel seeded from the k=2 fixpoint and
-    #   k=4 from k=3 (VERDICT r8 #5; monotone core containment), both
-    #   engines run the IDENTICAL seeded iteration — re-check.
-    # The df_cap option on dedup_containment / minhash_containment_join
-    # (VERDICT r8 #3) defaults to None with a byte-identical plan, so
-    # those registered rows need no changed-implementation slot;
-    # dedup_containment re-checks below as part of the r4 drain anyway.
     "markov_attribution",
     "bpe_train",
-    "graph_kcore_summary",
-    # Two MORE rows->oracle conversions landed mid-round (beyond the
-    # VERDICT ask): tokenizer_fertility rides the shared _bpe_chain_ctes
-    # merge chain, item_communities_lpa unrolls its rounds with
-    # exact-integer modularity. First hash checks — changed
-    # implementations outrank stale re-verification, so these take the
-    # two r4 slots events_profile / events_quarantine (deferred to r10).
     "tokenizer_fertility",
-    "item_communities_lpa",
-    # Slots 6-35: the full r3 block (27 oracle + 3 rows-gates,
-    # including the two rows-gates displaced from the r8 window).
-    "user_sessions",
-    "session_conversion",
-    "similar_users_jaccard",
-    "similar_users_minhash_lsh",
-    "recommendation_agreement",
-    "item_cooccurrence_triangles",
-    "text_features",
-    "train_test_split",
-    "stratified_sample",
-    "source_quota_cap",
-    "pack_sequences",
-    "constraint_violations",
-    "dedup_modality_agreement",
-    "doc_unigram_logprob",
-    "error_purchase_precursor_join",
-    "fuzzy_name_pairs",
-    "lang_id_confusion",
-    "lang_mix_temperature",
-    "length_bucketed_batches",
-    "pca_embeddings_projection",
-    "quality_percentile_filter",
-    "reply_tree_roots",
-    "reply_tree_stats",
-    "salted_event_rollup",
-    "shard_manifest",
-    "training_corpus_manifest",
-    "user_item_sets",
-    "weighted_sample_topk",
-    "media_features",
-    "semantic_dedup",
-    # Slots 36-50: the 15 alphabetically-first r4 ORACLE rows (the two
-    # r4 rows-gates ann_lsh_banded / ann_ivf_pq carry pytest invariant
-    # pins and defer — oracle rows buy more re-verification per slot).
-    "ab_test_report",
-    "activity_gini",
-    "bigram_pmi",
-    "bpe_merge_pairs",
-    "cdc_merge_apply",
-    "cms_heavy_hitters",
-    "code_switch_report",
-    "corpus_mixture_report",
-    "cross_source_dup_matrix",
-    "curriculum_manifest",
-    "decontaminate_semantic",
-    "dedup_containment",
-    "doc_bigram_logprob",
-    "embedding_quantize",
-    "event_value_equidepth_histogram",
-    # (re-sweep queue for round 10, oldest-first: events_profile,
-    # events_quarantine, then the remaining 25 r4
-    # oracle rows — hll_user_counts, hourly_crosscorr_leadlag,
-    # hourly_value_autocorrelation, hybrid_search,
-    # incremental_hourly_rollup, interarrival_profile,
-    # item_pagerank, join_key_skew_report, k_anonymity_report,
-    # mad_value_outliers, minhash_calibration, multi_step_funnel,
-    # negative_samples, prefix_jaccard_join, props_key_profile,
-    # script_profile, session_attribution, source_token_divergence,
-    # temporal_split, user_decayed_activity, user_rfm_segments,
-    # user_state_history, winsorized_value_stats,
-    # events_snapshot_diff, sliding_distinct_users_hll — plus the two
-    # r4 rows-gates, then the r5 block (TPC-H + similarity-family).)
-    # ================= ROUND 8 WINDOW =================
-    # Slots 1-5: the round-8 second-wave registrations (never driver-
-    # checked): rank-based nonparametric tests sharing one midrank-grid
-    # definition, exact Shapley channel attribution, and the two graph
-    # structure metrics on the shared co-occurrence edge builder.
-    "value_mannwhitney_by_type",
-    "kruskal_wallis_value",
-    "shapley_channel_attribution",
-    "graph_clustering_coefficient",
-    "graph_assortativity",
-    "doc_readability",
-    "feature_hashing_vectors",
-    "graph_kcore_summary",
-    "value_hour_spearman",
-    "hourly_mann_kendall_trend",
-    "coreset_kcenter_selection",
-    "mannwhitney_fdr_bh",
-    "changepoint_segmented_trend",
-    "embedding_centroid_drift",
-    "value_anova_by_type",
-    "value_brown_forsythe",
-    "bootstrap_mean_ci",
-    "pack_efficiency_report",
-    "epoch_shuffle_order",
-    "did_analysis",
-    "user_capture_recapture",
-    "embedding_intrinsic_dim",
-    "conversion_trend_cochran_armitage",
-    "ql_dirichlet_search",
-    "value_drift_divergences",
-    # hourly_theil_sen_trend re-checks this round: its Spark/SQL series
-    # definition moved to the shared ts_bucketed_points/TS_PTS_SQL
-    # (plan-identical; changed-implementation policy)
-    "hourly_theil_sen_trend",
-    # hourly_changepoint_cusum re-checks this round: reworked to exact
-    # integer-cent cells + decimal peak statistic (shared with the
-    # streaming monitor 29ak)
-    "hourly_changepoint_cusum",
-    # value_drift_ks re-checks this round: reworked onto the shared
-    # W1 cents grid + ks_from_cells tail (one monitor state now serves
-    # both drift statistics)
-    "value_drift_ks",
-    # Slots 6-10: queries changed or first registered earlier this round.
-    # - point_in_time_state_join: rewritten in the union-tag as-of
-    #   shape (VERDICT r7 'What's wrong' #1; 10x probe 8.2 -> 2.5)
-    # - value_wasserstein_drift: decimal/HUGEINT accumulator
-    #   (ADVICE r7 overflow headroom)
-    # - minhash_containment_join: oracle hoisted to MATERIALIZED CTEs
-    #   (ADVICE r7; Spark side unchanged, re-check is defensive)
-    # - ann_lsh_assign_pinned / embedding_pq_encode_pinned: NEW pinned
-    #   hash-gate twins of the rows-gated ann_lsh / embedding_pq
-    #   (VERDICT r7 #3) — first driver check.
-    "point_in_time_state_join",
-    "value_wasserstein_drift",
-    "minhash_containment_join",
-    "ann_lsh_assign_pinned",
-    "embedding_pq_encode_pinned",
-    # Slots 6-7: oracle-gated queries whose Spark side was refactored
-    # this round to share ONE definition with the new streaming
-    # maintainers (psi_bucket_col/psi_from_counts with 29af;
-    # theta_code_col/theta_sketch_table with 29ag) — changed
-    # implementations outrank stale re-verification, so these take the
-    # slots of the two r3 rows-gates (media_features, semantic_dedup),
-    # which defer to the r9 window.
-    "value_drift_psi",
-    "theta_sketch_distinct_union",
-    # Slots 8-50: the staleness re-sweep (VERDICT r7 #2) — every r2/r3
-    # row except the two displaced rows-gates, oldest first. After this
-    # window no ORACLE row is older than r4; the r4 block (47 rows)
-    # rotates in next round.
-    # -- r2-checked rows (4 hash + 6 rows-gate) --
-    "boilerplate_ngrams",
-    "chunk_documents",
-    "dedup_clusters",
-    "dedup_incremental",
-    "ann_ivf",
-    "ann_lsh",
-    "event_user_counts_approx",
-    "event_value_percentiles_approx",
-    "kmeans_embeddings",
-    "unusual_activity",
-    # -- r3-checked rows (the queued re-sweep order from r7 first) --
-    "bm25_search",
-    "tfidf_top_terms",
-    "token_coverage_curve",
-    "sliding_activity_stats",
-    "hourly_event_rollup",
-    "user_sessions",
-    "session_conversion",
-    "similar_users_jaccard",
-    "similar_users_minhash_lsh",
-    "recommendation_agreement",
-    "item_cooccurrence_triangles",
-    "text_features",
-    "train_test_split",
-    "stratified_sample",
-    "source_quota_cap",
-    "pack_sequences",
-    # -- remaining r3-checked rows --
-    "constraint_violations",
-    "dedup_modality_agreement",
-    "doc_unigram_logprob",
-    "error_purchase_precursor_join",
-    "fuzzy_name_pairs",
-    "lang_id_confusion",
-    "lang_mix_temperature",
-    "length_bucketed_batches",
-    "pca_embeddings_projection",
-    "quality_percentile_filter",
-    "reply_tree_roots",
-    "reply_tree_stats",
-    "salted_event_rollup",
-    "shard_manifest",
-    "training_corpus_manifest",
-    "user_item_sets",
-    "weighted_sample_topk",
-    # (re-sweep queue for round 9: the r3 rows displaced past slot 50
-    # by the ten second-wave entries above — the §2g ledger
-    # (tools/freshness.py) is the mechanical source of which rows are
-    # in-window vs displaced — plus media_features + semantic_dedup
-    # (r3 rows-gates displaced by the two changed oracle queries
-    # above), then the 47 r4-checked rows, oldest
-    # block — ab_test_report, activity_gini, ann_ivf_pq,
-    # ann_lsh_banded, bigram_pmi, bpe_merge_pairs, cdc_merge_apply,
-    # cms_heavy_hitters, code_switch_report, corpus_mixture_report,
-    # cross_source_dup_matrix, curriculum_manifest,
-    # decontaminate_semantic, dedup_containment, doc_bigram_logprob,
-    # embedding_quantize, event_value_equidepth_histogram, ... — plus
-    # whatever round 9 changes or registers.)
-    # ================= ROUND 7 WINDOW =================
-    # Slot 1: the single red row of round 6 — entropy terms now summed
-    # as 1e9 int64 codes on both engines (float summation order was
-    # the divergence; third occurrence of the class, lint added in
-    # tests/test_transcendental_sums.py). Must re-check green.
-    "doc_stopword_entropy",
-    # Slots 2-17: the 16 wave-7/9 queries registered after the round-6
-    # window filled — implemented + locally parity-green but NEVER
-    # driver-checked (VERDICT r6 'What's missing' #1).
-    "blocklist_filter_report",
-    "ngram_diversity_report",
-    "doremi_domain_weights",
-    "hourly_theil_sen_trend",
-    "forecast_backtest_mase",
-    "knn_shapley_data_values",
-    "hourly_burstiness",
-    "ncm_classifier_eval",
-    "heaps_law_fit",
-    "zipf_slope_fit",
-    "vocab_good_turing",
-    "daily_growth_accounting",
-    "parts_abc_classification",
-    "ab_test_cuped",
-    "supplier_scorecard",
-    "brand_price_elasticity",
-    # Changed this round: synth_media now emits a deterministic
-    # duplicate payload pair so this row is non-vacuous (r6 gate was
-    # 'clean' with 0 rows); pinned-centroid oracle variant of the
-    # k-means selection step (VERDICT #8).
-    "media_phash_dedup",
-    "kmeans_assign_pinned",
-    # Changed this round by the transcendental-sum lint sweep
-    # (tests/test_transcendental_sums.py): entropy/chi-square terms now
-    # summed as 1e9 int64 codes. source_token_entropy additionally had
-    # never been driver-checked.
-    "source_token_entropy",
-    "event_dow_chisq",
-    "conditional_entropy_transitions",
-    # ---- round-7 NEW registrations (first driver check) ----
-    "order_batch_windows",
-    "sequential_ab_sprt",
-    "ewma_hourly_forecast",
-    "lineitem_discount_lift",
-    "cohort_ltv_curves",
-    "influence_functions_lr",
-    "minhash_containment_join",
-    "percolation_components",
-    "shingle_entropy_profile",
-    "price_index_laspeyres",
-    "session_path_markov_absorbing",
-    "uplift_model_tlearner",
-    "value_wasserstein_drift",
-    "embedding_random_projection",
-    "token_budget_selection",
-    # ---- r3-era re-sweep (longest-unverified hash-green rows; fill
-    # the remaining slots of the 50-window) ----
-    "event_cube_summary",
-    "user_event_type_pivot",
-    "user_journey_paths",
-    "event_type_transitions",
-    "event_value_histogram",
-    "user_hourly_gapfill",
-    "retention_cohorts",
-    "hourly_value_momentum",
-    "event_value_regression",
-    "lang_id",
-    "doc_quality",
-    "token_counts",
-    "doc_fingerprint",
-    # (next re-sweep rotation: bm25_search, tfidf_top_terms,
-    # token_coverage_curve, sliding_activity_stats,
-    # hourly_event_rollup, user_sessions, session_conversion, similar_users_jaccard,
-    # similar_users_minhash_lsh, recommendation_agreement,
-    # item_cooccurrence_triangles, text_features, train_test_split,
-    # stratified_sample, source_quota_cap, pack_sequences, then the
-    # r5-green TPC-H block)
-    # ================= ROUND 6 WINDOW (kept below for history; these
-    # names are all driver-green as of r6 and follow in order) =====
-    "embedding_pq",
-    # -- round-6 NEW registrations: the 16 names round 5 promised, now
-    # implemented (plans/analytics2.py + sketches/sampling/text/
-    # cleaning/similarity additions). 15 oracle-gated, tdigest is the
-    # one declared rows-gate. First driver check for each. --
-    "rfm_segment_counts",
-    "graph_degree_stats",
-    "orders_cdf_quantiles",
-    "top2_share_per_type",
-    "haversine_store_assignment",
-    "user_lifecycle_stages",
-    "theta_sketch_distinct_union",
-    "value_ttest_by_type",
-    "seasonal_hour_profile",
-    "entity_resolution_blocking",
-    "doc_stopword_entropy",
-    "reservoir_sample_events",
-    "conditional_entropy_transitions",
-    "benford_value_audit",
+    "kmeans_label_agreement",
     "tdigest_value_quantiles",
-    "anomaly_mahalanobis_2d",
-    # -- round-6 later waves (#118-136): temporal join + survival +
-    # privacy, data selection + dedup + feature encoders, sketch
-    # algebra + retrieval/cluster evals, basket/attribution/geo, media
-    # pHash, rank normalization. First driver check for each;
-    # rows-gated by design: tokenizer_fertility, markov_attribution,
-    # media_phash_dedup (the rest oracle-gated). --
-    "point_in_time_state_join",
-    "kaplan_meier_conversion",
-    "l_diversity_report",
-    "dsir_importance_weights",
-    "substring_dup_rate",
-    "target_encoding_loo",
-    "gdpr_erasure_audit",
-    "theta_sketch_overlap",
-    "embedding_truncation_eval",
-    "tokenizer_fertility",
-    "dau_wau_stickiness",
-    "knn_confidence_calibration",
-    "basket_lift_pairs",
-    "markov_attribution",
-    "bloom_membership_report",
-    "supplier_ship_latency",
-    "doc_novelty_rate",
-    "media_phash_dedup",
-    "quantile_transform_values",
-    # -- queries whose implementation changed in round 6 (shared
-    # shingle-scan refactor in dedup/ensemble; shared count-table
-    # rebuild in sketches) --
-    "dedup_minhash_lsh",
-    "ngram_jaccard_pairs",
-    "dedup_method_eval",
-    "join_size_estimate",
-    # -- round-6 final wave (plans/features.py #137-140): WOE/IV
-    # encoding, Wilson lower-bound ranking, Z-order layout, DP count
-    # release — first driver check for each, all oracle-gated --
-    "woe_information_value",
-    "wilson_ctr_ranking",
-    "zorder_clustering",
-    "dp_event_counts",
-    # -- round-6 model fits (operators/mlmodels.py #141-142), both
-    # rows-gated by design (iterative fits) --
-    "quality_classifier_lr",
-    "als_implicit_recs",
-    # -- round-6 seventh wave (#143-146): gaps-and-islands streaks,
-    # STL decomposition, closed-form NB classifier, NDCG ranking
-    # eval — first driver check for each, all oracle-gated. These
-    # take the 4 slots the r3-era re-sweep block would have used:
-    # first-time checks outrank re-verification of hash-green rows;
-    # that block rotates in next round. --
-    "user_activity_streaks",
-    "hourly_stl_decomposition",
-    "nb_lang_classifier",
-    "ann_ndcg_eval",
-    # (re-sweep queue for the next rotation: event_cube_summary /
-    # user_event_type_pivot / user_journey_paths /
-    # event_type_transitions / event_value_histogram / user_hourly_gapfill /
-    # retention_cohorts / hourly_value_momentum /
-    # event_value_regression / lang_id / doc_quality / token_counts /
-    # doc_fingerprint / bm25_search / tfidf_top_terms /
-    # token_coverage_curve / sliding_activity_stats /
-    # hourly_event_rollup / user_sessions /
-    # session_conversion / similar_users_jaccard /
-    # similar_users_minhash_lsh /
-    # recommendation_agreement / item_cooccurrence_triangles /
-    # text_features / train_test_split / stratified_sample /
-    # source_quota_cap / pack_sequences rotate to the next round's
-    # re-sweep: the 50-slot window is full)
+    "events_profile",
+    "events_quarantine",
+    "events_snapshot_diff",
+    "hll_user_counts",
+    "hourly_crosscorr_leadlag",
+    "hourly_value_autocorrelation",
+    "hybrid_search",
+    "incremental_hourly_rollup",
+    "interarrival_profile",
+    "item_pagerank",
+    "join_key_skew_report",
+    "k_anonymity_report",
+    "mad_value_outliers",
+    "minhash_calibration",
+    "multi_step_funnel",
+    "negative_samples",
+    "prefix_jaccard_join",
+    "props_key_profile",
+    "script_profile",
+    "session_attribution",
+    "sliding_distinct_users_hll",
+    "source_token_divergence",
+    "temporal_split",
+    "user_decayed_activity",
+    "user_rfm_segments",
+    "user_state_history",
+    "winsorized_value_stats",
+    "ann_ivf_pq",
+    "ann_lsh_banded",
+    "activity_ledger",
+    "ann_cosine_topk",
+    "click_purchase_asof",
+    "customers_without_orders",
+    "decontaminate",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_repetition",
+    "embedding_near_dup",
+    "event_pattern_matches",
+    "event_rollup_hierarchy",
+    "event_user_counts",
+    "event_value_percentiles",
+    "knn_label_eval",
+    "latest_events_snapshot",
+    "pii_scrub",
 )
+# --- END GENERATED WINDOW ---
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -25,6 +25,9 @@ _NONEMPTY_ON_EMPTY = {
     "hourly_value_autocorrelation": 2,  # one row per lag, n=0/NULL r
     "multi_step_funnel": 3,  # one zero-count row per funnel step
     "ab_test_report": 1,  # scalar aggregate: one all-NULL summary row
+    # r10 pinned-assignment form: scalar aggregate (one all-NULL row,
+    # identical on the oracle side); the fitted form still returns 0
+    "kmeans_label_agreement": 1,
     "join_key_skew_report": 3,  # one scalar summary row per key column
     "activity_gini": 1,  # scalar aggregate: one summary row
     "join_size_estimate": 3,  # one NULL-sized summary row per join pair

@@ -87,3 +87,25 @@ def test_queue_is_oldest_first_and_covers_registry():
         m = __import__("re").search(r"r(\d+)", state)
         rounds.append(int(m.group(1)) if m else -1)
     assert rounds == sorted(rounds)
+
+
+def test_driver_priority_is_tool_generated():
+    """VERDICT r9 #2: _DRIVER_PRIORITY is the tool-computed 50-name
+    window (changed/new first, then the oldest-first queue) — exactly
+    50 names, no duplicates, bit-identical to compute_window(). A
+    hand edit, a stale regeneration, or an over-budget
+    _CHANGED_THIS_ROUND fails here."""
+    from mvrs_dspa_spark.plans.registry import (
+        _CHANGED_THIS_ROUND,
+        _DRIVER_PRIORITY,
+    )
+
+    mod = _load_freshness()
+    assert len(_DRIVER_PRIORITY) == mod.WINDOW_SIZE
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+    assert list(_DRIVER_PRIORITY) == mod.compute_window(), (
+        "run: python tools/freshness.py --write-window"
+    )
+    assert len(_CHANGED_THIS_ROUND) <= 5, (
+        "drain policy: at most 5 changed-implementation slots per round"
+    )

@@ -249,3 +249,26 @@ def test_bloom_no_false_negatives(spark, sf_small, sf_medium):
         assert 0.0 <= r.fp_rate <= 1.0
         # theory is the expected rate; allow generous sampling slack
         assert r.fp_rate <= max(5 * r.fp_theoretical, 0.05)
+
+
+def test_tdigest_two_level_agrees_with_declarative(spark, sf_medium):
+    """The greedy two-level digest-of-digests path (the streaming /
+    partitioned deployment shape) must land near the registered
+    declarative rank-bucket digest on every probe quantile — the two
+    constructions approximate the same distribution."""
+    from mvrs_dspa_spark.operators.sketches import (
+        tdigest_merge_partials,
+        tdigest_value_quantiles,
+    )
+
+    decl = {
+        (r.event_type, r.q): r.est_value
+        for r in tdigest_value_quantiles(spark, sf_medium).collect()
+    }
+    greedy = {
+        (r.event_type, r.q): r.est_value
+        for r in tdigest_merge_partials(spark, sf_medium).collect()
+    }
+    assert set(decl) == set(greedy)
+    for key, d in decl.items():
+        assert abs(d - greedy[key]) <= 12.0, (key, d, greedy[key])

@@ -23,6 +23,16 @@ Usage:
     python tools/freshness.py --queue N  # print the N oldest-first
                                          # re-sweep candidates for the
                                          # next round's window
+    python tools/freshness.py --window   # print the 50-name driver
+                                         # window (changed/new first,
+                                         # then the oldest-first queue)
+    python tools/freshness.py --write-window
+                                         # regenerate _DRIVER_PRIORITY
+                                         # in plans/registry.py between
+                                         # the GENERATED WINDOW markers
+                                         # (VERDICT r9 #2: the window
+                                         # is produced by this tool,
+                                         # not hand-accreted)
 """
 
 from __future__ import annotations
@@ -163,13 +173,11 @@ def apply(check_only: bool) -> int:
     return 0
 
 
-def queue(n: int) -> None:
-    """Print the n oldest-first re-sweep candidates: every registered
-    query ranked by (latest driver-check round, never-checked first),
-    oracle gates before rows gates within a round (an oracle slot buys
-    a value-hash re-verification; a rows slot only re-runs), name as
-    the final tiebreak. The mechanical source for the next round's
-    `_DRIVER_PRIORITY` drain block."""
+def _queue_order() -> tuple[list[str], dict[str, str]]:
+    """Every registered query ranked by (latest driver-check round,
+    never-checked first), oracle gates before rows gates within a
+    round (an oracle slot buys a value-hash re-verification; a rows
+    slot only re-runs), name as the final tiebreak."""
     sys.path.insert(0, REPO)
     from mvrs_dspa_spark.plans.registry import all_queries
 
@@ -188,9 +196,68 @@ def queue(n: int) -> None:
             name,
         )
 
-    for name in sorted(specs, key=key)[:n]:
+    return sorted(specs, key=key), latest
+
+
+def queue(n: int) -> None:
+    """Print the n oldest-first re-sweep candidates (`_queue_order`) —
+    the mechanical source of the window's drain block."""
+    sys.path.insert(0, REPO)
+    from mvrs_dspa_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    order, latest = _queue_order()
+    for name in order[:n]:
         gate = "oracle" if specs[name].oracle is not None else "rows"
         print(f"{name}  [{gate}, {latest.get(name, 'never')}]")
+
+
+WINDOW_SIZE = 50
+_WIN_BEGIN = "# --- BEGIN GENERATED WINDOW"
+_WIN_END = "# --- END GENERATED WINDOW"
+
+
+def compute_window(size: int = WINDOW_SIZE) -> list[str]:
+    """The driver window the registry pins: the round's declared
+    changed/new implementations first (`_CHANGED_THIS_ROUND`, <=5 by
+    policy — first driver checks outrank re-verification), then the
+    oldest-first re-sweep queue fills the remaining slots. Pure
+    function of the registry + CORRECTNESS files, so the window is
+    reproducible and test-pinned (VERDICT r9 #2)."""
+    sys.path.insert(0, REPO)
+    from mvrs_dspa_spark.plans.registry import (
+        _CHANGED_THIS_ROUND,
+        all_queries,
+    )
+
+    specs = all_queries()
+    changed = [n for n in dict.fromkeys(_CHANGED_THIS_ROUND) if n in specs]
+    order, _ = _queue_order()
+    fill = [n for n in order if n not in set(changed)]
+    return (changed + fill)[:size]
+
+
+def write_window() -> int:
+    """Rewrite the `_DRIVER_PRIORITY` tuple body between the GENERATED
+    WINDOW markers in plans/registry.py."""
+    path = os.path.join(REPO, "mvrs_dspa_spark", "plans", "registry.py")
+    with open(path) as f:
+        text = f.read()
+    begin = text.index(_WIN_BEGIN)
+    begin = text.index("\n", begin) + 1
+    end = text.index(_WIN_END)
+    names = compute_window()
+    body = "_DRIVER_PRIORITY: tuple[str, ...] = (\n"
+    body += "".join(f'    "{n}",\n' for n in names)
+    body += ")\n"
+    new_text = text[:begin] + body + text[end:]
+    if new_text == text:
+        print(f"registry window is up to date ({len(names)} names)")
+        return 0
+    with open(path, "w") as f:
+        f.write(new_text)
+    print(f"registry window regenerated ({len(names)} names)")
+    return 0
 
 
 if __name__ == "__main__":
@@ -199,4 +266,10 @@ if __name__ == "__main__":
         n = int(args[args.index("--queue") + 1])
         queue(n)
         sys.exit(0)
+    if "--window" in args:
+        for name in compute_window():
+            print(name)
+        sys.exit(0)
+    if "--write-window" in args:
+        sys.exit(write_window())
     sys.exit(apply(check_only="--check" in args))
