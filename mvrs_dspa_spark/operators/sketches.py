@@ -828,8 +828,10 @@ _td_compress, _td_quantile = _make_td_helpers()
 # clusters at both tails, wide in the middle). Computed ONCE in
 # Python and embedded as identical double literals in the Spark plan
 # and the DuckDB oracle (the PINNED_CENTROIDS idiom: repr round-trips
-# doubles exactly in both parsers), so bucket rank boundaries
-# round(n * K_b) are bit-identical across engines.
+# doubles exactly in both parsers), so the bucket rank boundaries
+# floor(n * K_b + 0.5) — computed once per type, floor+0.5 rather
+# than ROUND because Spark's double ROUND allocates a BigDecimal
+# per evaluation — are bit-identical across engines.
 def _td_k_bounds(delta: int = TD_DELTA) -> list[float]:
     import math
 
@@ -903,10 +905,15 @@ def tdigest_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TD_BOUNDS_SQL = ", ".join(
-    f"({b}, {klo!r}, {khi!r})"
-    for b, (klo, khi) in enumerate(zip(TD_K_BOUNDS, TD_K_BOUNDS[1:]))
-)
+# Literal boundary arrays (identical doubles in both engines): FULL =
+# K_0..K_delta for r_lo/r_hi lookup, INNER = the delta-1 interior
+# boundaries for the bucket-index indicator sums. Bucket assignment is
+# ARITHMETIC over these literals — b_first/b_last per grid cell, then
+# a bounded sequence explode — never a range join: the 49k-cell x
+# 100-bound BroadcastNestedLoopJoin this replaces cost ~3 s at sf0.1,
+# the codegen'd indicator sums are ~50 ms.
+_TD_K_FULL_SQL = "[" + ", ".join(f"{k!r}" for k in TD_K_BOUNDS) + "]"
+_TD_K_INNER_SQL = "[" + ", ".join(f"{k!r}" for k in TD_K_BOUNDS[1:-1]) + "]"
 _TD_QS_SQL = ", ".join(f"({q!r})" for q in TD_QS)
 
 
@@ -924,17 +931,30 @@ def _td_oracle_sql() -> str:
                SUM(cnt) OVER (PARTITION BY event_type) AS n
         FROM grid
     ),
-    bounds AS (SELECT * FROM (VALUES {_TD_BOUNDS_SQL}) t(b, klo, khi)),
-    seg AS (
-        SELECT c.event_type, c.cents, b.b,
-               LEAST(c.cum, CAST(ROUND(c.n * b.khi) AS BIGINT))
-               - GREATEST(c.cum - c.cnt,
-                          CAST(ROUND(c.n * b.klo) AS BIGINT)) AS w
-        FROM cells c JOIN bounds b
-          ON CAST(ROUND(c.n * b.klo) AS BIGINT) < c.cum
-         AND CAST(ROUND(c.n * b.khi) AS BIGINT) > c.cum - c.cnt
+    tb AS (
+        SELECT event_type,
+               list_transform({_TD_K_FULL_SQL},
+                   k -> CAST(FLOOR(n * k + 0.5) AS BIGINT)) AS bl
+        FROM (SELECT DISTINCT event_type, n FROM cells)
     ),
-    cent AS (
+    spans AS (
+        SELECT c.event_type, c.cents, c.cnt, c.cum, t.bl,
+               len(list_filter(t.bl, x -> x <= c.cum - c.cnt)) - 1
+                   AS b_first,
+               len(list_filter(t.bl, x -> x < c.cum)) - 1 AS b_last
+        FROM cells c JOIN tb t USING (event_type)
+    ),
+    seg AS (
+        SELECT event_type, cents, b_first AS b, cnt AS w
+        FROM spans WHERE b_first = b_last
+        UNION ALL
+        SELECT event_type, cents, b,
+               LEAST(cum, bl[b + 2])
+               - GREATEST(cum - cnt, bl[b + 1]) AS w
+        FROM (SELECT s.*, unnest(generate_series(b_first, b_last)) AS b
+              FROM spans s WHERE b_first < b_last)
+    ),
+    cent AS MATERIALIZED (
         SELECT event_type, b,
                CAST(SUM(w) AS BIGINT) AS w,
                CAST(SUM(cents * w) AS BIGINT) AS sc
@@ -997,7 +1017,7 @@ def _td_oracle_sql() -> str:
     "RANK-BUCKET construction — the (event_type, cents) bounded count "
     "grid (the W1/PSI/CUSUM drift-grid shape: ONE corpus shuffle to a "
     "value-domain-bounded grid, no per-row window, no giant per-type "
-    "sort) is split at the k1-scale quantile boundaries round(n*K_b), "
+    "sort) is split at the k1-scale quantile boundaries floor(n*K_b + 0.5), "
     "K_b = (sin(pi*(b/delta-1/2))+1)/2 pinned as identical double "
     "literals on both engines, straddling cells splitting their "
     "weight by exact integer rank overlap. Centroid means are exact "
@@ -1034,35 +1054,82 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("n"),
     )
-    bounds = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [
-                (b, klo, khi)
-                for b, (klo, khi) in enumerate(
-                    zip(TD_K_BOUNDS, TD_K_BOUNDS[1:])
-                )
-            ],
-            "b int, klo double, khi double",
+    # Boundary ranks r_j = floor(n * K_j + 0.5) are computed ONCE per
+    # type (a |types|-row broadcast carrying the 101-long rank array),
+    # not per grid row: inlining the 99-term indicator sums per row
+    # made a ~1200-node expression tree whose per-stage AQE replanning
+    # and interpreted evaluation cost 4-8 s at sf0.1; per-cell work is
+    # now two small array filters over the broadcast rank column
+    # (bl[1] = r_0 = 0 is always <= cum-cnt and bl[delta+1] = n never
+    # is, hence the -1). One rank definition also feeds the straddle
+    # weights below, so every consumer sees identical integers.
+    k_full = F.array(*[F.lit(k) for k in TD_K_BOUNDS])
+    tb = (
+        cells.select("event_type", "n")
+        .distinct()
+        .select(
+            "event_type",
+            F.transform(
+                k_full, lambda k: F.floor(F.col("n") * k + F.lit(0.5))
+            ).alias("bl"),
         )
     )
-    r_lo = F.round(F.col("n") * F.col("klo")).cast("long")
-    r_hi = F.round(F.col("n") * F.col("khi")).cast("long")
-    seg = (
-        cells.join(
-            bounds,
-            (r_lo < F.col("cum")) & (r_hi > F.col("cum") - F.col("cnt")),
+    spans = cells.join(F.broadcast(tb), "event_type").select(
+        "event_type",
+        "cents",
+        "cnt",
+        "cum",
+        "bl",
+        (
+            F.size(
+                F.filter(
+                    F.col("bl"),
+                    lambda x: x <= F.col("cum") - F.col("cnt"),
+                )
+            )
+            - 1
+        ).alias("b_first"),
+        (F.size(F.filter(F.col("bl"), lambda x: x < F.col("cum"))) - 1)
+        .alias("b_last"),
+    )
+    r_at = lambda off: F.element_at(  # noqa: E731
+        F.col("bl"), F.col("b") + off
+    )
+    # Cells wholly inside one bucket (the overwhelming majority: at
+    # most delta-1 cells per type can straddle a boundary) are a pure
+    # projection — w is the whole cell count, no boundary lookups and
+    # no generator. Only straddling cells (<= delta-1 per type) pay
+    # the sequence explode + literal-array lookups: GenerateExec
+    # evaluates its generator expression OUTSIDE whole-stage codegen
+    # (~25x slower per row measured), so keeping the generator off
+    # the grid-sized path took this stage 4 s -> ~0.1 s at sf0.1.
+    whole = spans.where(F.col("b_first") == F.col("b_last")).select(
+        "event_type",
+        "cents",
+        F.col("b_first").alias("b"),
+        F.col("cnt").alias("w"),
+    )
+    straddle = (
+        spans.where(F.col("b_first") < F.col("b_last"))
+        .select(
+            "event_type",
+            "cents",
+            "cnt",
+            "cum",
+            "bl",
+            F.explode(F.sequence("b_first", "b_last")).alias("b"),
         )
         .select(
             "event_type",
             "cents",
             "b",
             (
-                F.least(F.col("cum"), r_hi)
-                - F.greatest(F.col("cum") - F.col("cnt"), r_lo)
+                F.least(F.col("cum"), r_at(2))
+                - F.greatest(F.col("cum") - F.col("cnt"), r_at(1))
             ).alias("w"),
         )
-        .where(F.col("w") > 0)
     )
+    seg = whole.unionByName(straddle).where(F.col("w") > 0)
     cent = seg.groupBy("event_type", "b").agg(
         F.sum("w").cast("long").alias("w"),
         F.sum(F.col("cents") * F.col("w")).cast("long").alias("sc"),
@@ -1093,14 +1160,6 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("mean").over(w_full).alias("lm"),
         F.min("two_mid").over(w_all).alias("minc"),
     )
-    qs = (
-        cent.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(F.array(*[F.lit(float(q)) for q in TD_QS])).alias("q"),
-        )
-    )
     t2 = (F.col("q") * F.col("tw")) * F.lit(2.0)
     interp = F.when(
         (t2 > F.col("two_mid")) & (t2 <= F.col("c1")),
@@ -1110,8 +1169,13 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("c1") - F.col("two_mid")),
     )
     edge = F.when(t2 <= F.col("minc"), F.col("fm")).otherwise(F.col("lm"))
+    # fan the 7 probe quantiles onto each centroid row directly (a
+    # literal-array explode) — no separate qs branch, so the corpus
+    # subtree is consumed exactly once end to end
     return (
-        pairs.join(qs, "event_type")
+        pairs.withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in TD_QS]))
+        )
         .groupBy("event_type", "q")
         .agg(
             F.max(interp).alias("interp"),

@@ -234,6 +234,13 @@ def test_10x_events_user_skew_bounded(spark, tmp_path):
         # one partition run like the session family
         "value_mannwhitney_by_type",
         "markov_attribution",
+        # r10 (VERDICT r9 #6): the one graph query whose EDGE build
+        # touches the raw corpus — the co-occurrence self-join runs on
+        # DISTINCT (user, item) with an item domain bounded by the
+        # event-type x props.k vocabulary, so a 20%-hot user
+        # contributes at most C(|vocab|, 2) pairs ONCE (never per
+        # event) and the LPA rounds stay vocabulary-bounded
+        "item_communities_lpa",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
