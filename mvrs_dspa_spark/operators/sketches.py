@@ -905,15 +905,14 @@ def tdigest_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Literal boundary arrays (identical doubles in both engines): FULL =
-# K_0..K_delta for r_lo/r_hi lookup, INNER = the delta-1 interior
-# boundaries for the bucket-index indicator sums. Bucket assignment is
-# ARITHMETIC over these literals — b_first/b_last per grid cell, then
-# a bounded sequence explode — never a range join: the 49k-cell x
-# 100-bound BroadcastNestedLoopJoin this replaces cost ~3 s at sf0.1,
-# the codegen'd indicator sums are ~50 ms.
+# Literal boundary array (identical doubles in both engines):
+# K_0..K_delta, materialized ONCE per type into the bl rank array
+# (r_j = floor(n*K_j + 0.5)) that drives bucket assignment — never a
+# range join (the 49k-cell x 100-bound BroadcastNestedLoopJoin cost
+# ~3 s at sf0.1) and never per-row re-evaluation of the literal list
+# (inlined indicator sums made a ~1200-node tree whose interpreted
+# evaluation + AQE replanning cost 4-8 s).
 _TD_K_FULL_SQL = "[" + ", ".join(f"{k!r}" for k in TD_K_BOUNDS) + "]"
-_TD_K_INNER_SQL = "[" + ", ".join(f"{k!r}" for k in TD_K_BOUNDS[1:-1]) + "]"
 _TD_QS_SQL = ", ".join(f"({q!r})" for q in TD_QS)
 
 
