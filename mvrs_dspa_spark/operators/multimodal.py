@@ -4,11 +4,15 @@ A 100 TB training-data pipeline carries media as opaque ``binary``
 payload columns plus typed metadata, and runs decode / feature
 extraction / resizing / frame sampling as Arrow-batched Python stages.
 This module provides the Spark-side plumbing — schema, partition-size
-control, `mapInPandas` stage shape — with the actual codec calls
-stubbed (no image/audio libraries in this container): `decode=`
-defaults to a deterministic fake decoder so every downstream stage is
-fully testable; passing `decode="real"` raises NotImplementedError at
-the stage boundary where PIL/ffmpeg would plug in.
+control, `mapInPandas` stage shape. `decode=` defaults to a
+deterministic fake decoder so every downstream stage is fully
+testable and the registered driver-checked query stays byte-stable.
+Since r10, `decode="real"` is a GENUINE pure-numpy codec path for the
+containers that need no external libraries — uncompressed 24-bit BMP
+and PCM-16 WAV (`operators/media_codecs.py`: decode, feature
+extraction, nearest-neighbor resize, 8x8 aHash) — while compressed
+formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError at the
+per-payload boundary where PIL/ffmpeg would plug in.
 
 Scale notes: payloads never pass through the driver; binary columns
 ride Arrow record batches executor-side. `target_records_per_batch`
@@ -78,13 +82,22 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            # r10: genuine pure-numpy codec path for uncompressed BMP
+            # and PCM-16 WAV (operators/media_codecs.py); per-payload
+            # NotImplementedError remains for containers that need
+            # PIL/ffmpeg. Pytest-only surface, so the worker-side
+            # import of this package is acceptable here (the
+            # registered fake path stays self-contained).
+            from mvrs_dspa_spark.operators.media_codecs import (
+                real_features,
+            )
+
+            decode_fn = real_features
+        else:
+            decode_fn = _fake_decode_features
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/torchaudio/ffmpeg; "
-                    "not available in this environment"
-                )
-            feats = [_fake_decode_features(p) for p in pdf["payload"]]
+            feats = [decode_fn(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -137,6 +150,53 @@ def sample_frames(df: DataFrame, every_n: int = 10, decode: str = "fake") -> Dat
         df.filter(F.col("kind") == "video")
         .select("media_id", "payload", "n_frames")
         .mapInPandas(stage, schema=FRAME_SCHEMA)
+    )
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, decode: str = "real"
+) -> DataFrame:
+    """image payload -> resized image payload (the 1->1 transform
+    stage of the media pipeline). `decode="real"` decodes uncompressed
+    BMP, nearest-neighbor resizes, and re-encodes BMP (pure numpy —
+    operators/media_codecs.py); other containers raise where
+    PIL/ffmpeg would plug in. `decode="fake"` exercises only the
+    plumbing: payload passes through untouched with the target
+    dimensions stamped into the metadata columns."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                from mvrs_dspa_spark.operators.media_codecs import (
+                    decode_bmp,
+                    encode_bmp,
+                    resize_rgb,
+                )
+
+                payloads = [
+                    encode_bmp(resize_rgb(decode_bmp(bytes(p)), out_w, out_h))
+                    for p in pdf["payload"]
+                ]
+            else:
+                payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "width": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([out_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            stage,
+            schema="media_id long, payload binary, width int, height int",
+        )
     )
 
 
@@ -273,9 +333,27 @@ def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
 
         for pdf in batches:
             if decode == "real":
-                raise NotImplementedError(
-                    "real perceptual hashing requires PIL; not available"
+                # r10: real aHash for decodable (BMP) payloads — 8x8
+                # nearest-neighbor downsample, median threshold; the
+                # classic perceptual hash, so visually-similar images
+                # collide. Truncated (NOT xor-folded — folding maps an
+                # image and its negative to the same value) to
+                # PHASH_BITS so it rides the same hamming-local band
+                # join as the fake path. Non-image containers still
+                # need PIL/ffmpeg and raise inside ahash64.
+                from mvrs_dspa_spark.operators.media_codecs import (
+                    ahash64,
                 )
+
+                ph = [ahash64(p) & 0xFFFFFFFF for p in pdf["payload"]]
+                yield _pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "phash": _pd.Series(ph, dtype="int64"),
+                    }
+                )
+                continue
             # hash the HEX encoding of the payload: identical
             # discriminative power for a fake codec (exact payloads
             # collide), and hex keeps the pipeline expressible in the
