@@ -1029,17 +1029,28 @@ def _td_oracle_sql() -> str:
     tags=("sketch", "analytics"),
 )
 def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # grid coding is the SHARED w1_cents_col (one exact cents
+    # definition across the whole drift/digest family)
+    from mvrs_dspa_spark.plans.analytics4 import w1_cents_col
 
     ev = table(spark, sf_dir, "events")
     grid = (
-        ev.select(
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
+        ev.select("event_type", w1_cents_col().alias("cents"))
         .groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return tdigest_from_grid(grid)
+
+
+def tdigest_from_grid(grid: DataFrame) -> DataFrame:
+    """Serving tail shared by the registered batch query and the
+    streaming maintainer (streaming/tdigest_stream.TDigestMonitor):
+    (event_type, cents, cnt) count grid -> the per-type quantile
+    table. Every input is an integer and the tail is the batch
+    query's own exact pipeline, so a replayed event log reproduces
+    the batch digest bit-for-bit."""
+    from pyspark.sql import Window
+
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("cents")

@@ -17,6 +17,10 @@ from mvrs_dspa_spark.streaming.replay import (
     read_replay_stream,
     write_replay_batches,
 )
+from mvrs_dspa_spark.streaming.tdigest_stream import (
+    TDigestMonitor,
+    run_tdigest_stream,
+)
 from mvrs_dspa_spark.streaming.theta_stream import (
     ThetaMonitor,
     run_theta_stream,
@@ -196,6 +200,7 @@ def test_monitors_are_replay_order_independent(spark):
         (PsiMonitor, {"split_us": split}),
         (ThetaMonitor, {}),
         (WassersteinMonitor, {"split_us": split}),
+        (TDigestMonitor, {}),
     ):
         fwd = run(cls, [0, 1, 2, 3], **kw)
         rev = run(cls, [3, 2, 1, 0], **kw)
@@ -224,6 +229,7 @@ def test_monitor_save_load_restart_equals_uninterrupted(spark, tmp_path):
         (ThetaMonitor, {}, lambda cls, p: cls.load(spark, p)),
         (WassersteinMonitor, {"split_us": split},
          lambda cls, p: cls.load(spark, split, p)),
+        (TDigestMonitor, {}, lambda cls, p: cls.load(spark, p)),
     )
     for cls, kw, loader in cases:
         full = cls(spark, **kw)
@@ -241,3 +247,31 @@ def test_monitor_save_load_restart_equals_uninterrupted(spark, tmp_path):
         resumed.update(slices[3], 3)
         got = sorted(tuple(r) for r in resumed.report().collect())
         assert got and got == want, cls.__name__
+
+
+def test_streaming_tdigest_equals_batch(spark, tmp_path):
+    """29aq: the maintained (type, cents) grid served through the
+    shared tdigest_from_grid tail must reproduce the registered batch
+    digest BIT-FOR-BIT after a replayed log (integer grid + the batch
+    query's own engine-exact serving math)."""
+    from mvrs_dspa_spark.operators.sketches import tdigest_value_quantiles
+
+    ev = table(spark, SF, "events")
+    replay_dir = str(tmp_path / "replay_td")
+    write_replay_batches(ev, replay_dir, n_batches=4)
+    src = read_replay_stream(spark, replay_dir, ev.schema)
+    mon = run_tdigest_stream(src, str(tmp_path / "ckpt_td"))
+    assert mon.n_batches >= 4
+
+    want = sorted(
+        tuple(r) for r in tdigest_value_quantiles(spark, SF).collect()
+    )
+    got = sorted(tuple(r) for r in mon.report().collect())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_tdigest_monitor_empty_state(spark):
+    mon = TDigestMonitor(spark)
+    assert mon.report().collect() == []
+    mon.erase_users([1])
