@@ -265,7 +265,15 @@ def _agreement_from_ct(ct: DataFrame, k: int) -> DataFrame:
     entropy term is a 1e9 int64 code (house summation-order rule)
     over ratios of exact integers, so given an engine-exact
     contingency table the whole report is engine-exact: this is what
-    lets the registered query carry a full value-hash oracle."""
+    lets the registered query carry a full value-hash oracle.
+
+    The table is k x |labels| rows, but SEVEN aggregate branches read
+    it (n/rowm/colm/purity/mi/hc/hl) and each would re-execute the
+    full corpus assignment lineage (plan audit: 11 scans) — so it is
+    eagerly checkpointed first, mirroring the oracle's MATERIALIZED
+    ct CTE: ONE corpus pass, everything after runs on <=k*|labels|
+    rows."""
+    ct = ct.localCheckpoint(eager=True)
     n = ct.agg(F.sum("c").alias("n"))
     row_m = ct.groupBy("cluster").agg(F.sum("c").alias("rc"))
     col_m = ct.groupBy("lbl").agg(F.sum("c").alias("lc"))
@@ -431,7 +439,8 @@ _AGREE_ORACLE = f"""
             FROM dists
         ) WHERE rn = 1
     ),
-    ct AS (SELECT cluster, lbl, COUNT(*) AS c FROM assigned GROUP BY 1, 2),
+    ct AS MATERIALIZED (
+        SELECT cluster, lbl, COUNT(*) AS c FROM assigned GROUP BY 1, 2),
     tot AS (SELECT SUM(c) AS n FROM ct),
     rm AS (SELECT cluster, SUM(c) AS rc FROM ct GROUP BY cluster),
     cm AS (SELECT lbl, SUM(c) AS lc FROM ct GROUP BY lbl),
