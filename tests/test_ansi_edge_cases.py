@@ -137,3 +137,63 @@ def test_quarantine_split_partitions_and_reasons(spark, dirty_events):
 
 def test_quarantine_oracle_parity_on_dirty_data(spark, dirty_events):
     compare(spark, dirty_events, "events_quarantine")
+
+
+@pytest.fixture()
+def degenerate_value_events(spark, tmp_path):
+    """r10 t-digest edges: one type with a SINGLE distinct value (its
+    one grid cell straddles every k1 boundary; every centroid mean is
+    identical and the interpolation denominators come from weights,
+    not value gaps) and one type with exactly two values (the
+    interpolation bracket has a single interior pair)."""
+    rows = []
+    for i in range(40):
+        rows.append((i, _ts(1), 7, "constant", 42.0, "{}"))
+    for i in range(40, 60):
+        rows.append((i, _ts(2), 8, "twoval", 10.0 if i % 2 else 20.0, "{}"))
+    return _write_events(spark, tmp_path, rows)
+
+
+def test_tdigest_degenerate_values_do_not_throw(
+    spark, degenerate_value_events
+):
+    from mvrs_dspa_spark.operators.sketches import tdigest_value_quantiles
+
+    rows = tdigest_value_quantiles(spark, degenerate_value_events).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    # constant type: every probe quantile is exactly the one value
+    assert all(r.est_value == 42.0 for r in by_type["constant"])
+    # two-value type: estimates stay inside the value range, monotone
+    ests = [r.est_value for r in sorted(by_type["twoval"], key=lambda r: r.q)]
+    assert ests == sorted(ests)
+    assert all(10.0 <= e <= 20.0 for e in ests)
+
+
+def test_tdigest_degenerate_oracle_parity(spark, degenerate_value_events):
+    compare(spark, degenerate_value_events, "tdigest_value_quantiles")
+
+
+def test_agreement_single_cluster_oracle_parity(spark, tmp_path):
+    """All-identical embeddings collapse every vector into ONE pinned
+    cluster -> h_c = 0 -> NMI must be NULL (nullif guard) on BOTH
+    engines, not a divide-by-zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vec = [0.25] * 64
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(16), pa.int64()),
+            "embedding": pa.array([vec] * 16, pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(16)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    compare(spark, str(tmp_path), "kmeans_label_agreement")
+
+    from mvrs_dspa_spark.operators.clustering import kmeans_label_agreement
+
+    r = kmeans_label_agreement(spark, str(tmp_path)).collect()[0]
+    assert r.nmi is None and r.purity is not None

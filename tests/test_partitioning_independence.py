@@ -41,6 +41,12 @@ QUERIES = [
     # be partition-count-blind (integer/decimal arithmetic only)
     "markov_attribution",
     "bpe_train",
+    # round 10: the two rows->oracle conversions — the rank-bucket
+    # digest's cumulative grid + straddle split and the pinned-
+    # assignment contingency/MI pipeline must be partition-count-
+    # blind (integer grids, int-coded transcendental terms)
+    "tdigest_value_quantiles",
+    "kmeans_label_agreement",
 ]
 
 
