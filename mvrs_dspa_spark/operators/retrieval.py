@@ -72,6 +72,17 @@ def bm25_search(
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_from_postings(tf, stats, top_n)
+
+
+def bm25_from_postings(
+    tf: DataFrame, stats: DataFrame, top_n: int = TOP_N
+) -> DataFrame:
+    """Scoring tail shared by the batch query and the streaming index
+    maintainer (streaming/bm25_stream.Bm25IndexMaintainer): a
+    (doc_id, dl, tok, tf) posting relation plus a 1-row
+    (n_docs, avgdl) stats frame -> the ranked top-N. Pure code motion
+    from the batch plan, so both callers score identically."""
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # df has ≤ |terms| rows (constant in the data size): broadcast is
     # structurally bounded, not a scale hazard.
