@@ -263,8 +263,13 @@ def main() -> None:
             # headline normalized by the calibration constant — the
             # PRIMARY round-over-round metric (SURVEY §6 contract):
             # raw seconds move with host load; this mostly doesn't.
-            "headline_over_cal": round(
-                total / timings["q1_pricing_summary"], 1
+            # Guarded like calibration_q1 above: a missing or
+            # 0.0-rounded calibration timing must not crash the report
+            # after every query already ran (ADVICE r10 #4).
+            "headline_over_cal": (
+                round(total / timings["q1_pricing_summary"], 1)
+                if timings.get("q1_pricing_summary")
+                else None
             ),
             "load_avg_1m": loads,
             "sf": sf,

@@ -339,13 +339,15 @@ def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
                 # collide. Truncated (NOT xor-folded — folding maps an
                 # image and its negative to the same value) to
                 # PHASH_BITS so it rides the same hamming-local band
-                # join as the fake path. Non-image containers still
-                # need PIL/ffmpeg and raise inside ahash64.
+                # join as the fake path. Non-image rows were filtered
+                # out below (ADVICE r10 #2: the mixed media table
+                # would otherwise die on the first WAV payload).
                 from mvrs_dspa_spark.operators.media_codecs import (
                     ahash64,
                 )
 
-                ph = [ahash64(p) & 0xFFFFFFFF for p in pdf["payload"]]
+                mask = (1 << PHASH_BITS) - 1
+                ph = [ahash64(p) & mask for p in pdf["payload"]]
                 yield _pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],
@@ -373,6 +375,12 @@ def media_phash(media: DataFrame, decode: str = "fake") -> DataFrame:
                 }
             )
 
+    if decode == "real":
+        # The pure-numpy real codec decodes BMP images only (audio /
+        # video perceptual hashing is a different algorithm family,
+        # not a decode gap) — restrict the stage like resize_images
+        # does rather than dying mid-batch on a WAV payload.
+        media = media.filter(F.col("kind") == "image")
     return media.select("media_id", "kind", "payload").mapInPandas(
         stage, schema="media_id long, kind string, phash long"
     )

@@ -63,75 +63,60 @@ def register(
 # check of the NEW behavior; everything else is re-verification and
 # cycles mechanically. Keep <=5 (the drain policy) and clear at the
 # next round open.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r10: integer-division grid quantization + exact two-stage x
-    # quantization + stack() output fan-out (ADVICE r9 items 1/2/4).
-    "markov_attribution",
-    # r10: the \x1f separator invariant is now enforced in the shared
-    # vocab filter on both engines (ADVICE r9 item 3) — re-check both
-    # riders of the _bpe_chain_ctes merge chain.
-    "bpe_train",
-    "tokenizer_fertility",
-    # r10: rows-gate -> oracle hash gate conversions (VERDICT r9 #4):
-    # pinned-centroid contingency table + 1e9 int-code MI/entropy for
-    # the agreement report; rank-bucket k1-scale digest on the bounded
-    # cents grid for the t-digest.
-    "kmeans_label_agreement",
-    "tdigest_value_quantiles",
-)
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # --- BEGIN GENERATED WINDOW (python tools/freshness.py --write-window) ---
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "markov_attribution",
-    "bpe_train",
-    "tokenizer_fertility",
-    "kmeans_label_agreement",
-    "tdigest_value_quantiles",
-    "events_profile",
-    "events_quarantine",
-    "events_snapshot_diff",
-    "hll_user_counts",
-    "hourly_crosscorr_leadlag",
-    "hourly_value_autocorrelation",
-    "hybrid_search",
-    "incremental_hourly_rollup",
-    "interarrival_profile",
-    "item_pagerank",
-    "join_key_skew_report",
-    "k_anonymity_report",
-    "mad_value_outliers",
-    "minhash_calibration",
-    "multi_step_funnel",
-    "negative_samples",
-    "prefix_jaccard_join",
-    "props_key_profile",
-    "script_profile",
-    "session_attribution",
-    "sliding_distinct_users_hll",
-    "source_token_divergence",
-    "temporal_split",
-    "user_decayed_activity",
-    "user_rfm_segments",
-    "user_state_history",
-    "winsorized_value_stats",
-    "ann_ivf_pq",
-    "ann_lsh_banded",
-    "activity_ledger",
-    "ann_cosine_topk",
-    "click_purchase_asof",
-    "customers_without_orders",
-    "decontaminate",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_repetition",
-    "embedding_near_dup",
-    "event_pattern_matches",
-    "event_rollup_hierarchy",
-    "event_user_counts",
-    "event_value_percentiles",
-    "knn_label_eval",
-    "latest_events_snapshot",
-    "pii_scrub",
+    "q10_returned_revenue",
+    "q11_concentrated_part_value",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_bulk_bolt_suppliers",
+    "q21_sole_return_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "top_user_per_type",
+    "user_value_moving_avg",
+    "ann_index_maintenance",
+    "ann_quality_report",
+    "ann_ndcg_eval",
+    "anomaly_mahalanobis_2d",
+    "basket_lift_pairs",
+    "benford_value_audit",
+    "bloom_membership_report",
+    "dau_wau_stickiness",
+    "dedup_method_eval",
+    "dedup_minhash_lsh",
+    "doc_novelty_rate",
+    "dp_event_counts",
+    "dsir_importance_weights",
+    "embedding_truncation_eval",
+    "entity_resolution_blocking",
+    "gdpr_erasure_audit",
+    "graph_degree_stats",
+    "haversine_store_assignment",
+    "hourly_stl_decomposition",
+    "join_size_estimate",
+    "kaplan_meier_conversion",
+    "knn_confidence_calibration",
+    "l_diversity_report",
+    "nb_lang_classifier",
+    "ngram_jaccard_pairs",
+    "orders_cdf_quantiles",
 )
 # --- END GENERATED WINDOW ---
 

@@ -178,3 +178,18 @@ def test_media_phash_real_path_collides_on_visual_twins(spark):
     ph = {r.media_id: r.phash for r in media_phash(media, decode="real").collect()}
     assert ph[0] == ph[1]  # visually identical at 8x8 -> same hash
     assert ph[0] != ph[2]
+
+
+def test_media_phash_real_path_skips_non_images(spark):
+    """ADVICE r10 #2: the mixed image/audio media table must not die
+    on a WAV payload — the real path restricts to kind == 'image'
+    (resize_images semantics), and every emitted hash fits the
+    PHASH_BITS band mask (ADVICE r10 #3: mask derived from the
+    constant, not hardcoded)."""
+    from mvrs_dspa_spark.operators.multimodal import PHASH_BITS, media_phash
+
+    out = media_phash(_real_media(spark), decode="real").collect()
+    assert {r.kind for r in out} == {"image"}
+    assert len(out) == 4
+    for r in out:
+        assert 0 <= r.phash <= (1 << PHASH_BITS) - 1

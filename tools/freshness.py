@@ -173,16 +173,19 @@ def apply(check_only: bool) -> int:
     return 0
 
 
-def _queue_order() -> tuple[list[str], dict[str, str]]:
+def _queue_order(through: int) -> tuple[list[str], dict[str, str]]:
     """Every registered query ranked by (latest driver-check round,
     never-checked first), oracle gates before rows gates within a
     round (an oracle slot buys a value-hash re-verification; a rows
-    slot only re-runs), name as the final tiebreak."""
+    slot only re-runs), name as the final tiebreak. ``through`` bounds
+    which CORRECTNESS files participate — the pinned window ranks
+    against the ledger's stamped round so a post-close artifact drop
+    cannot reshuffle it (ADVICE r10 #1)."""
     sys.path.insert(0, REPO)
     from mvrs_dspa_spark.plans.registry import all_queries
 
     specs = all_queries()
-    latest = _latest_checks(max_available_round())
+    latest = _latest_checks(through)
     rnd = {
         name: int(m.group(1))
         for name, state in latest.items()
@@ -206,7 +209,7 @@ def queue(n: int) -> None:
     from mvrs_dspa_spark.plans.registry import all_queries
 
     specs = all_queries()
-    order, latest = _queue_order()
+    order, latest = _queue_order(max_available_round())
     for name in order[:n]:
         gate = "oracle" if specs[name].oracle is not None else "rows"
         print(f"{name}  [{gate}, {latest.get(name, 'never')}]")
@@ -222,8 +225,13 @@ def compute_window(size: int = WINDOW_SIZE) -> list[str]:
     changed/new implementations first (`_CHANGED_THIS_ROUND`, <=5 by
     policy — first driver checks outrank re-verification), then the
     oldest-first re-sweep queue fills the remaining slots. Pure
-    function of the registry + CORRECTNESS files, so the window is
-    reproducible and test-pinned (VERDICT r9 #2)."""
+    function of the registry + the CORRECTNESS files UP TO the
+    ledger's stamped round, so the window is reproducible,
+    test-pinned (VERDICT r9 #2), and STABLE across the driver's
+    post-close CORRECTNESS_r{N} drop (ADVICE r10 #1: ranking against
+    max_available_round() made the artifact-drop commit go red; the
+    stamp only advances at the next round's first-commit
+    regeneration, which also reruns --write-window)."""
     sys.path.insert(0, REPO)
     from mvrs_dspa_spark.plans.registry import (
         _CHANGED_THIS_ROUND,
@@ -232,7 +240,12 @@ def compute_window(size: int = WINDOW_SIZE) -> list[str]:
 
     specs = all_queries()
     changed = [n for n in dict.fromkeys(_CHANGED_THIS_ROUND) if n in specs]
-    order, _ = _queue_order()
+    try:
+        with open(SURVEY) as f:
+            through = stamped_round(f.read())
+    except ValueError:
+        through = max_available_round()
+    order, _ = _queue_order(through)
     fill = [n for n in order if n not in set(changed)]
     return (changed + fill)[:size]
 
