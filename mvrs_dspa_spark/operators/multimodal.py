@@ -267,15 +267,52 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# sha256 over the HEX encoding of the 64-byte payload: identical
+# discriminative power for a fake codec, and DuckDB 1.0's sha256 only
+# accepts VARCHAR — hex keeps the whole fake-feature pipeline
+# oracle-expressible (the same trade media_phash documents below).
+# The hex of the synthesized payload IS the md5-chunk concatenation.
+_MEDIA_HEX_SQL = " || ".join(f"md5(c || ':chunk{i}')" for i in range(4))
+
+
 @register(
     "media_features",
-    oracle=None,  # binary payload + sha256 stage; pytest pins the values
+    oracle=f"""
+        WITH content AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id <= 1 THEN '__pinned_dup_payload__'
+                        ELSE text END AS c
+            FROM documents
+        ),
+        hx AS (
+            SELECT media_id, {_MEDIA_HEX_SQL} AS h FROM content
+        ),
+        digests AS (
+            SELECT media_id,
+                   CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+                   sha256(h) AS d
+            FROM hx
+        )
+        SELECT media_id,
+               (['image', 'audio', 'video'])[
+                   CAST(media_id % 3 AS INTEGER) + 1] AS kind,
+               n_bytes,
+               CAST(CAST(('0x' || substr(d, 7, 2) || substr(d, 5, 2)
+                          || substr(d, 3, 2) || substr(d, 1, 2)) AS BIGINT)
+                    % 10000 AS DOUBLE) / 10000.0 AS f0
+        FROM digests
+        ORDER BY media_id
+    """,
     doc="Multimodal feature extraction on the driver-checked surface: "
     "synthesize a binary media table from documents (64-byte "
     "md5-derived payloads, kind image/audio/video), run the Arrow "
     "mapInPandas decode->feature stage (fake codec), project the "
-    "payload away. Payloads never touch the driver.",
-    tags=("multimodal", "llm", "rows_gate"),
+    "payload away. Payloads never touch the driver. r11 rows->oracle "
+    "conversion: the fake feature hashes the payload's HEX encoding "
+    "(media_phash's documented trade — DuckDB sha256 is VARCHAR-only), "
+    "so f0 = little-endian u32 of the digest head mod 1e4 is exact on "
+    "both engines.",
+    tags=("multimodal", "llm"),
 )
 def media_features(spark, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir)
@@ -290,7 +327,7 @@ def media_features(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             f0 = []
             for p in pdf["payload"]:
-                h = hashlib.sha256(bytes(p)).digest()
+                h = hashlib.sha256(bytes(p).hex().encode()).digest()
                 raw = _np.frombuffer(
                     (h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4"
                 )

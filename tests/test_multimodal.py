@@ -92,7 +92,7 @@ def test_media_features_registered_query_deterministic(spark, sf_small):
             hashlib.md5((content + f":chunk{i}").encode()).digest()
             for i in range(4)
         )
-        h = hashlib.sha256(payload).digest()
+        h = hashlib.sha256(payload.hex().encode()).digest()
         raw = np.frombuffer((h * ((16 * 4) // len(h) + 1))[: 16 * 4], dtype="<u4")
         assert r.f0 == float((raw % 10_000)[0]) / 10_000.0
 
