@@ -236,6 +236,48 @@ def _cos_udf():
     return cos
 
 
+def _fold_mm(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+    """X (n,d) @ Y (d,m) with additions strictly in dimension order.
+
+    BLAS matmul sums in an unspecified blocked order, so its doubles
+    can differ from the sequential zip_with / list_reduce fold by
+    ulps — enough to flip a near-zero hyperplane sign or a
+    6th-decimal rounding between engines. Accumulating one dimension
+    at a time performs, per output element, the exact rounded-op
+    sequence ((0 + x1*y1) + x2*y2) + ... that `dot_col` and
+    `_dot_sql` define, while staying vectorized over rows (d numpy
+    ops per batch, not n*m*d Python ops). This is what makes the LSH
+    family's numpy fast path bit-identical to a DuckDB oracle
+    (r11 rows->oracle conversion of ann_lsh / ann_lsh_banded)."""
+    acc = np.zeros((X.shape[0], Y.shape[1]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc += X[:, i : i + 1] * Y[i : i + 1, :]
+    return acc
+
+
+def _cos_fold_udf():
+    """pandas_udf: batched cosine whose every double is bit-identical
+    to `_dot_sql(a,b) / (sqrt(_dot_sql(a,a)) * sqrt(_dot_sql(b,b)))`
+    — the oracle-fold twin of `_cos_udf` for value-hash-gated paths."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+        if len(A) == 0:
+            return pd.Series([], dtype="float64")
+        num = np.zeros(len(A))
+        na2 = np.zeros(len(A))
+        nb2 = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            num += A[:, i] * B[:, i]
+            na2 += A[:, i] * A[:, i]
+            nb2 += B[:, i] * B[:, i]
+        return pd.Series(num / (np.sqrt(na2) * np.sqrt(nb2)))
+
+    return cos
+
+
 def lsh_signatures(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -254,10 +296,25 @@ def lsh_signatures(
     planes = np.asarray(_hyperplanes(bits, dim))
     weights = 1 << np.arange(bits, dtype=np.int64)
 
+    planes_t = planes.T
+
     @F.pandas_udf("long")
     def sig_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np  # self-contained closure (ships by value)
+
         X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
-        b = (X @ planes.T) > 0
+        if len(X) == 0:
+            return pd.Series([], dtype="int64")
+        # dimension-ordered fold, not BLAS (see _fold_mm): each
+        # projection double is bit-identical to the dot_col/_dot_sql
+        # fold, so the sign — and with it every bucket bit — matches
+        # the DuckDB oracle. Inlined rather than calling _fold_mm: a
+        # module-global reference would make cloudpickle ship the UDF
+        # by reference and demand the package importable on workers.
+        acc = np.zeros((X.shape[0], planes_t.shape[1]))
+        for i in range(X.shape[1]):
+            acc += X[:, i : i + 1] * planes_t[i : i + 1, :]
+        b = acc > 0
         return pd.Series((b * weights).sum(axis=1).astype(np.int64))
 
     return df.select(id_col, vec_col, sig_udf(vec_col).alias("sig"))
@@ -283,23 +340,71 @@ def lsh_near_dup(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.round(
-                _cos_udf()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+                _cos_fold_udf()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                6,
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
     )
 
 
+def _planes_sql(bits: int, dim: int = LSH_DIM) -> str:
+    """The LCG hyperplanes as SQL row literals (repr round-trips the
+    exact doubles the Spark path loads into numpy)."""
+    return ", ".join(
+        f"({b}, [{', '.join(repr(v) for v in vec)}])"
+        for b, vec in enumerate(_hyperplanes(bits, dim))
+    )
+
+
+def _lsh_sig_ctes(bits: int) -> str:
+    """Shared oracle CTEs: hyperplane sign bits -> packed signature ->
+    signature + norm per vector. Every double comes from the same
+    left-to-right fold the Spark path replays via _fold_mm, so signs,
+    buckets, and cosines are bit-identical across engines."""
+    return f"""
+        planes(b, pvec) AS (VALUES {_planes_sql(bits)}),
+        sign_bits AS (
+            SELECT e.vec_id, p.b,
+                   CASE WHEN {_dot_sql("e.embedding", "p.pvec")} > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM embeddings e CROSS JOIN planes p
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS sig
+            FROM sign_bits GROUP BY vec_id
+        ),
+        v AS (
+            SELECT s.vec_id, s.sig, e.embedding,
+                   sqrt({_dot_sql("e.embedding", "e.embedding")}) AS nrm
+            FROM sigs s JOIN embeddings e USING (vec_id)
+        )
+    """
+
+
 @register(
     "ann_lsh",
-    oracle=None,  # bucketed recall is approximate by design; rows-only gate
+    oracle=f"""
+        WITH {_lsh_sig_ctes(LSH_BITS)}
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_dot_sql("a.embedding", "b.embedding")}
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, vec_a, vec_b
+    """,
     doc="Random-hyperplane LSH ANN: candidates share the full signature "
     "bucket, cosine on candidates only (scale path; signatures and "
     "scoring are Arrow-batched numpy, buckets stay an equi-join). The "
     "registered gate pins bits=12 for determinism; unpinned callers get "
     "bits from lsh_bits_for(n) so bucket occupancy — and with it the "
-    "within-bucket pair volume per row — stays constant as data grows.",
-    tags=("ann", "scale", "rows_gate"),
+    "within-bucket pair volume per row — stays constant as data grows. "
+    "r11 rows->oracle conversion: the numpy fast path accumulates in "
+    "dimension order (_fold_mm), making projections, bucket bits, and "
+    "cosines bit-identical to the DuckDB fold — the full bucketed "
+    "candidate join is now under a value-hash gate, not just the "
+    "pinned-plane assignment step.",
+    tags=("ann", "scale"),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup(
@@ -573,10 +678,22 @@ def lsh_near_dup_banded(
         X = np.asarray(
             [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
         )
-        n = np.linalg.norm(X, axis=1)
-        C = (X @ X.T) / np.outer(n, n)
+        # dimension-ordered fold (see _fold_mm): the numerator matrix
+        # and the fold-of-squares norms are bit-identical to the
+        # _dot_sql oracle, so the raw-threshold filter and the
+        # reported cosine agree with DuckDB double-for-double.
+        acc = np.zeros((len(ids), len(ids)))
+        n2 = np.zeros(len(ids))
+        for i in range(X.shape[1]):
+            acc += X[:, i : i + 1] * X[:, i][None, :]
+            n2 += X[:, i] * X[:, i]
+        n = np.sqrt(n2)
+        C = acc / np.outer(n, n)
         ia, ib = np.triu_indices(len(ids), k=1)
-        cos = np.round(C[ia, ib], 6)
+        cos = C[ia, ib]
+        # threshold on the RAW double (matching embedding_near_dup's
+        # unrounded WHERE) — the subset-of-exact-pairs property is
+        # then exact, not just 6-decimal-approximate
         keep = cos >= thr
         return pd.DataFrame(
             {
@@ -589,22 +706,57 @@ def lsh_near_dup_banded(
     pairs = banded.groupBy("band", "bsig").applyInPandas(
         bucket_pairs, "vec_a long, vec_b long, cos_sim double"
     )
+    # a pair found in several bands carries the identical raw cosine
+    # (pure function of the two vectors); round once, JVM-side, with
+    # the same HALF_UP the oracle's ROUND uses
     return (
         pairs.groupBy("vec_a", "vec_b")
-        .agg(F.first("cos_sim").alias("cos_sim"))
+        .agg(F.round(F.first("cos_sim"), 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 
 
 @register(
     "ann_lsh_banded",
-    oracle=None,  # recall < 1 by design; rows gate + pytest recall bound
+    oracle=f"""
+        WITH {_lsh_sig_ctes(LSH_BAND_BITS * LSH_N_BANDS)},
+        bands AS (
+            SELECT vec_id,
+                   (sig >> (bnd.band * {LSH_BAND_BITS}))
+                       & {(1 << LSH_BAND_BITS) - 1} AS bsig,
+                   bnd.band
+            FROM v,
+                 (SELECT unnest(generate_series(0, {LSH_N_BANDS - 1}))
+                      AS band) bnd
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                 AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.va, c.vb,
+                   {_dot_sql("a.embedding", "b.embedding")}
+                       / (a.nrm * b.nrm) AS cs
+            FROM cand c
+            JOIN v a ON a.vec_id = c.va
+            JOIN v b ON b.vec_id = c.vb
+        )
+        SELECT va AS vec_a, vb AS vec_b, ROUND(cs, 6) AS cos_sim
+        FROM scored WHERE cs >= {NEAR_DUP_COS}
+        ORDER BY vec_a, vec_b
+    """,
     doc="Banded hyperplane LSH near-dup (8 bands x 4 bits, "
     "OR-construction): recalls moderate-cosine pairs a single "
     "full-signature table cannot (measured ~0.8 vs 0.0 at the 0.4 "
     "threshold on the gate corpus); exact cosine verification keeps "
-    "precision 1.0. Candidates stay an equi-join on (band, band-sig).",
-    tags=("ann", "scale", "rows_gate"),
+    "precision 1.0. Candidates stay an equi-join on (band, band-sig). "
+    "r11 rows->oracle conversion: bucket-local scoring accumulates in "
+    "dimension order (_fold_mm) and thresholds the RAW double exactly "
+    "like embedding_near_dup's WHERE, so the pair set and every "
+    "6-decimal cosine value-hash-match the DuckDB band-join oracle.",
+    tags=("ann", "scale"),
 )
 def ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_banded(

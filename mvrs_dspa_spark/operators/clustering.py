@@ -21,6 +21,7 @@ The streaming variant with decaying weights lives in
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,31 +167,288 @@ def kmeans_fit(
     return centroids
 
 
+# --- exact integer-quantized Lloyd (the oracle-gated k-means) --------------
+#
+# r11 rows->oracle conversion of `kmeans_embeddings`: Lloyd's loop is
+# declaratively unrollable once every quantity is an integer. Vectors
+# quantize to a dyadic 2^-20 grid (floor(x * 2^20 + 0.5): the product
+# is an exactly-representable double, so all three engines — Spark
+# expression, driver numpy, DuckDB — agree bit-for-bit), distances are
+# exact int64 sums of squared differences, and the recentred centroid
+# is the TRUNCATING integer division sum // count (DuckDB's `//`;
+# Python mirrors it explicitly), introducing at most one grid step of
+# quantization per iteration. Two deliberate semantic differences from
+# the float `kmeans_fit` (which ivf / semantic_dedup / the reference-
+# parity unusual_activity keep): centroids live on the quantized grid,
+# and an EMPTY cluster keeps its previous centroid (standard Lloyd
+# convention) instead of the reference's sequential ensureK
+# heaviest-split — a stateful in-iteration loop that has no
+# declarative SQL form. Argmin ties break to the lowest cluster id in
+# all engines (first-minimum in Spark/numpy; MIN(d2 * k + c) in SQL).
+
+Q_SCALE = 1 << 20  # dyadic quantization step (exact double products)
+EMB_DIM = 64
+
+
+def assign_clusters_exact(
+    df: DataFrame, vec_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """Map-side nearest-centroid assignment on the integer grid
+    (ties -> lowest cluster id); adds `cluster` + integer `sq_dist_q`
+    (squared distance in grid units).
+
+    Arrow-batched numpy, NOT expression folds: quantization, the
+    squared-distance expansion ||q||^2 - 2 q.C + ||C||^2, and the
+    first-minimum argmin are all int64-exact (max |term| ~1e14, well
+    inside int64), so the result is bit-identical to the unrolled
+    DuckDB oracle by integer identity — no fp-order caveat — while
+    one integer matmul per batch replaces k interpreted 64-element
+    folds per row (CollapseProject additionally inlines a computed
+    quantized array into every fold reference, which made the
+    expression form ~2x the float path's cost; measured at sf0.1:
+    1.46 s -> see bench)."""
+    import numpy as np
+
+    C = np.asarray([[int(v) for v in c] for c in centroids], dtype=np.int64)
+    scale = float(Q_SCALE)
+
+    @F.pandas_udf("struct<cluster:int, sq_dist_q:long>")
+    def assign_udf(emb: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.asarray([_np.asarray(x, dtype=_np.float64) for x in emb])
+        if len(X) == 0:
+            return _pd.DataFrame(
+                {
+                    "cluster": _pd.Series([], dtype="int32"),
+                    "sq_dist_q": _pd.Series([], dtype="int64"),
+                }
+            )
+        Q = _np.floor(X * scale + 0.5).astype(_np.int64)
+        qc = Q @ C.T  # integer matmul: exact, order-free
+        qq = (Q * Q).sum(axis=1)
+        cc = (C * C).sum(axis=1)
+        d2 = qq[:, None] - 2 * qc + cc[None, :]
+        cl = d2.argmin(axis=1)  # first minimum = lowest cluster id
+        return _pd.DataFrame(
+            {
+                "cluster": cl.astype("int32"),
+                "sq_dist_q": d2[_np.arange(len(cl)), cl].astype("int64"),
+            }
+        )
+
+    out = df.withColumn("_a", assign_udf(F.col(vec_col)))
+    return (
+        out.withColumn("cluster", F.col("_a.cluster"))
+        .withColumn("sq_dist_q", F.col("_a.sq_dist_q"))
+        .drop("_a")
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """DuckDB's `//` (truncate toward zero); Python's `//` floors."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _kmeans_fit_exact_local(rows, k: int, iters: int) -> list[list[int]]:
+    import math
+
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    q = np.asarray(
+        [
+            [int(math.floor(float(v) * Q_SCALE + 0.5)) for v in r[1]]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    cents = q[:k].copy()
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first minimum = lowest cluster id
+        new = cents.copy()
+        for j in range(len(cents)):
+            members = q[assign == j]
+            if len(members):
+                s = members.sum(axis=0)
+                # DuckDB `//` truncates toward zero; numpy floors
+                new[j] = np.sign(s) * (np.abs(s) // len(members))
+        cents = new
+    return [[int(v) for v in c] for c in cents]
+
+
+def kmeans_fit_exact(
+    df: DataFrame,
+    vec_col: str,
+    k: int = K,
+    iters: int = ITERS,
+    id_col: str | None = None,
+    local_cap: int = LOCAL_FIT_CAP,
+) -> list[list[int]]:
+    """Integer-grid Lloyd; returns final quantized centroids (k x dim).
+
+    Init: the k lowest-id rows' quantized vectors. Size-adaptive like
+    `kmeans_fit`: small inputs fit driver-side on collected rows,
+    large inputs run the distributed loop (map-side integer assignment
+    + one exact int64 dim-wise sum aggregation per iteration — the
+    sums are order-independent, so the fit is partition-count-blind
+    by construction, unlike any float recentring)."""
+    order_col = id_col or vec_col
+    if local_cap:
+        sample = df.select(order_col, vec_col).limit(local_cap + 1).collect()
+        if not sample:
+            return []
+        if len(sample) <= local_cap:
+            return _kmeans_fit_exact_local(sample, k, iters)
+    import math
+
+    init_rows = df.orderBy(order_col).limit(k).select(vec_col).collect()
+    if not init_rows:
+        return []
+    centroids = [
+        [int(math.floor(float(x) * Q_SCALE + 0.5)) for x in r[0]]
+        for r in init_rows
+    ]
+    dim = len(centroids[0])
+    # quantize per element inside each sum (no shared computed array:
+    # CollapseProject would inline it into all dim references)
+    sums = [
+        F.sum(
+            F.floor(
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(float(Q_SCALE))
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = assign_clusters_exact(df, vec_col, centroids)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            if r["n"]:
+                new[r["cluster"]] = [
+                    _trunc_div(int(r[f"s{i}"]), int(r["n"]))
+                    for i in range(dim)
+                ]
+        centroids = new
+    return centroids
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """The unrolled integer Lloyd as MATERIALIZED CTEs (the BPE/LPA
+    unroll playbook). dkey = d2 * k + c packs (distance, cluster) into
+    one BIGINT so MIN() is simultaneously the argmin distance and the
+    lowest-id tie-break."""
+    idist = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, {dim}), "
+        "j -> (q.qe[j] - c.cvec[j]) * (q.qe[j] - c.cvec[j]))), "
+        "(x, y) -> x + y)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {Q_SCALE} + 0.5)
+                                 AS BIGINT)) AS qe
+            FROM embeddings
+        )""",
+        f"""c0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS INTEGER) AS c, qe AS cvec
+            FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT vec_id, CAST(MIN(dkey) % {k} AS INTEGER) AS cluster
+            FROM (
+                SELECT q.vec_id, {idist} * {k} + c.c AS dkey
+                FROM q CROSS JOIN c{i} c
+            ) GROUP BY vec_id
+        )"""
+        )
+        parts.append(
+            f"""c{i + 1} AS MATERIALIZED (
+            SELECT p.c, COALESCE(nc.cvec, p.cvec) AS cvec
+            FROM c{i} p LEFT JOIN (
+                SELECT cluster AS c, list(fd ORDER BY j) AS cvec
+                FROM (
+                    SELECT a.cluster, g.j,
+                           CAST(SUM(q.qe[g.j]) AS BIGINT) // COUNT(*) AS fd
+                    FROM a{i} a JOIN q USING (vec_id),
+                         generate_series(1, {dim}) g(j)
+                    GROUP BY a.cluster, g.j
+                ) GROUP BY cluster
+            ) nc ON nc.c = p.c
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id,
+               CAST(MIN(dkey) % {k} AS INTEGER) AS cluster,
+               ROUND(sqrt(CAST(MIN(dkey) // {k} AS DOUBLE))
+                     / {float(Q_SCALE)}, 6) AS dist
+        FROM (
+            SELECT q.vec_id, {idist} * {k} + c.c AS dkey
+            FROM q CROSS JOIN c{iters} c
+        ) GROUP BY vec_id
+        ORDER BY vec_id
+    """
+
+
 @register(
     "kmeans_embeddings",
-    oracle=None,  # iterative; checked rows-only + pytest invariants
-    doc="Batch K-means (k=8, 8 Lloyd iterations, deterministic init) "
-    "over embeddings; per-vector cluster + distance.",
-    tags=("clustering", "bench", "rows_gate"),
+    oracle=_kmeans_oracle(K, ITERS, EMB_DIM),
+    doc="Batch K-means (k=8, 8 Lloyd iterations, deterministic "
+    "lowest-id init) over embeddings; per-vector cluster + distance. "
+    "r11 rows->oracle conversion: the fit runs on the exact 2^-20 "
+    "integer grid with truncating-division centroids and "
+    "keep-previous empty-cluster handling, so the full 8-iteration "
+    "loop unrolls into MATERIALIZED oracle CTEs and every assignment "
+    "and 6-decimal distance value-hash-matches DuckDB (the float "
+    "ensureK fit remains `kmeans_fit` for ivf / semantic_dedup / the "
+    "reference-parity unusual_activity).",
+    tags=("clustering", "bench"),
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan = one split; the per-iteration assignment math is
     # CPU-bound, so fan out first (deterministic round-robin: Spark
-    # local-sorts before round-robin partitioning, and the dim-wise
-    # sums were verified identical either way)
+    # local-sorts before round-robin partitioning, and the integer
+    # dim-wise sums are order-independent regardless)
     emb = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    centroids = kmeans_fit(emb, "embedding", k=K, iters=ITERS, id_col="vec_id")
+    centroids = kmeans_fit_exact(
+        emb, "embedding", k=K, iters=ITERS, id_col="vec_id"
+    )
     if not centroids:  # empty slice in -> empty result out
         return spark.createDataFrame(
             [], "vec_id long, cluster int, dist double"
         )
     return (
-        assign_clusters(emb, "embedding", centroids)
-        .select("vec_id", "cluster", F.round(F.sqrt("sq_dist"), 6).alias("dist"))
+        assign_clusters_exact(emb, "embedding", centroids)
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(
+                F.sqrt(F.col("sq_dist_q").cast("double"))
+                / F.lit(float(Q_SCALE)),
+                6,
+            ).alias("dist"),
+        )
         .orderBy("vec_id")
     )
 

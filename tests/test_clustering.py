@@ -123,3 +123,46 @@ def test_label_agreement_bounded_and_deterministic(spark, sf_small):
     r = a[0]
     assert 0.0 <= r.purity <= 1.0
     assert -1e-9 <= r.nmi <= 1.0 + 1e-9
+
+
+def test_kmeans_exact_local_matches_distributed_exactly(spark, sf_small):
+    """The integer-grid fit (r11 kmeans_embeddings conversion) must be
+    BIT-identical between the driver-side and distributed paths — no
+    fp tolerance: quantization, int64 sums, and truncating division
+    are order-independent by construction."""
+    from mvrs_dspa_spark.tables import table
+
+    emb = table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    local = C.kmeans_fit_exact(emb, "embedding", k=4, iters=3, id_col="vec_id")
+    dist = C.kmeans_fit_exact(
+        emb, "embedding", k=4, iters=3, id_col="vec_id", local_cap=0
+    )
+    assert local == dist
+    assert all(isinstance(v, int) for c in local for v in c)
+
+
+def test_kmeans_exact_empty_cluster_keeps_previous_centroid(spark):
+    """Adversarial init: duplicate lowest-id points collapse a cluster
+    to empty; the exact fit keeps the previous centroid (declarative
+    convention, unlike the float fit's ensureK split) — and the fit
+    still terminates with the duplicate centroid intact."""
+    import pandas as pd
+
+    pts = [(i, [0.0, 0.0]) for i in range(2)] + [
+        (i, [float(i), 1.0]) for i in range(2, 8)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<float>",
+    )
+    cents = C.kmeans_fit_exact(df, "embedding", k=2, iters=1, id_col="vec_id")
+    assert len(cents) == 2
+    # init was two identical points; every row assigned to cluster 0
+    # (ties -> lowest), so cluster 1 was empty and kept [0, 0]
+    assert cents[1] == [0, 0]
+    assert cents[0] != [0, 0]  # cluster 0 recentred to the global mean
+    # ...and with more iterations the kept centroid recaptures points
+    # (it is nearer the origin cluster than the moved centroid), so
+    # the fit self-heals instead of carrying a dead cluster forever
+    cents3 = C.kmeans_fit_exact(df, "embedding", k=2, iters=3, id_col="vec_id")
+    assert cents3[1] != [0, 0]

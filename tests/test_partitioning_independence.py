@@ -47,6 +47,13 @@ QUERIES = [
     # blind (integer grids, int-coded transcendental terms)
     "tdigest_value_quantiles",
     "kmeans_label_agreement",
+    # round 11: the rows->oracle conversions — the fold-order LSH
+    # projections/cosines (Arrow batch composition must not change
+    # any double) and the hex-digest fake feature
+    "ann_lsh",
+    "ann_lsh_banded",
+    "media_features",
+    "kmeans_embeddings",
 ]
 
 
