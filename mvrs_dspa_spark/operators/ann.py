@@ -549,22 +549,142 @@ def build_ivf_index(
     return lists, cents
 
 
+def build_ivf_index_exact(
+    v: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+) -> tuple[DataFrame | None, list[list[int]]]:
+    """build_ivf_index on the exact integer grid (r11 ann_ivf
+    rows->oracle conversion): the coarse quantizer is
+    `kmeans_fit_exact`, so the fitted cells and every list assignment
+    are bit-identical to the unrolled DuckDB Lloyd. The float path
+    stays for ann_ivf_pq / ann_index_maintenance / the streaming ANN."""
+    from mvrs_dspa_spark.operators.clustering import (
+        assign_clusters_exact,
+        kmeans_fit_exact,
+    )
+
+    cents = kmeans_fit_exact(v, vec_col, k=nlist, iters=iters, id_col=id_col)
+    if not cents:
+        return None, []
+    lists = assign_clusters_exact(v, vec_col, cents).select(
+        id_col, vec_col, "cluster"
+    )
+    return lists, cents
+
+
+def ivf_probe_udf_exact(cents: list[list[int]], nprobe: int = IVF_NPROBE):
+    """pandas_udf: each query's nprobe nearest cells on the integer
+    grid — exact int64 distances, stable argsort (equidistant cells
+    resolve to the lowest id), matching the oracle's
+    ORDER BY (d2, c) row_number rank."""
+    from mvrs_dspa_spark.operators.clustering import Q_SCALE
+
+    cents_l = [[int(x) for x in c] for c in cents]
+    scale = float(Q_SCALE)
+
+    @F.pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C = np.asarray(cents_l, dtype=np.int64)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        # ||q-c||^2 ordering == (||c||^2 - 2 q.c) ordering (the ||q||^2
+        # term is constant per row); all int64-exact
+        d = (C * C).sum(axis=1)[None, :] - 2 * (Q @ C.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe_udf
+
+
+def _ivf_oracle() -> str:
+    """The full IVF pipeline as one oracle: unrolled integer Lloyd ->
+    inverted lists -> nprobe probe rank -> fold-order cosine -> top-K.
+    A (query, neighbor) pair appears at most once: each neighbor lives
+    in exactly one list cell, and the probe set is distinct cells."""
+    from mvrs_dspa_spark.operators.clustering import (
+        _kmeans_idist_sql,
+        kmeans_exact_ctes,
+    )
+
+    k, iters, dim = IVF_NLIST, IVF_ITERS, LSH_DIM
+    idist = _kmeans_idist_sql(dim)
+    parts = kmeans_exact_ctes(k, iters, dim)
+    parts.append(
+        f"""lists AS MATERIALIZED (
+            SELECT vec_id, CAST(MIN(dkey) % {k} AS INTEGER) AS cluster
+            FROM (SELECT q.vec_id, {idist} * {k} + c.c AS dkey
+                  FROM q CROSS JOIN c{iters} c)
+            GROUP BY vec_id
+        )"""
+    )
+    parts.append(
+        f"""probes AS MATERIALIZED (
+            SELECT vec_id, cluster FROM (
+                SELECT q.vec_id, c.c AS cluster,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {idist}, c.c) AS rk
+                FROM q CROSS JOIN c{iters} c
+                WHERE q.vec_id % {QUERY_MOD} = 0
+            ) WHERE rk <= {IVF_NPROBE}
+        )"""
+    )
+    parts.append(
+        f"""vn AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   sqrt({_dot_sql("e.embedding", "e.embedding")}) AS nrm
+            FROM embeddings e
+        )"""
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes},
+        scored AS (
+            SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+                   ROUND({_dot_sql("a.embedding", "b.embedding")}
+                         / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM probes p
+            JOIN lists l ON l.cluster = p.cluster AND l.vec_id <> p.vec_id
+            JOIN vn a ON a.vec_id = p.vec_id
+            JOIN vn b ON b.vec_id = l.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT scored.*, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+        ORDER BY query_id, cos_sim DESC, neighbor_id
+    """
+
+
 
 @register(
     "ann_ivf",
-    oracle=None,  # probed recall is approximate by design; rows-only gate
+    oracle=_ivf_oracle(),
     doc="IVF ANN: k-means coarse quantizer (nlist=16) builds inverted "
     "lists; each query probes its 4 nearest cells and scores exact "
     "cosine inside them. Candidate generation is an equi-join on the "
     "cell id — shuffle volume is data x nprobe/nlist, the standard "
     "billion-scale ANN layout (FAISS IVF flat, re-expressed on "
     "DataFrames). Cell assignment and scoring are Arrow-batched numpy "
-    "(one matmul per batch); the join/shuffle layer stays JVM-side.",
-    tags=("ann", "scale", "rows_gate"),
+    "(one matmul per batch); the join/shuffle layer stays JVM-side. "
+    "r11 rows->oracle conversion: the coarse quantizer is the exact "
+    "integer-grid Lloyd (kmeans_fit_exact), probe ranking is exact "
+    "int64 with lowest-cell tie-break, and scoring is the fold-order "
+    "cosine — the whole probe-join pipeline value-hash-matches the "
+    "unrolled DuckDB oracle.",
+    tags=("ann", "scale"),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    lists, cents = build_ivf_index(v)
+    lists, cents = build_ivf_index_exact(v)
     if lists is None:  # empty slice in -> empty result out
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double"
@@ -574,7 +694,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            F.explode(ivf_probe_udf(cents)("embedding")).alias("cluster"),
+            F.explode(ivf_probe_udf_exact(cents)("embedding")).alias(
+                "cluster"
+            ),
         )
     )
 
@@ -586,7 +708,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q.vec_id").alias("query_id"),
             F.col("v.vec_id").alias("neighbor_id"),
             F.round(
-                _cos_udf()(F.col("q.embedding"), F.col("v.embedding")), 6
+                _cos_fold_udf()(F.col("q.embedding"), F.col("v.embedding")),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -764,15 +887,80 @@ def ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_oracle() -> str:
+    """Composes the REGISTERED oracles of the methods it evaluates
+    (each wrapped as a derived table, so the report's ground truths
+    are definitionally the same queries the driver already gates):
+    possible only now that every component — brute-force truth, IVF,
+    both LSH variants — is itself value-hash-exact (r11)."""
+    from mvrs_dspa_spark.plans.registry import _REGISTRY
+
+    topk = _REGISTRY["ann_cosine_topk"].oracle
+    ivf = _REGISTRY["ann_ivf"].oracle
+    truth = _REGISTRY["embedding_near_dup"].oracle
+    lshf = _REGISTRY["ann_lsh"].oracle
+    lshb = _REGISTRY["ann_lsh_banded"].oracle
+    pair_hits = (
+        "SELECT COUNT(*) FROM {m} s WHERE EXISTS (SELECT 1 FROM truth t "
+        "WHERE t.vec_a = s.vec_a AND t.vec_b = s.vec_b)"
+    )
+    return f"""
+        WITH exact_topk AS MATERIALIZED (SELECT * FROM ({topk})),
+        ivf AS MATERIALIZED (SELECT * FROM ({ivf})),
+        truth AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM ({truth})
+        ),
+        lshf AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM ({lshf}) WHERE cos_sim >= {NEAR_DUP_COS}
+        ),
+        lshb AS MATERIALIZED (SELECT vec_a, vec_b FROM ({lshb})),
+        qs AS (SELECT DISTINCT query_id FROM exact_topk),
+        ivfq AS (
+            SELECT i.query_id, i.neighbor_id
+            FROM ivf i JOIN qs USING (query_id)
+        ),
+        raw(method, n_truth, n_retrieved, n_hits) AS (
+            SELECT 'lsh_fullsig',
+                   (SELECT COUNT(*) FROM truth),
+                   (SELECT COUNT(*) FROM lshf),
+                   ({pair_hits.format(m='lshf')})
+            UNION ALL
+            SELECT 'lsh_banded',
+                   (SELECT COUNT(*) FROM truth),
+                   (SELECT COUNT(*) FROM lshb),
+                   ({pair_hits.format(m='lshb')})
+            UNION ALL
+            SELECT 'ivf_top10',
+                   (SELECT COUNT(*) FROM exact_topk),
+                   (SELECT COUNT(*) FROM ivfq),
+                   (SELECT COUNT(*) FROM ivfq i WHERE EXISTS (
+                        SELECT 1 FROM exact_topk e
+                        WHERE e.query_id = i.query_id
+                          AND e.neighbor_id = i.neighbor_id))
+        )
+        SELECT method,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_retrieved AS BIGINT) AS n_retrieved,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CASE WHEN n_truth > 0
+                    THEN ROUND(n_hits / n_truth, 4) END AS recall
+        FROM raw
+        ORDER BY method
+    """
+
+
 @register(
     "ann_quality_report",
-    oracle=None,  # evaluates approximate methods; rows gate + pytest bounds
+    oracle=_quality_oracle(),
     doc="ANN evaluation harness: recall of each approximate method "
     "against its exact ground truth — ann_ivf top-10 vs brute-force "
     "top-10, full-signature LSH and banded LSH pair sets vs the exact "
     "cos>=0.4 pair set. The report a pipeline owner reads before "
-    "trusting an index config; composes the registered definitions.",
-    tags=("ann", "llm", "rows_gate"),
+    "trusting an index config; composes the registered definitions. "
+    "r11 rows->oracle conversion: every component became value-hash-"
+    "exact this round, so the report itself is now under a full "
+    "oracle that composes the components' REGISTERED oracle texts.",
+    tags=("ann", "llm"),
 )
 def ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_topk = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
@@ -990,9 +1178,74 @@ def ivf_assign_dist_udf(cents: list[list[float]]):
     return assign_udf
 
 
+def _maintenance_oracle() -> str:
+    """Exact-grid mirror of ann_index_maintenance: the quantizer fits
+    on the base slice (unrolled Lloyd, lowest-vec_id init), every
+    vector assigns into the final cells, and per-cell means are ONE
+    division of an exact int64 distance sum (never AVG of doubles —
+    the r6 haversine rule)."""
+    from mvrs_dspa_spark.operators.clustering import (
+        Q_SCALE,
+        _kmeans_idist_sql,
+        kmeans_exact_ctes,
+    )
+
+    k, iters, dim = IVF_NLIST, IVF_ITERS, LSH_DIM
+    idist = _kmeans_idist_sql(dim)
+    q2 = float(Q_SCALE) ** 2
+    parts = kmeans_exact_ctes(
+        k, iters, dim, where=f"vec_id % {ANN_INCR_MOD} != 0"
+    )
+    parts.append(
+        f"""qall AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {Q_SCALE} + 0.5)
+                                 AS BIGINT)) AS qe
+            FROM embeddings
+        )"""
+    )
+    parts.append(
+        f"""astats AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(MIN(dkey) % {k} AS INTEGER) AS cluster,
+                   MIN(dkey) // {k} AS d2
+            FROM (SELECT q.vec_id, {idist} * {k} + c.c AS dkey
+                  FROM qall q CROSS JOIN c{iters} c)
+            GROUP BY vec_id
+        )"""
+    )
+    for name, cmp in (("base_s", "!="), ("delta_s", "=")):
+        parts.append(
+            f"""{name} AS (
+            SELECT cluster, COUNT(*) AS n,
+                   CAST(CAST(SUM(d2) AS BIGINT) AS DOUBLE)
+                       / COUNT(*) / {q2} AS md
+            FROM astats WHERE vec_id % {ANN_INCR_MOD} {cmp} 0
+            GROUP BY cluster
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT COALESCE(b.cluster, d.cluster) AS cluster,
+               COALESCE(b.n, 0) AS n_base,
+               COALESCE(d.n, 0) AS n_delta,
+               ROUND(b.md, 6) AS mean_dist_base,
+               ROUND(d.md, 6) AS mean_dist_delta,
+               COALESCE(
+                   (COALESCE(d.n, 0) > {REFIT_GROWTH}
+                        * GREATEST(COALESCE(b.n, 0), 1))
+                   OR (d.md > {REFIT_DIST} * COALESCE(b.md, 0.0)),
+                   FALSE) AS needs_refit
+        FROM base_s b FULL JOIN delta_s d ON b.cluster = d.cluster
+        ORDER BY cluster
+    """
+
+
 @register(
     "ann_index_maintenance",
-    oracle=None,  # k-means quantizer is iterative/driver-seeded; rows gate
+    oracle=_maintenance_oracle(),
     doc="Incremental IVF index maintenance (the recurring-ingest ANN "
     "shape, FAISS add-after-train): the base corpus (vec_id % "
     f"{ANN_INCR_MOD} != 0) trains the coarse quantizer ONCE; the "
@@ -1005,31 +1258,42 @@ def ivf_assign_dist_udf(cents: list[list[float]]):
     "the quantizer has drifted enough to warrant retraining, instead "
     "of refitting every ingest. Output is nlist rows; all corpus-"
     "sized work is two narrow assignment projections + one "
-    "cell-bounded aggregation.",
-    tags=("ann", "scale", "rows_gate"),
+    "cell-bounded aggregation. r11 rows->oracle conversion: the "
+    "quantizer is the exact integer-grid fit (lowest-vec_id init, "
+    "was lexicographic-embedding init), distances are exact int64, "
+    "and each cell mean is one division of the exact distance sum.",
+    tags=("ann", "scale"),
 )
 def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = v.where(F.col("vec_id") % ANN_INCR_MOD != 0)
     delta = v.where(F.col("vec_id") % ANN_INCR_MOD == 0)
-    from mvrs_dspa_spark.operators.clustering import kmeans_fit
+    from mvrs_dspa_spark.operators.clustering import (
+        Q_SCALE,
+        assign_clusters_exact,
+        kmeans_fit_exact,
+    )
 
-    cents = kmeans_fit(base, "embedding", k=IVF_NLIST, iters=IVF_ITERS)
+    cents = kmeans_fit_exact(
+        base, "embedding", k=IVF_NLIST, iters=IVF_ITERS, id_col="vec_id"
+    )
     if not cents:
         return spark.createDataFrame(
             [],
             "cluster int, n_base long, n_delta long, mean_dist_base double,"
             " mean_dist_delta double, needs_refit boolean",
         )
-    assign = ivf_assign_dist_udf(cents)
+    q2 = float(Q_SCALE) ** 2
 
     def cell_stats(df: DataFrame, prefix: str) -> DataFrame:
-        a = df.select(assign("embedding").alias("a")).select(
-            "a.cluster", "a.sq_dist"
-        )
+        a = assign_clusters_exact(df, "embedding", cents)
         return a.groupBy("cluster").agg(
             F.count(F.lit(1)).alias(f"n_{prefix}"),
-            F.avg("sq_dist").alias(f"mean_dist_{prefix}"),
+            (
+                F.sum("sq_dist_q").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(q2)
+            ).alias(f"mean_dist_{prefix}"),
         )
 
     stats = (

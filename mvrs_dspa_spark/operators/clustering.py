@@ -342,24 +342,37 @@ def kmeans_fit_exact(
     return centroids
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
-    """The unrolled integer Lloyd as MATERIALIZED CTEs (the BPE/LPA
-    unroll playbook). dkey = d2 * k + c packs (distance, cluster) into
-    one BIGINT so MIN() is simultaneously the argmin distance and the
-    lowest-id tie-break."""
-    idist = (
+def _kmeans_idist_sql(dim: int) -> str:
+    """Exact integer squared distance between a quantized vector
+    (alias q, column qe) and a centroid (alias c, column cvec)."""
+    return (
         "list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(generate_series(1, {dim}), "
         "j -> (q.qe[j] - c.cvec[j]) * (q.qe[j] - c.cvec[j]))), "
         "(x, y) -> x + y)"
     )
+
+
+def kmeans_exact_ctes(
+    k: int, iters: int, dim: int, where: str = ""
+) -> list[str]:
+    """The unrolled integer Lloyd as MATERIALIZED CTE parts (the
+    BPE/LPA unroll playbook), reusable by any oracle that consumes the
+    fitted quantizer (`kmeans_embeddings` here; `ann_ivf`'s coarse
+    cells; `ann_index_maintenance` fits on a filtered base slice via
+    ``where``): q = quantized vectors, c0..c{iters} = centroid tables,
+    a{i} = per-iteration assignments. dkey = d2 * k + c packs
+    (distance, cluster) into one BIGINT so MIN() is simultaneously the
+    argmin distance and the lowest-id tie-break."""
+    idist = _kmeans_idist_sql(dim)
+    where_sql = f"WHERE {where}" if where else ""
     parts = [
         f"""q AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding,
                        x -> CAST(floor(x::DOUBLE * {Q_SCALE} + 0.5)
                                  AS BIGINT)) AS qe
-            FROM embeddings
+            FROM embeddings {where_sql}
         )""",
         f"""c0 AS MATERIALIZED (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
@@ -392,7 +405,12 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
             ) nc ON nc.c = p.c
         )"""
         )
-    ctes = ",\n        ".join(parts)
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    idist = _kmeans_idist_sql(dim)
+    ctes = ",\n        ".join(kmeans_exact_ctes(k, iters, dim))
     return f"""
         WITH {ctes}
         SELECT vec_id,

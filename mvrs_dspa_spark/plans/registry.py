@@ -63,10 +63,27 @@ def register(
 # check of the NEW behavior; everything else is re-verification and
 # cycles mechanically. Keep <=5 (the drain policy) and clear at the
 # next round open.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r11 rows->oracle conversions (census 16 -> 9). These five take
+    # the changed slots; the other two conversions of the round —
+    # ann_index_maintenance and ann_quality_report — are r5-stale and
+    # earn their window slots from the oldest-first queue anyway.
+    "media_features",
+    "ann_lsh",
+    "ann_lsh_banded",
+    "kmeans_embeddings",
+    "ann_ivf",
+)
 
 # --- BEGIN GENERATED WINDOW (python tools/freshness.py --write-window) ---
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "media_features",
+    "ann_lsh",
+    "ann_lsh_banded",
+    "kmeans_embeddings",
+    "ann_ivf",
+    "ann_index_maintenance",
+    "ann_quality_report",
     "q10_returned_revenue",
     "q11_concentrated_part_value",
     "q12_priority_shipping",
@@ -91,8 +108,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "top_user_per_type",
     "user_value_moving_avg",
-    "ann_index_maintenance",
-    "ann_quality_report",
     "ann_ndcg_eval",
     "anomaly_mahalanobis_2d",
     "basket_lift_pairs",
@@ -112,11 +127,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hourly_stl_decomposition",
     "join_size_estimate",
     "kaplan_meier_conversion",
-    "knn_confidence_calibration",
-    "l_diversity_report",
-    "nb_lang_classifier",
-    "ngram_jaccard_pairs",
-    "orders_cdf_quantiles",
 )
 # --- END GENERATED WINDOW ---
 

@@ -54,6 +54,8 @@ QUERIES = [
     "ann_lsh_banded",
     "media_features",
     "kmeans_embeddings",
+    "ann_ivf",
+    "ann_index_maintenance",
 ]
 
 
