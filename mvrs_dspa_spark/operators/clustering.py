@@ -354,51 +354,59 @@ def _kmeans_idist_sql(dim: int) -> str:
 
 
 def kmeans_exact_ctes(
-    k: int, iters: int, dim: int, where: str = ""
+    k: int,
+    iters: int,
+    dim: int,
+    where: str = "",
+    prefix: str = "",
+    vec_sql: str = "embedding",
 ) -> list[str]:
     """The unrolled integer Lloyd as MATERIALIZED CTE parts (the
     BPE/LPA unroll playbook), reusable by any oracle that consumes the
     fitted quantizer (`kmeans_embeddings` here; `ann_ivf`'s coarse
     cells; `ann_index_maintenance` fits on a filtered base slice via
-    ``where``): q = quantized vectors, c0..c{iters} = centroid tables,
-    a{i} = per-iteration assignments. dkey = d2 * k + c packs
-    (distance, cluster) into one BIGINT so MIN() is simultaneously the
-    argmin distance and the lowest-id tie-break."""
+    ``where``; `embedding_pq` fits one codebook per subvector slice
+    via ``prefix`` + ``vec_sql``): {prefix}q = quantized vectors,
+    {prefix}c0..c{iters} = centroid tables, {prefix}a{i} =
+    per-iteration assignments. dkey = d2 * k + c packs (distance,
+    cluster) into one BIGINT so MIN() is simultaneously the argmin
+    distance and the lowest-id tie-break."""
     idist = _kmeans_idist_sql(dim)
     where_sql = f"WHERE {where}" if where else ""
     parts = [
-        f"""q AS MATERIALIZED (
+        f"""{prefix}q AS MATERIALIZED (
             SELECT vec_id,
-                   list_transform(embedding,
+                   list_transform({vec_sql},
                        x -> CAST(floor(x::DOUBLE * {Q_SCALE} + 0.5)
                                  AS BIGINT)) AS qe
             FROM embeddings {where_sql}
         )""",
-        f"""c0 AS MATERIALIZED (
+        f"""{prefix}c0 AS MATERIALIZED (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                         AS INTEGER) AS c, qe AS cvec
-            FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k})
+            FROM (SELECT vec_id, qe FROM {prefix}q ORDER BY vec_id
+                  LIMIT {k})
         )""",
     ]
     for i in range(iters):
         parts.append(
-            f"""a{i} AS MATERIALIZED (
+            f"""{prefix}a{i} AS MATERIALIZED (
             SELECT vec_id, CAST(MIN(dkey) % {k} AS INTEGER) AS cluster
             FROM (
                 SELECT q.vec_id, {idist} * {k} + c.c AS dkey
-                FROM q CROSS JOIN c{i} c
+                FROM {prefix}q q CROSS JOIN {prefix}c{i} c
             ) GROUP BY vec_id
         )"""
         )
         parts.append(
-            f"""c{i + 1} AS MATERIALIZED (
+            f"""{prefix}c{i + 1} AS MATERIALIZED (
             SELECT p.c, COALESCE(nc.cvec, p.cvec) AS cvec
-            FROM c{i} p LEFT JOIN (
+            FROM {prefix}c{i} p LEFT JOIN (
                 SELECT cluster AS c, list(fd ORDER BY j) AS cvec
                 FROM (
                     SELECT a.cluster, g.j,
                            CAST(SUM(q.qe[g.j]) AS BIGINT) // COUNT(*) AS fd
-                    FROM a{i} a JOIN q USING (vec_id),
+                    FROM {prefix}a{i} a JOIN {prefix}q q USING (vec_id),
                          generate_series(1, {dim}) g(j)
                     GROUP BY a.cluster, g.j
                 ) GROUP BY cluster

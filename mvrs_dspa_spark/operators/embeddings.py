@@ -329,28 +329,176 @@ def pq_encode(
     return emb.withColumn("_pq", enc(F.col(vec_col)))
 
 
+def pq_fit_exact(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+) -> list[list[list[int]]] | None:
+    """pq_fit on the exact integer grid (r11 embedding_pq rows->oracle
+    conversion): one `kmeans_fit_exact` per subvector slice, so every
+    codebook is bit-identical to the unrolled per-subspace Lloyd in
+    the DuckDB oracle. The float pq_fit stays for ann_ivf_pq."""
+    from mvrs_dspa_spark.operators.clustering import (
+        ITERS,
+        LOCAL_FIT_CAP,
+        _kmeans_fit_exact_local,
+        kmeans_fit_exact,
+    )
+
+    sample = emb.select(id_col, vec_col).limit(LOCAL_FIT_CAP + 1).collect()
+    if not sample:
+        return None
+    d = len(sample[0][1])
+    assert d % m == 0, (d, m)
+    sub = d // m
+    if len(sample) <= LOCAL_FIT_CAP:
+        return [
+            _kmeans_fit_exact_local(
+                [(r[0], r[1][j * sub : (j + 1) * sub]) for r in sample],
+                k,
+                ITERS,
+            )
+            for j in range(m)
+        ]
+    books = []
+    for j in range(m):
+        sv = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
+        )
+        books.append(kmeans_fit_exact(sv, "sv", k=k, id_col=id_col))
+    return books
+
+
+def pq_encode_exact(
+    emb: DataFrame,
+    books: list[list[list[int]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-grid PQ encode: codes via exact int64 argmin per
+    subspace (ties -> lowest code), plus the exact integer residual
+    sum `err_q` (grid^2 units; the caller derives MSE with one
+    division so no doubles are ever summed)."""
+    books_l = [[[int(x) for x in c] for c in b] for b in books]
+    from mvrs_dspa_spark.operators.clustering import Q_SCALE
+
+    scale = float(Q_SCALE)
+
+    @F.pandas_udf("struct<codes: array<int>, err_q: long>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        bs = [np.asarray(b, dtype=np.int64) for b in books_l]
+        m = len(bs)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(x) == 0:
+            return pd.DataFrame(
+                {
+                    "codes": pd.Series([], dtype=object),
+                    "err_q": pd.Series([], dtype="int64"),
+                }
+            )
+        q = np.floor(x * scale + 0.5).astype(np.int64)
+        sub = q.shape[1] // m
+        codes = np.empty((len(q), m), dtype=np.int32)
+        err = np.zeros(len(q), dtype=np.int64)
+        for j, cb in enumerate(bs):
+            xs = q[:, j * sub : (j + 1) * sub]
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2 * (xs @ cb.T)
+                + (cb * cb).sum(axis=1)
+            )
+            codes[:, j] = d2.argmin(axis=1)
+            err += d2[np.arange(len(q)), codes[:, j]]
+        return pd.DataFrame({"codes": list(codes), "err_q": err})
+
+    return emb.withColumn("_pq", enc(F.col(vec_col)))
+
+
+def _pq_oracle() -> str:
+    """Per-subspace unrolled Lloyd (prefixed CTE blocks over subvector
+    slices) -> integer argmin codes -> one final MSE division."""
+    from mvrs_dspa_spark.operators.clustering import (
+        ITERS,
+        Q_SCALE,
+        _kmeans_idist_sql,
+        kmeans_exact_ctes,
+    )
+
+    d = 64
+    sub = d // PQ_M
+    idist = _kmeans_idist_sql(sub)
+    q2 = float(Q_SCALE) ** 2
+    parts: list[str] = []
+    for j in range(PQ_M):
+        parts.extend(
+            kmeans_exact_ctes(
+                PQ_K,
+                ITERS,
+                sub,
+                prefix=f"s{j}_",
+                vec_sql=f"embedding[{j * sub + 1}:{(j + 1) * sub}]",
+            )
+        )
+        parts.append(
+            f"""s{j}_fin AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(MIN(dkey) % {PQ_K} AS INTEGER) AS code,
+                   MIN(dkey) // {PQ_K} AS d2
+            FROM (SELECT q.vec_id, {idist} * {PQ_K} + c.c AS dkey
+                  FROM s{j}_q q CROSS JOIN s{j}_c{ITERS} c)
+            GROUP BY vec_id
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    code_cat = " || ',' || ".join(
+        f"CAST(s{j}.code AS VARCHAR)" for j in range(PQ_M)
+    )
+    err_sum = " + ".join(f"s{j}.d2" for j in range(PQ_M))
+    joins = " ".join(
+        f"JOIN s{j}_fin s{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    return f"""
+        WITH {ctes}
+        SELECT vec_id,
+               {code_cat} AS codes,
+               ROUND(CAST({err_sum} AS DOUBLE) / {q2} / {d}, 6)
+                   AS recon_mse
+        FROM s0_fin s0 {joins}
+        ORDER BY vec_id
+    """
+
+
 @register(
     "embedding_pq",
-    oracle=None,  # k-means codebooks are not SQL-expressible
+    oracle=_pq_oracle(),
     doc=f"Product quantization (PQ{PQ_M}x{PQ_K}, Jégou et al. TPAMI "
     "2011): each vector compressed to m sub-codebook codes "
     f"({PQ_M} bytes vs d*4 — 64x at d=64, vs int8's 4x in "
     "embedding_quantize #65). Codebooks are m distributed k-means "
     "fits on the subvector slices; encoding is a broadcast matmul "
-    "argmin per subspace. Rows-gated; invariants (code range, "
-    "determinism, MSE vs global-centroid bound, numpy parity) in "
-    "tests/test_embeddings.py.",
-    tags=("llm", "embeddings", "rows_gate"),
+    "argmin per subspace. r11 rows->oracle conversion: codebooks come "
+    "from the exact integer-grid Lloyd per slice, codes and residuals "
+    "are exact int64, and MSE is one final division — the whole "
+    "fit+encode pipeline value-hash-matches the per-subspace unrolled "
+    "DuckDB oracle (float pq_fit/pq_encode stay for ann_ivf_pq).",
+    tags=("llm", "embeddings"),
 )
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrs_dspa_spark.operators.clustering import Q_SCALE
+
     emb = table(spark, sf_dir, "embeddings")
-    books = pq_fit(emb)
+    books = pq_fit_exact(emb)
     if books is None:
         return spark.createDataFrame(
             [], "vec_id long, codes string, recon_mse double"
         )
+    q2 = float(Q_SCALE) ** 2
     return (
-        pq_encode(emb, books)
+        pq_encode_exact(emb, books)
         .select(
             "vec_id",
             # Serialized flat (comma-joined), not array<int>: the external
@@ -361,7 +509,10 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.col("_pq.codes").cast("array<string>"), ","
             ).alias("codes"),
-            F.round(F.col("_pq.mse"), 6).alias("recon_mse"),
+            F.round(
+                F.col("_pq.err_q").cast("double") / F.lit(q2) / F.lit(64),
+                6,
+            ).alias("recon_mse"),
         )
         .orderBy("vec_id")
     )

@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_novelty_rate",
     "dp_event_counts",
     "dsir_importance_weights",
+    "embedding_pq",
     "embedding_truncation_eval",
     "entity_resolution_blocking",
     "gdpr_erasure_audit",
@@ -126,7 +127,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "haversine_store_assignment",
     "hourly_stl_decomposition",
     "join_size_estimate",
-    "kaplan_meier_conversion",
 )
 # --- END GENERATED WINDOW ---
 

@@ -56,6 +56,7 @@ QUERIES = [
     "kmeans_embeddings",
     "ann_ivf",
     "ann_index_maintenance",
+    "embedding_pq",
 ]
 
 
