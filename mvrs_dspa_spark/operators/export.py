@@ -38,8 +38,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.functions import hashing as H
-from mvrs_dspa_spark.operators.ann import _cos_udf
-from mvrs_dspa_spark.operators.clustering import assign_clusters, kmeans_fit
+from mvrs_dspa_spark.operators.ann import _cos_fold_udf, _cos_udf, _dot_sql
+from mvrs_dspa_spark.operators.clustering import (
+    assign_clusters,
+    assign_clusters_exact,
+    kmeans_exact_ctes,
+    kmeans_fit,
+    kmeans_fit_exact,
+)
+from mvrs_dspa_spark.operators.clustering import (
+    _kmeans_idist_sql as _sem_idist_sql,
+)
 from mvrs_dspa_spark.plans.registry import register
 from mvrs_dspa_spark.tables import table
 
@@ -240,15 +249,58 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle() -> str:
+    """Exact-grid mirror: unrolled Lloyd (k=SEM_K) -> within-cluster
+    lower-id tau-ball drop with the fold-order cosine."""
+    idist = _sem_idist_sql(64)
+    parts = kmeans_exact_ctes(SEM_K, SEM_ITERS, 64)
+    parts.append(
+        f"""asn AS MATERIALIZED (
+            SELECT vec_id, CAST(MIN(dkey) % {SEM_K} AS INTEGER) AS cluster
+            FROM (SELECT q.vec_id, {idist} * {SEM_K} + c.c AS dkey
+                  FROM q q CROSS JOIN c{SEM_ITERS} c)
+            GROUP BY vec_id
+        )"""
+    )
+    parts.append(
+        f"""vn AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   sqrt({_dot_sql("e.embedding", "e.embedding")}) AS nrm
+            FROM embeddings e
+        )"""
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes},
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM asn a
+            JOIN asn b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+            JOIN vn va ON va.vec_id = a.vec_id
+            JOIN vn vb ON vb.vec_id = b.vec_id
+            WHERE {_dot_sql("va.embedding", "vb.embedding")}
+                  / (va.nrm * vb.nrm) >= {SEM_TAU}
+        )
+        SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
+        FROM asn a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        ORDER BY a.vec_id
+    """
+
+
 @register(
     "semantic_dedup",
-    oracle=None,  # depends on iterative kmeans; rows-only + pytest invariants
+    oracle=_semantic_dedup_oracle(),
     doc="SemDeDup-style semantic dedup (arXiv:2303.09540): K-means "
     "partitions the embedding space; within each cluster a vector is "
     "dropped when a lower-id vector with cosine >= tau exists. Kept "
     "set is within-cluster tau-independent; pair comparisons bounded "
-    "per cluster, never global.",
-    tags=("ann", "dedup", "llm", "rows_gate"),
+    "per cluster, never global. r11 rows->oracle conversion: the "
+    "registered gate runs the exact integer-grid Lloyd and scores "
+    "pairs with the fold-order cosine against the RAW tau threshold, "
+    "so clusters and the kept set value-hash-match the unrolled "
+    "DuckDB oracle (the scale path keeps the float fit via "
+    "exact=False).",
+    tags=("ann", "dedup", "llm"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the registered gate pins k=SEM_K so the tiny fixture keeps
@@ -256,6 +308,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_op(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         k=SEM_K,
+        exact=True,
     )
 
 
@@ -266,30 +319,47 @@ def semantic_dedup_op(
     k: int | None = None,
     iters: int = SEM_ITERS,
     tau: float = SEM_TAU,
+    exact: bool = False,
 ) -> DataFrame:
     """SemDeDup over any (id, vector) frame.
 
     k=None derives the cluster count from the actual corpus size via
     `sem_k_for`, the paper's k ~ n scaling; pass an explicit k only
-    for pinned deterministic gates.
+    for pinned deterministic gates. exact=True (the registered gate)
+    swaps in the integer-grid Lloyd + fold-order cosine so the result
+    is oracle-reproducible; the default keeps the float fit + BLAS
+    cosine for the unpinned scale path.
     """
     if k is None:
         k = sem_k_for(emb.count())
-    centroids = kmeans_fit(emb, vec_col, k=k, iters=iters, id_col=id_col)
-    if not centroids:  # empty slice in -> empty result out
-        return emb.sparkSession.createDataFrame(
-            [], "vec_id long, cluster int, keep boolean"
+    if exact:
+        cents_i = kmeans_fit_exact(emb, vec_col, k=k, iters=iters, id_col=id_col)
+        if not cents_i:
+            return emb.sparkSession.createDataFrame(
+                [], "vec_id long, cluster int, keep boolean"
+            )
+        assigned = assign_clusters_exact(emb, vec_col, cents_i).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            "cluster",
         )
-    assigned = assign_clusters(emb, vec_col, centroids).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        "cluster",
-    )
+    else:
+        centroids = kmeans_fit(emb, vec_col, k=k, iters=iters, id_col=id_col)
+        if not centroids:  # empty slice in -> empty result out
+            return emb.sparkSession.createDataFrame(
+                [], "vec_id long, cluster int, keep boolean"
+            )
+        assigned = assign_clusters(emb, vec_col, centroids).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            "cluster",
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
-    # pair cosine via Arrow-batched numpy (rows-gated query, so the
-    # oracle-fold FP order is not required; the pair volume is the hot
-    # loop and the batched matmul is ~100x the interpreted fold)
-    cos = _cos_udf()(F.col("a.embedding"), F.col("b.embedding"))
+    # pair cosine via Arrow-batched numpy; the exact gate uses the
+    # dimension-ordered fold so the tau comparison is bit-identical to
+    # the oracle, the scale path keeps the BLAS matmul
+    cos_udf = _cos_fold_udf() if exact else _cos_udf()
+    cos = cos_udf(F.col("a.embedding"), F.col("b.embedding"))
     # v is dropped when ANY lower-id same-cluster vector is >= tau close
     # (the earlier vector itself may also be dropped — chains collapse
     # toward their lowest id, exactly the paper's keep-one-per-ball).

@@ -57,6 +57,7 @@ QUERIES = [
     "ann_ivf",
     "ann_index_maintenance",
     "embedding_pq",
+    "semantic_dedup",
 ]
 
 
