@@ -1020,14 +1020,169 @@ def _residual_udf(cents: list[list[float]]):
     return resid
 
 
+def _residual_exact_udf(cents: list[list[int]]):
+    """Residual on the integer grid, expressed as EXACT dyadic doubles
+    (int / 2^20): |resid_int| < 2^22 so every element round-trips
+    bit-perfectly through the standard floor(x * 2^20 + 0.5)
+    quantization — the downstream pq_fit_exact / pq_encode_exact and
+    the oracle's resid CTE all recover the identical integers."""
+    cents_l = [[int(x) for x in c] for c in cents]
+    from mvrs_dspa_spark.operators.clustering import Q_SCALE
+
+    scale = float(Q_SCALE)
+
+    @F.pandas_udf("array<double>")
+    def resid(emb: pd.Series, cluster: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C = np.asarray(cents_l, dtype=np.int64)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        qi = np.floor(X * scale + 0.5).astype(np.int64)
+        out = (qi - C[cluster.to_numpy()]).astype(np.float64) / scale
+        return pd.Series(list(out))
+
+    return resid
+
+
 ANN_PQ_M = 16          # finer than storage-PQ (sub=4 dims at d=64)
 ANN_PQ_K = 16
 REFINE_SHORTLIST = 40  # ADC shortlist re-ranked exactly (FAISS refine)
 
 
+def _ivf_pq_oracle() -> str:
+    """The full IVF-PQ + refine pipeline as one oracle: coarse Lloyd
+    -> integer residuals (exact dyadic doubles in the resid CTE, so
+    the per-subspace quantization recovers the identical integers) ->
+    16 prefixed sub-codebook Lloyd unrolls -> integer ADC -> 40-row
+    shortlist -> exact double-fold L2 re-rank -> top-10."""
+    from mvrs_dspa_spark.operators.clustering import (
+        ITERS,
+        Q_SCALE,
+        _kmeans_idist_sql,
+        kmeans_exact_ctes,
+    )
+
+    d, m = LSH_DIM, ANN_PQ_M
+    sub = d // m
+    scale = float(Q_SCALE)
+    idist64 = _kmeans_idist_sql(d)
+    idist_sub = _kmeans_idist_sql(sub)
+    parts = kmeans_exact_ctes(IVF_NLIST, IVF_ITERS, d)
+    parts.append(
+        f"""lists AS MATERIALIZED (
+            SELECT vec_id, CAST(MIN(dkey) % {IVF_NLIST} AS INTEGER)
+                       AS cluster
+            FROM (SELECT q.vec_id, {idist64} * {IVF_NLIST} + c.c AS dkey
+                  FROM q q CROSS JOIN c{IVF_ITERS} c)
+            GROUP BY vec_id
+        )"""
+    )
+    parts.append(
+        f"""resid AS MATERIALIZED (
+            SELECT l.vec_id,
+                   list_transform(generate_series(1, {d}),
+                       i -> CAST(q.qe[i] - cv.cvec[i] AS DOUBLE)
+                            / {scale}) AS res
+            FROM lists l
+            JOIN q ON q.vec_id = l.vec_id
+            JOIN c{IVF_ITERS} cv ON cv.c = l.cluster
+        )"""
+    )
+    for j in range(m):
+        parts.extend(
+            kmeans_exact_ctes(
+                ANN_PQ_K,
+                ITERS,
+                sub,
+                prefix=f"p{j}_",
+                vec_sql=f"res[{j * sub + 1}:{(j + 1) * sub}]",
+                source="resid",
+            )
+        )
+        parts.append(
+            f"""p{j}_fin AS MATERIALIZED (
+            SELECT vec_id, CAST(MIN(dkey) % {ANN_PQ_K} AS INTEGER) AS code
+            FROM (SELECT q.vec_id, {idist_sub} * {ANN_PQ_K} + c.c AS dkey
+                  FROM p{j}_q q CROSS JOIN p{j}_c{ITERS} c)
+            GROUP BY vec_id
+        )"""
+        )
+    parts.append(
+        f"""qprobes AS MATERIALIZED (
+            SELECT vec_id, cluster FROM (
+                SELECT q.vec_id, c.c AS cluster,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {idist64}, c.c) AS rk
+                FROM q q CROSS JOIN c{IVF_ITERS} c
+                WHERE q.vec_id % {QUERY_MOD} = 0
+                  AND q.vec_id < {QUERY_MOD * MAX_QUERIES}
+            ) WHERE rk <= {IVF_NPROBE}
+        )"""
+    )
+    # ADC: per (query, candidate) sum of 16 subspace folds over
+    # (query residual element - candidate's code centroid element)
+    adc_terms = " + ".join(
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, {sub}), "
+        f"i -> (q.qe[{j * sub}+i] - cc.cvec[{j * sub}+i] - b{j}.cvec[i])"
+        f" * (q.qe[{j * sub}+i] - cc.cvec[{j * sub}+i] - b{j}.cvec[i]))), "
+        "(x, y) -> x + y)"
+        for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN p{j}_fin f{j} ON f{j}.vec_id = l.vec_id "
+        f"JOIN p{j}_c{ITERS} b{j} ON b{j}.c = f{j}.code"
+        for j in range(m)
+    )
+    parts.append(
+        f"""adc AS MATERIALIZED (
+            SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+                   {adc_terms} AS approx_d
+            FROM qprobes p
+            JOIN q ON q.vec_id = p.vec_id
+            JOIN c{IVF_ITERS} cc ON cc.c = p.cluster
+            JOIN lists l ON l.cluster = p.cluster
+                 AND l.vec_id <> p.vec_id
+            {code_joins}
+        )"""
+    )
+    l2 = (
+        "list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {d}), "
+        "i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+        " * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes},
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT adc.*, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_d, neighbor_id) AS rn
+                FROM adc
+            ) WHERE rn <= {REFINE_SHORTLIST}
+        ),
+        ref AS (
+            SELECT s.query_id, s.neighbor_id, {l2} AS dist
+            FROM short s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, ROUND(dist, 6) AS dist FROM (
+            SELECT ref.*, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, neighbor_id) AS rn
+            FROM ref
+        ) WHERE rn <= {TOP_K}
+        ORDER BY query_id, dist, neighbor_id
+    """
+
+
 @register(
     "ann_ivf_pq",
-    oracle=None,  # compressed-domain distances are approximate by design
+    oracle=_ivf_pq_oracle(),
     doc="IVF-PQ ANN with exact refine (the FAISS IVFPQ+refine layout, "
     "Jégou et al. 2011): the coarse quantizer routes vectors to "
     "inverted lists, each vector's RESIDUAL from its cell centroid is "
@@ -1040,27 +1195,36 @@ REFINE_SHORTLIST = 40  # ADC shortlist re-ranked exactly (FAISS refine)
     "joins original vectors back for an exact L2 re-rank. Measured at "
     "sf0.01: refined recall@10 equals IVF-FLAT's within 0.02 — the "
     "compression is free at serving time, which is the whole point. "
-    "Composes build_ivf_index with embeddings.pq_fit/pq_encode. "
-    "Rows-gated; recall floor + parity-vs-ivf-flat + determinism in "
-    "tests/test_ann.py.",
-    tags=("ann", "scale", "rows_gate"),
+    "Composes build_ivf_index_exact with embeddings.pq_fit_exact/"
+    "pq_encode_exact. r11 rows->oracle conversion: residuals live on "
+    "the integer grid (exact dyadic doubles that round-trip the "
+    "standard quantization), sub-codebooks are 16 exact per-slice "
+    "Lloyd fits, ADC is pure int64, and the refine is a double-cast "
+    "fold — the whole compressed-domain pipeline value-hash-matches "
+    "the unrolled DuckDB oracle. Recall floor + parity-vs-ivf-flat + "
+    "determinism stay in tests/test_ann.py.",
+    tags=("ann", "scale"),
 )
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mvrs_dspa_spark.operators.embeddings import pq_encode, pq_fit
+    from mvrs_dspa_spark.operators.clustering import Q_SCALE
+    from mvrs_dspa_spark.operators.embeddings import (
+        pq_encode_exact,
+        pq_fit_exact,
+    )
 
-    empty = "query_id long, neighbor_id long, approx_d double"
+    empty = "query_id long, neighbor_id long, approx_d long"
     out_schema = "query_id long, neighbor_id long, dist double"
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    lists, cents = build_ivf_index(v)
+    lists, cents = build_ivf_index_exact(v)
     if lists is None:
         return spark.createDataFrame([], out_schema)
     resid = lists.withColumn(
-        "res", _residual_udf(cents)("embedding", "cluster")
+        "res", _residual_exact_udf(cents)("embedding", "cluster")
     )
-    books = pq_fit(resid, vec_col="res", m=ANN_PQ_M, k=ANN_PQ_K)
+    books = pq_fit_exact(resid, vec_col="res", m=ANN_PQ_M, k=ANN_PQ_K)
     if books is None:
         return spark.createDataFrame([], out_schema)
-    index = pq_encode(resid, books, vec_col="res").select(
+    index = pq_encode_exact(resid, books, vec_col="res").select(
         "vec_id", "cluster", F.col("_pq.codes").alias("codes")
     )
     probes = (
@@ -1071,35 +1235,39 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(ivf_probe_udf(cents)("embedding")).alias("cluster"),
+            F.explode(ivf_probe_udf_exact(cents)("embedding")).alias(
+                "cluster"
+            ),
         )
     )
     joined = probes.join(index, "cluster").where(
         F.col("query_id") != F.col("vec_id")
     )
 
-    cents_l = [list(c) for c in cents]
-    books_l = [[list(c) for c in b] for b in books]
+    cents_l = [[int(x) for x in c] for c in cents]
+    books_l = [[[int(x) for x in c] for c in b] for b in books]
+    scale = float(Q_SCALE)
 
     def adc(batches):
         import numpy as np
         import pandas as pd
 
-        C = np.asarray(cents_l)
-        B = [np.asarray(b) for b in books_l]
+        C = np.asarray(cents_l, dtype=np.int64)
+        B = [np.asarray(b, dtype=np.int64) for b in books_l]
         m = len(B)
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.asarray(
+            qf = np.asarray(
                 [np.asarray(x, dtype=np.float64) for x in pdf["q_emb"]]
             )
+            qi = np.floor(qf * scale + 0.5).astype(np.int64)
             codes = np.asarray(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )
-            qres = q - C[pdf["cluster"].to_numpy()]
+            qres = qi - C[pdf["cluster"].to_numpy()]
             sub = qres.shape[1] // m
-            d = np.zeros(len(pdf))
+            d = np.zeros(len(pdf), dtype=np.int64)
             for j, cb in enumerate(B):
                 diff = qres[:, j * sub : (j + 1) * sub] - cb[codes[:, j]]
                 d += (diff * diff).sum(axis=1)
@@ -1130,8 +1298,15 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = v.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
+    # double-cast fold: bit-identical to the oracle's ::DOUBLE l2 fold
+    # (uncast float32 subtraction would round differently)
     exact_d = F.aggregate(
-        F.zip_with("qe", "ne", lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            "qe",
+            "ne",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )

@@ -360,13 +360,15 @@ def kmeans_exact_ctes(
     where: str = "",
     prefix: str = "",
     vec_sql: str = "embedding",
+    source: str = "embeddings",
 ) -> list[str]:
     """The unrolled integer Lloyd as MATERIALIZED CTE parts (the
     BPE/LPA unroll playbook), reusable by any oracle that consumes the
     fitted quantizer (`kmeans_embeddings` here; `ann_ivf`'s coarse
     cells; `ann_index_maintenance` fits on a filtered base slice via
     ``where``; `embedding_pq` fits one codebook per subvector slice
-    via ``prefix`` + ``vec_sql``): {prefix}q = quantized vectors,
+    via ``prefix`` + ``vec_sql``; `ann_ivf_pq` fits on a residual CTE
+    via ``source``): {prefix}q = quantized vectors,
     {prefix}c0..c{iters} = centroid tables, {prefix}a{i} =
     per-iteration assignments. dkey = d2 * k + c packs (distance,
     cluster) into one BIGINT so MIN() is simultaneously the argmin
@@ -379,7 +381,7 @@ def kmeans_exact_ctes(
                    list_transform({vec_sql},
                        x -> CAST(floor(x::DOUBLE * {Q_SCALE} + 0.5)
                                  AS BIGINT)) AS qe
-            FROM embeddings {where_sql}
+            FROM {source} {where_sql}
         )""",
         f"""{prefix}c0 AS MATERIALIZED (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1

@@ -58,6 +58,7 @@ QUERIES = [
     "ann_index_maintenance",
     "embedding_pq",
     "semantic_dedup",
+    "ann_ivf_pq",
 ]
 
 
