@@ -1442,12 +1442,7 @@ def _maintenance_oracle() -> str:
 def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = v.where(F.col("vec_id") % ANN_INCR_MOD != 0)
-    delta = v.where(F.col("vec_id") % ANN_INCR_MOD == 0)
-    from mvrs_dspa_spark.operators.clustering import (
-        Q_SCALE,
-        assign_clusters_exact,
-        kmeans_fit_exact,
-    )
+    from mvrs_dspa_spark.operators.clustering import kmeans_fit_exact
 
     cents = kmeans_fit_exact(
         base, "embedding", k=IVF_NLIST, iters=IVF_ITERS, id_col="vec_id"
@@ -1458,22 +1453,48 @@ def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster int, n_base long, n_delta long, mean_dist_base double,"
             " mean_dist_delta double, needs_refit boolean",
         )
+    return maintenance_report_from_stats(maintenance_cell_stats(v, cents))
+
+
+def maintenance_cell_stats(
+    df: DataFrame, cents: list[list[int]], mod: int = ANN_INCR_MOD
+) -> DataFrame:
+    """(cluster, is_base, n, s_d2): exact int64 per-cell count +
+    squared-distance sum against the FIXED quantizer. ADDITIVE in the
+    rows, so the streaming maintainer (29as) merges these deltas
+    across micro-batches — and SUBTRACTS them for per-vector
+    erasure — and the shared tail below serves the identical report."""
+    from mvrs_dspa_spark.operators.clustering import assign_clusters_exact
+
+    a = assign_clusters_exact(df, "embedding", cents)
+    return a.groupBy(
+        "cluster", (F.col("vec_id") % mod != 0).alias("is_base")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq_dist_q").alias("s_d2"),
+    )
+
+
+def maintenance_report_from_stats(stats: DataFrame) -> DataFrame:
+    """Shared serving tail: per-cell means are ONE division of the
+    exact int64 distance sum (never AVG of doubles), then the
+    growth/drift refit flags."""
+    from mvrs_dspa_spark.operators.clustering import Q_SCALE
+
     q2 = float(Q_SCALE) ** 2
 
-    def cell_stats(df: DataFrame, prefix: str) -> DataFrame:
-        a = assign_clusters_exact(df, "embedding", cents)
-        return a.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias(f"n_{prefix}"),
-            (
-                F.sum("sq_dist_q").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(q2)
-            ).alias(f"mean_dist_{prefix}"),
+    def side(is_base: bool, prefix: str) -> DataFrame:
+        return stats.where(F.col("is_base") == is_base).select(
+            "cluster",
+            F.col("n").alias(f"n_{prefix}"),
+            (F.col("s_d2").cast("double") / F.col("n") / F.lit(q2)).alias(
+                f"mean_dist_{prefix}"
+            ),
         )
 
-    stats = (
-        cell_stats(base, "base")
-        .join(cell_stats(delta, "delta"), "cluster", "full")
+    merged = (
+        side(True, "base")
+        .join(side(False, "delta"), "cluster", "full")
         .na.fill({"n_base": 0, "n_delta": 0})
     )
     needs_refit = (
@@ -1482,7 +1503,7 @@ def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_dist_delta")
         > REFIT_DIST * F.coalesce("mean_dist_base", F.lit(0.0))
     )
-    return stats.select(
+    return merged.select(
         "cluster",
         "n_base",
         "n_delta",

@@ -529,6 +529,16 @@ def test_10x_embeddings_scale_linear_no_spill(spark, tmp_path):
         # round 8 second wave: dim-sum drift grid is corpus x 64 rows
         # into a (label, slice, dim)-bounded aggregate — scan-bound
         "embedding_centroid_drift",
+        # round 11: the exact-grid conversions. kmeans fit is one
+        # driver collect + int matmuls (k x dim state); IVF adds the
+        # probe join (nprobe/nlist of the corpus per query, queries a
+        # fixed 1/50 fraction); IVF-PQ ships m ints per candidate and
+        # re-ranks a bounded shortlist; PQ encode is 4 subspace int
+        # argmins per row — all must stay near-linear, zero spill.
+        "kmeans_embeddings",
+        "ann_ivf",
+        "ann_ivf_pq",
+        "embedding_pq",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
