@@ -104,6 +104,14 @@ EXTRA_QUERIES = [
     # round 6: representative slice of the 16 new registrations —
     # mergeable sketches, broadcast geo fan-out, graph rollup,
     # stopword-lexicon join, covariance-broadcast scoring
+    # round 11: the remaining converted-family members not yet listed —
+    # full-signature LSH, exact-grid PQ, and the maintenance report.
+    # ann_quality_report is deliberately NOT benched: it recomputes
+    # brute-force truth + IVF + both LSH variants, all of which are
+    # timed individually here.
+    "ann_lsh",
+    "embedding_pq",
+    "ann_index_maintenance",
     "theta_sketch_distinct_union",
     "tdigest_value_quantiles",
     "haversine_store_assignment",
