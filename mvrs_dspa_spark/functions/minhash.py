@@ -122,6 +122,25 @@ def sig_match_count_sql(n: int) -> str:
     return " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(n))
 
 
+# Materialize the (narrow) signature frame once via a lazy
+# localCheckpoint before the band self-join. Without it the ENTIRE
+# upstream signature pipeline — corpus scan, tokenize/regex, shingle
+# hashing, 32 min-aggregations — is planned and EXECUTED once per join
+# side (the probe-side Exchange and the build-side BroadcastExchange
+# cannot share, so ReuseExchange never fires): the r11 before-plans
+# show the events/documents scan subtree duplicated under both sides
+# of every candidate join (plans/r11/*_before.txt). Checkpointing the
+# signatures (one narrow row per set: id + n longs) makes both sides
+# read the materialized partitions — the corpus is scanned ONCE, which
+# is the posture that matters at 100 TB (guide §2.4: remove shuffles/
+# passes outright). Module flag so A/B harnesses can flip it.
+MATERIALIZE_SIGS = True
+
+
+def _materialized(sig: DataFrame) -> DataFrame:
+    return sig.localCheckpoint(eager=False) if MATERIALIZE_SIGS else sig
+
+
 def scored_candidate_pairs_df(
     sig: DataFrame, id_col: str, n: int, bands: int
 ) -> DataFrame:
@@ -140,7 +159,7 @@ def scored_candidate_pairs_df(
     Interleaved A/B at sf0.1: user-similarity 3.25s -> 2.22s, doc
     dedup 2.59s -> 2.43s (min of 4, same JVM).
     """
-    buckets = bucket_rows_df(sig, id_col, n, bands)
+    buckets = bucket_rows_df(_materialized(sig), id_col, n, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     matches = sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
     est = F.round(matches.cast("double") / F.lit(n), 6)
@@ -273,9 +292,18 @@ def scored_candidate_pairs_from_array_sig_df(
     (interleaved A/B at sf0.1: scored doc pipeline 2.23 -> 2.08 s,
     identical pairs; and projection-only signatures are the posture
     that matters at 100x — the one remaining wide exchange is the
-    band-bucket join itself)."""
+    band-bucket join itself).
+
+    The projected (id, sg) frame is materialized once (lazy
+    localCheckpoint, see MATERIALIZE_SIGS) so the CPU-bound shingle
+    scan does not run once per join side."""
     buckets = bucket_rows_from_sig_df(
-        sig.select(F.col(id_col), F.col(sig_col).alias("sg")), "sg", n, bands
+        _materialized(
+            sig.select(F.col(id_col), F.col(sig_col).alias("sg"))
+        ),
+        "sg",
+        n,
+        bands,
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     matches = sig_match_count_col(F.col("a.sg"), F.col("b.sg"))

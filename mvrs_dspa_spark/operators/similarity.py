@@ -268,6 +268,14 @@ def similar_users_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("item").alias("items"),
             F.unix_micros(F.max("ts")).alias("last_us"),
         )
+        # materialize ONCE (lazy localCheckpoint): per_user feeds three
+        # consumers — both sides of the intersection self-join and the
+        # activity-cutoff aggregate — and without it each consumer
+        # re-runs the events scan + regex + collect_set (the r11
+        # before-plan shows the events scan 3x under this query's
+        # items/cutoff subtrees). One narrow row per user; the corpus
+        # is scanned once. (guide §2.4 / §5 caching-for-reuse)
+        .localCheckpoint(eager=False)
     )
     # Set size and last-activity timestamp RIDE the exploded item rows
     # out of the same aggregate: the intersection groupBy then carries
@@ -385,11 +393,28 @@ def similar_users_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = MH.signature_df(items, "user_id", "item", _PARAMS)
     # signatures scored inside the band join (no sig re-join / distinct)
     scored = MH.scored_candidate_pairs_df(sig, "user_id", N_HASHES, BANDS)
+    # Both directions via ONE explode instead of unionAll of two
+    # copies of `scored`: the union form plans (and executes) the
+    # whole candidate-join subtree once per branch — with the band
+    # self-join's own two sides that was FOUR executions of the
+    # events scan + signature aggregation (r11 before-plan). The
+    # explode keeps one subtree and just doubles its output rows.
     both = scored.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v"), "est_sim"
-    ).unionAll(
-        scored.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"), "est_sim")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("u"),
+                    F.col("id_b").alias("v"),
+                    F.col("est_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("u"),
+                    F.col("id_a").alias("v"),
+                    F.col("est_sim"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v", "p.est_sim")
     w = Window.partitionBy("u").orderBy(F.col("est_sim").desc(), F.col("v"))
     return (
         both.where(F.col("est_sim") >= MIN_SIM)
