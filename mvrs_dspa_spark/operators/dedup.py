@@ -411,7 +411,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    # materialize the per-doc shingle arrays once: the inverted-index
+    # self-join below references them on both sides, and without the
+    # checkpoint the CPU-bound tokenize+md5 scan runs twice (r11)
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
     return jaccard_pairs_from_shingles(sh).orderBy("doc_a", "doc_b")
 
 
@@ -892,7 +899,13 @@ def dedup_containment(
     on. df_cap=None (the registered query) is plan-identical to the
     uncapped join, and capped == uncapped on any corpus whose max df
     is below the cap (tests/test_df_cap.py)."""
-    sh = _doc_shingles(spark, sf_dir).where(F.size("sh") > 0)
+    # shingle arrays materialized once — both sides of the inverted-
+    # index self-join (and the optional df-cap build) read them (r11)
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
     items = sh.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("code")
     )

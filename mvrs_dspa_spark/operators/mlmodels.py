@@ -200,7 +200,16 @@ def lr_fit(
 def quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     split = H.affine_col(F.col("doc_id").cast("long"), _LR_SPLIT_A, _LR_SPLIT_B) % 10
-    feats = doc_features(docs).withColumn("is_train", split < LR_TRAIN_BUCKETS)
+    # one feature pass: the md5-per-token hashed-BoW projection feeds
+    # four consumers (train-median collect, the fit's training rows,
+    # the score-grid collect, the returned calibration table) — before
+    # r11 each re-ran the full projection (noop 4.1 s at sf0.1, ~4
+    # feature scans); materialized it is one corpus scan per run
+    feats = (
+        doc_features(docs)
+        .withColumn("is_train", split < LR_TRAIN_BUCKETS)
+        .localCheckpoint(eager=False)
+    )
     thr_row = (
         feats.filter("is_train")
         .agg(F.expr("percentile(quality_score, 0.5)").alias("thr"))

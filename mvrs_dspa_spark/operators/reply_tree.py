@@ -52,6 +52,11 @@ def resolve_roots(
         F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
         F.col(parent_col).isNull().alias("done"),
         F.lit(False).alias("dangling"),
+        # eager, NOT lazy: the per-round convergence check (isEmpty)
+        # evaluates only a LIMIT-1 prefix, which does not fully
+        # materialize a lazy checkpoint — the next round then re-runs
+        # the whole un-materialized lineage chain (measured 1.7 ->
+        # 9.7 s noop at sf0.1 with eager=False in r11; reverted)
     ).localCheckpoint(eager=True)
 
     for _ in range(max_rounds):

@@ -561,11 +561,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(H.str_code_col(F.col("tok")), F.lit(DSIR_BUCKETS)).alias(
             "bucket"
         ),
-    )
+    # tokenize+hash runs once: toks feeds the bucket distribution AND
+    # the per-doc scoring join (two corpus scans before r11); dist is
+    # a <=DSIR_BUCKETS-row table read by the broadcast and the totals
+    ).localCheckpoint(eager=False)
     dist = toks.groupBy("bucket").agg(
         F.count_if(F.col("source") == DSIR_TARGET_SOURCE).alias("n_t"),
         F.count(F.lit(1)).alias("n_c"),
-    )
+    ).localCheckpoint(eager=False)
     tot = dist.agg(
         F.sum("n_t").alias("tt"), F.sum("n_c").alias("tc")
     )

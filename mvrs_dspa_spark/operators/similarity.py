@@ -466,8 +466,18 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     #20d PageRank, #101 LPA, #103 degree stats, and the round-8
     structure metrics). Edges are vocabulary-bounded after one
     corpus-sized pair aggregation; the 5%-of-users support threshold
-    keeps edge density stable as data grows."""
-    items = _items_df(spark, sf_dir)
+    keeps edge density stable as data grows.
+
+    Materialization (r11): `items` feeds three subtrees (the n_users
+    scalar and both pair-join sides) and the EDGE LIST itself feeds
+    every consumer's rounds/joins — without the two lazy
+    localCheckpoints the events scan + regex item extraction executed
+    once per reference (the r11 LPA before-plan shows 18 parquet
+    scans for one query: 8 unrolled rounds x both union directions +
+    deg/m2/w_in). Items are one narrow (user, item) row each; edges
+    are vocabulary-bounded. The corpus is now scanned exactly once
+    per consumer query no matter how many rounds reference the graph."""
+    items = _items_df(spark, sf_dir).localCheckpoint(eager=False)
     n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
     a, b = items.alias("a"), items.alias("b")
     return (
@@ -481,6 +491,7 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_users))
         .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
         .select("i", "j", "support")
+        .localCheckpoint(eager=False)
     )
 
 
@@ -514,12 +525,9 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "graph"),
 )
 def item_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the triangle join references edges three times; the helper
+    # materializes the vocabulary-bounded edge list once (r11)
     edges = cooccurrence_edges(spark, sf_dir)
-    # the triangle join references edges three times; materialize the
-    # (vocabulary-bounded) edge list once instead of re-running the
-    # corpus-sized pair aggregation per alias (same idiom as
-    # dedup_clusters' per-round localCheckpoint)
-    edges = edges.localCheckpoint(eager=False)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
         e1.join(e2, F.col("e2.i") == F.col("e1.j"))
@@ -793,7 +801,10 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("community"))
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside round 1's own job instead of one
+        # extra blocking job per round (r11 — the pagerank idiom; at 8
+        # rounds the eager form paid 9 extra driver round-trips)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         neigh = (
@@ -808,7 +819,7 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             neigh.withColumn("rn", F.row_number().over(win))
             .where(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "community")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -1108,7 +1119,8 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "graph"),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # cooccurrence_edges is materialized inside the helper (r11)
+    edges = cooccurrence_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.i") == F.col("e1.j"))
@@ -1208,7 +1220,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "graph"),
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # cooccurrence_edges is materialized inside the helper (r11)
+    edges = cooccurrence_edges(spark, sf_dir)
     degrees = (
         edges.select(F.col("i").alias("node"))
         .unionAll(edges.select("j"))

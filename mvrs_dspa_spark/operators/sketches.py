@@ -1034,10 +1034,16 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrs_dspa_spark.plans.analytics4 import w1_cents_col
 
     ev = table(spark, sf_dir, "events")
+    # the value-domain-bounded count grid feeds several serving
+    # subtrees inside tdigest_from_grid (cells, per-type totals,
+    # boundary ranks); materialize it once instead of re-scanning
+    # events per reference (r11 — batch only: the streaming maintainer
+    # hands tdigest_from_grid its own incrementally-kept grid)
     grid = (
         ev.select("event_type", w1_cents_col().alias("cents"))
         .groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     return tdigest_from_grid(grid)
 

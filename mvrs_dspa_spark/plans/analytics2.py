@@ -1300,7 +1300,14 @@ BASKET_MIN_SUPPORT = 2
 )
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket-item table feeds four subtrees (basket
+    # count, support, both pair-join sides): materialize it once
+    # instead of four lineitem scans + distincts (r11)
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
     )

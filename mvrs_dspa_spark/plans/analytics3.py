@@ -376,7 +376,13 @@ def ts_bucketed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hourly_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_type = Window.partitionBy("event_type")
-    pts = ts_bucketed_points(spark, sf_dir)
+    # materialize the <=720x5-row point series ONCE (lazy
+    # localCheckpoint, the mann_kendall idiom): pts feeds both sides
+    # of the pairwise-slope self-join AND the residual stage — without
+    # it the events scan + hourly rollup executes six times (the
+    # bucket-width broadcast doubles each of the three consumers; r11
+    # before-plan shows Scan parquet x6).
+    pts = ts_bucketed_points(spark, sf_dir).localCheckpoint(eager=False)
     a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(
         b,
