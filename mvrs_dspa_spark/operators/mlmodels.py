@@ -398,14 +398,29 @@ def _solve_side(
 
 
 def als_fit_distributed(
-    inter: DataFrame, user_key: str, item_key: str, iters: int = ALS_ITERS
+    inter: DataFrame,
+    user_key: str,
+    item_key: str,
+    iters: int = ALS_ITERS,
+    n_inter: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed ALS; returns (user_factors, item_factors) frames.
 
     Item factors start at the deterministic affine-hash init (built as
     a column expression — no driver-side matrix); each iteration then
     alternates the two `_solve_side` half-steps. Factor frames are
-    persisted per step so lineage doesn't recompute prior rounds.
+    localCheckpoint'ed per step (lazily — the Gramian collect is the
+    materializing action) so each half-step's plan is constant-size.
+    persist() alone is NOT enough: it caches execution but does not
+    truncate the PLAN, so the final serving query dragged the full
+    doubly-referenced 3-iteration lineage through the analyzer/
+    optimizer — 1,144 parquet-scan nodes, 780 Exchanges, 200
+    FlatMapGroupsInPandas in ONE physical plan, and every
+    intermediate job re-planned its own growing prefix (guide §7.3:
+    plan size itself becomes the driver bottleneck; §3.3:
+    localCheckpoint truncates). Callers should hand `inter` already
+    materialized (the query checkpoints it once and shares it with
+    the serving anti-join); this function no longer caches it.
     """
     init = F.array(
         *[
@@ -427,34 +442,31 @@ def als_fit_distributed(
     )
     items = (
         inter.select(item_key).distinct().select(item_key, init.alias("fac"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     users = None
-    inter = inter.persist()
     # bucket count sized so one Arrow group stays ~50k interaction
     # rows regardless of data volume (memory-bounded), while staying
-    # far below the key count (Python-overhead-bounded)
-    n_buckets = max(256, math.ceil(inter.count() / 50_000))
-    try:
-        # One blocking job per half-step: the Gramian collect doubles
-        # as the persist-cache materialization of the frame it reads.
+    # far below the key count (Python-overhead-bounded); callers that
+    # already counted `inter` pass n_inter to skip the extra job
+    if n_inter is None:
+        n_inter = inter.count()
+    n_buckets = max(256, math.ceil(n_inter / 50_000))
+    # One blocking job per half-step: the Gramian collect doubles as
+    # the materializing action of the lazily-checkpointed frame it
+    # reads (a full aggregate computes every partition, so the lazy
+    # checkpoint is guaranteed to materialize — the reply_tree
+    # LIMIT-prefix caveat does not apply).
+    yty = _gramian(items)
+    for _ in range(iters):
+        users = _solve_side(
+            inter, items, user_key, item_key, yty, n_buckets
+        ).localCheckpoint(eager=False)
+        yty = _gramian(users)
+        items = _solve_side(
+            inter, users, item_key, user_key, yty, n_buckets
+        ).localCheckpoint(eager=False)
         yty = _gramian(items)
-        for _ in range(iters):
-            new_users = _solve_side(
-                inter, items, user_key, item_key, yty, n_buckets
-            ).persist()
-            yty = _gramian(new_users)
-            if users is not None:
-                users.unpersist()
-            users = new_users
-            new_items = _solve_side(
-                inter, users, item_key, user_key, yty, n_buckets
-            ).persist()
-            yty = _gramian(new_items)
-            items.unpersist()
-            items = new_items
-        return users, items
-    finally:
-        inter.unpersist()
+    return users, items
 
 
 def _als_fit_local(rows, iters: int = ALS_ITERS):
@@ -529,13 +541,20 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # materialized ONCE (the count below is the action) and shared
+        # by the path decision, every fit half-step join, and the
+        # serving anti-join — before r11 the orders-lineitem join +
+        # aggregation ran three times (limit-collect probe, fit
+        # persist, serving recompute after the fit unpersisted it)
+        .localCheckpoint(eager=False)
     )
-    rows = inter.limit(LOCAL_FIT_CAP + 1).collect()
-    if not rows:
+    n_inter = inter.count()
+    if n_inter == 0:
         return spark.createDataFrame(
             [], "custkey long, partkey long, rank int, score double"
         )
-    if len(rows) <= LOCAL_FIT_CAP:
+    if n_inter <= LOCAL_FIT_CAP:
+        rows = inter.collect()
         ufac, ifac = _als_fit_local(
             [(r.custkey, r.partkey, r.cnt) for r in rows]
         )
@@ -548,7 +567,9 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey long, fac array<double>",
         )
     else:
-        users_df, items_df = als_fit_distributed(inter, "custkey", "partkey")
+        users_df, items_df = als_fit_distributed(
+            inter, "custkey", "partkey", n_inter=n_inter
+        )
 
     sample = users_df.orderBy("custkey").limit(ALS_REC_USERS)
     dot = F.lit(0.0)
@@ -559,8 +580,19 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(items_df.withColumnRenamed("fac", "vfac"))
         .select("custkey", "partkey", F.round(dot, 6).alias("score"))
     )
+    # only the 20 sample users' interactions can mask a scored pair, so
+    # pre-filter `inter` to those custkeys (broadcast semi-join on 20
+    # keys) and broadcast the resulting few-hundred-row "seen" table:
+    # the anti-join becomes a broadcast hash join instead of shuffling
+    # both the 20 x |items| scored grid and the full interaction table
+    # into a sort-merge join (guide §3.1) — result unchanged
+    seen = inter.join(
+        F.broadcast(sample.select("custkey")), "custkey", "left_semi"
+    )
     unseen = scored.join(
-        inter.select("custkey", "partkey"), ["custkey", "partkey"], "left_anti"
+        F.broadcast(seen.select("custkey", "partkey")),
+        ["custkey", "partkey"],
+        "left_anti",
     )
     w = Window.partitionBy("custkey").orderBy(
         F.desc("score"), F.asc("partkey")
