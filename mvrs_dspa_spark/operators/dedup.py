@@ -255,6 +255,11 @@ _INCR_BUCKETS_SQL = "\n            UNION ALL ".join(
     tags=("dedup", "llm"),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT checkpointed (r11, measured): unlike the scored-pairs
+    # helpers, materializing the signature frame here REGRESSED the
+    # benched count path (1.6 -> 2.3 s at sf0.1, noop flat) — the
+    # asymmetric delta-vs-corpus join filters each side differently,
+    # so the checkpoint only adds a materialization barrier
     buckets = MH.bucket_rows_from_sig_df(
         _doc_array_sigs(spark, sf_dir), "sg", N_HASHES, BANDS
     )

@@ -322,10 +322,19 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("sh") > 0)
         .localCheckpoint(eager=False)
     )
-    mh = minhash_pairs_from_shingles(sh).select("doc_a", "doc_b")
+    # each pair list feeds TWO consumers (its own count and the
+    # true-positive semi-join), so materialize the small pair frames
+    # once instead of running each full pipeline twice (r11)
+    mh = (
+        minhash_pairs_from_shingles(sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     # exact ground truth at the SAME threshold the minhash path targets
-    ex = jaccard_pairs_from_shingles(sh, threshold=NEAR_DUP_SIM).select(
-        "doc_a", "doc_b"
+    ex = (
+        jaccard_pairs_from_shingles(sh, threshold=NEAR_DUP_SIM)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     tp = mh.join(ex, ["doc_a", "doc_b"], "left_semi")
     n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact"))
