@@ -1822,6 +1822,15 @@ def embedding_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
+    # NOT checkpointed (r11, measured): the full-width ground truth
+    # feeds four consumers, but at bench scale the duplicated
+    # brute-force subtrees run CONCURRENTLY in independent stages and
+    # a localCheckpoint only serializes them behind a materialization
+    # barrier (count A/B at sf0.1: 1.9-2.1 s plain vs 2.4-2.8 s
+    # checkpointed, scans 24 -> 8). At true scale the one-line
+    # `.localCheckpoint(eager=False)` on `full` is the right call —
+    # the bounded queries x K list is tiny and the duplicated passes
+    # are corpus-sized — but it is a loss at every SF the bench runs.
     full = topk(None)
     n_q = full.agg(
         F.countDistinct("query_id").alias("n_queries")

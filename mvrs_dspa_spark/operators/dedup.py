@@ -601,7 +601,17 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     at df-threshold k over M total (doc, shingle) occurrences there
     can be at most M/k distinct common codes.
     """
-    items = _doc_shingle_items(spark, sf_dir)
+    # shingle arrays materialized once (r11): the CPU-bound tokenize+
+    # md5 scan fed three consumers (df table, per-doc sizes, hit
+    # counts) and ran three times; and since the arrays are already
+    # distinct, per-doc shingle counts are just size(sh) — no
+    # explode + groupBy pass at all
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    items = sh.select("doc_id", F.explode("sh").alias("code"))
     total = table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("total")
     )
@@ -611,7 +621,9 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= F.ceil(BOILERPLATE_DF_FRAC * F.col("total")))
         .select("code")
     )
-    per = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    per = sh.select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles")
+    )
     hits = (
         items.join(F.broadcast(common), "code")
         .groupBy("doc_id")

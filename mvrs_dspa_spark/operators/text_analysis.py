@@ -777,7 +777,15 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = d.select(T.tokens_col(F.lower(F.col("text"))).alias("toks"))
+    # tokenize ONCE: before r11 the CPU-bound tokenize ran four times
+    # (bigram counts, bigram total, unigram counts, unigram total —
+    # 10 parquet scans in the before-plan); the totals now come from
+    # summing the count tables (sum of counts == row count, exactly),
+    # so the only corpus-sized passes are the two explodes over the
+    # materialized token arrays
+    toks = d.select(
+        T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint(eager=False)
     n = F.greatest(F.size("toks") - 1, F.lit(0))
     pair = F.explode(
         F.zip_with(
@@ -788,14 +796,20 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = toks.select(pair.alias("p")).select("p.w1", "p.w2")
     uni = toks.select(F.explode("toks").alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_uni = uni.agg(F.count(F.lit(1)).alias("nu"))
-    bc = (
+    # vocabulary-bounded count tables, each feeding several consumers
+    uc = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_uni = uc.agg(F.sum("c").alias("nu"))
+    bc_all = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .where(F.col("c12") >= PMI_MIN_COUNT)
+        .localCheckpoint(eager=False)
     )
-    n_big = big.agg(F.count(F.lit(1)).alias("nb"))
+    bc = bc_all.where(F.col("c12") >= PMI_MIN_COUNT)
+    n_big = bc_all.agg(F.sum("c12").alias("nb"))
     pmi = F.log2(
         (F.col("c12").cast("double") / F.col("nb"))
         / (
