@@ -238,7 +238,15 @@ def assign_clusters_exact(
             }
         )
 
-    out = df.withColumn("_a", assign_udf(F.col(vec_col)))
+    # asNondeterministic: downstream joins on `cluster` infer an
+    # isnotnull(cluster) that the optimizer pushes below the projection
+    # computing it, duplicating the UDF — every row paid the integer-
+    # matmul assignment TWICE (guide §4.4; the r11 ann_ivf/ann_ivf_pq
+    # before-plans show two ArrowEvalPython[assign_udf] nodes). The
+    # function is pure; the flag only stops the optimizer from cloning
+    # or reordering it. No caller filters on pre-assignment columns
+    # downstream, so nothing loses pushdown.
+    out = df.withColumn("_a", assign_udf.asNondeterministic()(F.col(vec_col)))
     return (
         out.withColumn("cluster", F.col("_a.cluster"))
         .withColumn("sq_dist_q", F.col("_a.sq_dist_q"))
