@@ -117,7 +117,6 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = d.select(F.explode(T.tokens_col(F.col("text"))).alias("t"))
-    cells = cms_sketch(toks)
 
     # candidate set for the report: the (vocabulary-bounded) distinct
     # tokens with exact counts — the published comparison twin. In the
@@ -130,9 +129,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         F.posexplode(F.array(*_bucket_cols(code))).alias("j", "bucket"),
     )
-    # the grid is structurally bounded (<= D*W rows) -> safe broadcast
+    # A grid cell's count is EXACTLY the sum of the vocab's exact
+    # counts over the tokens hashing to it, so each probe row's cell
+    # count is a window sum over its (j, bucket) cell — no second
+    # `cms_sketch(toks)` corpus pass for the grid and no grid join:
+    # ONE tokenize + vocab aggregation, then everything downstream is
+    # vocabulary-bounded (the window shuffles <= 4 rows per distinct
+    # token across <= D*W partitions). Before r11 the grid and the
+    # vocab each re-tokenized the corpus (2 full passes + a 4x
+    # posexplode fan-out on one of them). (`cms_sketch` itself stays
+    # the one-pass grid builder the streaming maintainers use on
+    # unbounded-vocabulary inputs.)
+    from pyspark.sql import Window
+
+    w_cell = Window.partitionBy("j", "bucket")
     est = (
-        probes.join(F.broadcast(cells), ["j", "bucket"])
+        probes.withColumn("c", F.sum("exact_count").over(w_cell))
         .groupBy("t", "exact_count")
         .agg(F.min("c").alias("est_count"))
     )

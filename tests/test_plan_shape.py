@@ -394,12 +394,18 @@ def test_weighted_sample_is_take_ordered_not_full_sort(spark, sf_small):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_cms_grid_is_broadcast_equi_join(spark, sf_small):
-    """The probe->cells join must be a broadcast HASH join (the grid is
-    structurally bounded at D*W rows) — never a shuffle of the vocab."""
+def test_cms_single_corpus_pass_no_join(spark, sf_small):
+    """Since r11 the grid derives from the vocab counts (a cell's
+    count == the sum of exact counts of the tokens hashing to it), so
+    the plan must tokenize the corpus ONCE and serve the estimate via
+    a (j, bucket) window — no grid join of any kind and no second
+    documents scan."""
     plan = _plan(spark, sf_small, "cms_heavy_hitters")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, "grid must come from the window, not a join"
+    assert plan.count("documents.parquet") <= 1, (
+        "corpus must be tokenized exactly once"
+    )
+    assert "Window" in plan
 
 
 def test_mad_outliers_stats_broadcast(spark, sf_small):
