@@ -70,7 +70,14 @@ class Bm25IndexMaintainer:
         toks = batch_df.select(
             "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
         )
-        dl = toks.select("doc_id", "toks", F.size("toks").alias("dl"))
+        # ONE tokenize pass per micro-batch (r11): the projection feeds
+        # three consumers (doclen union, the n/sum-dl stats agg, the
+        # postings delta), each of which re-ran the tokenize before —
+        # the eager checkpoint materializes the batch-bounded token
+        # arrays once and every consumer reads the materialized rows.
+        dl = toks.select(
+            "doc_id", "toks", F.size("toks").alias("dl")
+        ).localCheckpoint(eager=True)
         new_doclen = self.doclen.unionByName(dl.select("doc_id", "dl"))
         if new_doclen.rdd.getNumPartitions() > self.compact_cap:
             new_doclen = new_doclen.repartition(self.compact_to, "doc_id")

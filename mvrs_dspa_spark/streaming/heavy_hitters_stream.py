@@ -58,15 +58,27 @@ class HeavyHitterMonitor:
         toks = batch_df.select(
             F.explode(T.tokens_col(F.col("text"))).alias("t")
         )
+        # ONE tokenize pass per micro-batch (r11; before, the grid job
+        # and the candidate job each re-tokenized the batch): the
+        # per-batch vocab count table is materialized once and feeds
+        # both bounded collects — the grid derives from it exactly (a
+        # cell's count == the sum of the vocab counts of the tokens
+        # hashing to it, the batch cms_heavy_hitters identity).
+        vocab = (
+            toks.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
         code = H.str_code_col(F.col("t"))
         cells = (
-            toks.select(
+            vocab.select(
+                "c",
                 F.posexplode(F.array(*_bucket_cols(code))).alias(
                     "j", "bucket"
-                )
+                ),
             )
             .groupBy("j", "bucket")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c").alias("c"))
             .collect()  # bounded: <= D*W rows per batch
         )
         for r in cells:
@@ -74,11 +86,7 @@ class HeavyHitterMonitor:
         # bounded candidate list: top-CAND_CAP tokens by in-batch count
         # (deterministic tiebreak), NOT the full distinct vocabulary
         cands = (
-            toks.groupBy("t")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), "t")
-            .limit(CAND_CAP)
-            .collect()
+            vocab.orderBy(F.desc("c"), "t").limit(CAND_CAP).collect()
         )
         for r in cands:
             self.seen.add(r.t)
