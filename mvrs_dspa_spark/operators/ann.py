@@ -2089,12 +2089,15 @@ def _idcg_case_sql(avail: str) -> str:
 )
 def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # the normed frame feeds the label counts, the probe slice, and
+    # the brute-force side — materialized once, embeddings is scanned
+    # (and every norm computed) once instead of 3x (r11)
     v = emb.select(
         "vec_id",
         "label",
         "embedding",
         F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
     lc = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
     q = v.where(
         (F.col("vec_id") % QUERY_MOD == 0)

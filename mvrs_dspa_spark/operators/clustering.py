@@ -527,7 +527,13 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("clustering", "rows_gate"),
 )
 def unusual_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = user_activity_features(spark, sf_dir)
+    # the user-bounded feature table feeds the fit, the assignment,
+    # and (through it) the mean-distance scalar + final report — each
+    # re-ran the events aggregation before (4 scans); materialized
+    # once, events is scanned once (r11)
+    feats = user_activity_features(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     centroids = kmeans_fit(feats, "features", k=UA_K, iters=ITERS, id_col="user_id")
     if not centroids:  # empty slice in -> empty result out
         return spark.createDataFrame(

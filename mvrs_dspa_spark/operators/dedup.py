@@ -691,12 +691,15 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    tok_rows = d.select(
+    # tokenize ONCE (r11): the distinct-token arrays feed the df build
+    # and the per-doc join (2 tokenize passes before), and the sorted
+    # prefix table feeds BOTH self-join sides (which re-ran the whole
+    # pipeline) — 4 documents scans -> 1.
+    t = d.select(
         "doc_id",
-        F.explode(F.array_distinct(T.tokens_col(F.col("text")))).alias(
-            "token"
-        ),
-    )
+        F.array_distinct(T.tokens_col(F.col("text"))).alias("toks"),
+    ).localCheckpoint(eager=False)
+    tok_rows = t.select("doc_id", F.explode("toks").alias("token"))
     df_tok = tok_rows.groupBy("token").agg(
         F.count(F.lit(1)).alias("tdf")
     )
@@ -715,6 +718,7 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("s"))
         .where(F.col("n") > 0)
         .withColumn("p", F.col("n") - F.expr("(3*n + 4) div 5") + 1)
+        .localCheckpoint(eager=False)
     )
     pref = per_doc.select(
         "doc_id",

@@ -743,11 +743,14 @@ def ncm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("code"),
     )
-    nl = train.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    cent = dims.groupBy("label", "dim").agg(F.sum("code").alias("scode"))
+    # per-label n rides the centroid aggregation (every vector emits
+    # exactly one row per dim, so the per-(label, dim) row count IS
+    # the label count) — the separate train scan for nl is gone (r11)
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("code").alias("scode"), F.count(F.lit(1)).alias("n")
+    )
     carr = (
-        cent.join(nl, "label")
-        .select(
+        cent.select(
             "label",
             F.struct("dim", (F.col("scode") / (F.lit(1e6) * F.col("n"))).alias("cval")).alias("dv"),
         )

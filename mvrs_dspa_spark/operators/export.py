@@ -207,10 +207,15 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "_sr", "_ar"
     ).select("doc_id", "lang", _quality_score_col().alias("q"))
     wq = Window.partitionBy("lang").orderBy("q", "doc_id")
+    # the quality-gate survivor list feeds both the dedup join and the
+    # final assignment — materialized once, the CPU-bound quality
+    # metrics pass runs once instead of twice (documents scans
+    # 3 -> 2: quality pass + normalized-text pass) (r11)
     kept = (
         s.withColumn("qr", F.percent_rank().over(wq))
         .where(F.col("qr") >= QUALITY_DROP_FRAC)
         .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
     )
     norm = docs.join(kept.select("doc_id"), "doc_id").select(
         "doc_id",

@@ -61,6 +61,11 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     term_arr = F.array(*[F.lit(t) for t in terms])
+    # the bounded posting relation (<= |terms| rows per doc) feeds the
+    # df rollup and the scoring join inside bm25_from_postings —
+    # materialized once, the corpus tokenize runs twice (stats needs
+    # every doc's length, postings only matched docs), not 3x (r11;
+    # the streaming maintainer hands the tail its own kept postings)
     tf = (
         dl.select(
             "doc_id",
@@ -71,6 +76,7 @@ def bm25_search(
         )
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     return bm25_from_postings(tf, stats, top_n)
 
@@ -201,10 +207,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
     )
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # the tf table feeds both the df rollup and the scoring join —
+    # materialized once, the corpus is tokenized once instead of
+    # twice (r11)
     tf = (
         docs.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = (
@@ -525,6 +535,10 @@ def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # bounded postings feed the ctf rollup and the scoring join —
+        # materialized once, the tokenize runs twice (length total +
+        # postings), not 3x (r11, the bm25_search pattern)
+        .localCheckpoint(eager=False)
     )
     ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
     term_code = F.round(

@@ -190,7 +190,15 @@ def lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, so the corpus itself never shuffles — the right shape at
     100 TB where strata are few and documents are not."""
     docs = table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # the per-language count table (one row per language) feeds the
+    # min scalar, the rate table, and the final report; materialized
+    # once, documents is scanned twice (count pass + keep pass), not
+    # 5x (r11)
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     n_min = counts.agg(F.min("n_docs").alias("n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
         "lang",
@@ -425,23 +433,32 @@ def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
-    train_users = labeled.where(F.col("split") == "train").select(
-        "user_id"
-    ).distinct()
-    tu = train_users.withColumnRenamed("user_id", "tu_user")
-    return (
-        labeled.join(
-            tu, labeled["user_id"] == tu["tu_user"], "left"
+    # ONE labeled pass (r11): aggregate to the (user, split) grid
+    # first — per-split distinct users are its row counts, and the
+    # warm flag (user has a train event) derives from the grid itself,
+    # so the corpus-sized train-user join and the double distinct over
+    # raw events are gone. events scans 4 -> 2 (range + label).
+    grp = (
+        labeled.groupBy("user_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_us").alias("mn_us"),
+            F.max("ts_us").alias("mx_us"),
         )
+        .localCheckpoint(eager=False)
+    )
+    flags = grp.groupBy("user_id").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("has_train")
+    )
+    return (
+        grp.join(flags, "user_id")
         .groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.countDistinct(
-                F.when(F.col("tu_user").isNotNull(), F.col("user_id"))
-            ).alias("warm_users"),
-            F.timestamp_micros(F.min("ts_us")).alias("first_ts"),
-            F.timestamp_micros(F.max("ts_us")).alias("last_ts"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("has_train") == 1).alias("warm_users"),
+            F.timestamp_micros(F.min("mn_us")).alias("first_ts"),
+            F.timestamp_micros(F.max("mx_us")).alias("last_ts"),
         )
         .orderBy("split")
     )
@@ -727,10 +744,19 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrs_dspa_spark.functions.text import tokens_col
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    # tokenize ONCE (r11): the arrays feed the vocabulary aggregate,
+    # the scoring join, and the per-source doc counts (4 documents
+    # scans before); the vocab-bounded frequency table materializes so
+    # the total and the join read one build.
+    t = docs.select(
+        "source", tokens_col(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint(eager=False)
+    toks = t.select("source", F.explode("toks").alias("tok"))
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=False)
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
     tot = freq.agg(F.sum("n_w").alias("n"))
     bits_code = F.round(
         -F.log2(F.lit(1.0) * F.col("n_w") / F.col("n")) * 1e6
@@ -744,7 +770,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bits_code).alias("bits_code"),
         )
     )
-    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = t.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w_all = Window.partitionBy()
     bpt = F.col("bits_code") / (F.lit(1e6) * F.col("n_tokens"))
     ref = F.sum("bits_code").over(w_all) / (

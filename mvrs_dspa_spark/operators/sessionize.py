@@ -388,7 +388,10 @@ def multi_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("t2").isNotNull()).alias("n2"),
         F.count_if(F.col("t3").isNotNull()).alias("n3"),
     )
-    rows = []
+    # one events scan (r11): the three report rows explode out of the
+    # single counts row instead of three union branches that each
+    # replayed the whole windowed funnel pipeline
+    steps = []
     for ord_, step, n, prev in (
         (1, "signup", "n1", None),
         (2, "click", "n2", "n1"),
@@ -401,15 +404,17 @@ def multi_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(n).cast("double") / F.nullif(F.col(prev), F.lit(0)), 6
             )
         )
-        rows.append(
-            counts.select(
+        steps.append(
+            F.struct(
                 F.lit(ord_).alias("ord"),
                 F.lit(step).alias("step"),
                 F.col(n).alias("n_users"),
                 conv.alias("conversion"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("ord").select("step", "n_users", "conversion")
+    return (
+        counts.select(F.explode(F.array(*steps)).alias("r"))
+        .select("r.*")
+        .orderBy("ord")
+        .select("step", "n_users", "conversion")
+    )

@@ -553,9 +553,22 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
         "user_id",
     )
-    hours = ev.select("event_type", "h").distinct()
+    # ONE events scan (r11): registers are per-(type, hour) MAXes of a
+    # per-user rho, so building them from the DISTINCT hourly user
+    # table is bit-identical to building them from the raw stream —
+    # and that same materialized distinct also serves the hour list
+    # (twice) and the exact twin, which each re-scanned events before.
+    hourly_users = (
+        ev.select("event_type", "h", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hours = hourly_users.select("event_type", "h").distinct()
     regs = hll_registers(
-        ev, H.str_code_col(F.col("user_id").cast("string")), "event_type", "h"
+        hourly_users,
+        H.str_code_col(F.col("user_id").cast("string")),
+        "event_type",
+        "h",
     )
     # window membership via OFFSET EXPLODE, not a BETWEEN join: the
     # range predicate would plan as a 5-key equi join (event_type) with
@@ -604,10 +617,10 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hll_estimate"),
     )
-    # exact twin: same offset fan-out over the DISTINCT hourly user
-    # sets (pre-dedup before the x6 explode keeps the fan-out on the
-    # bounded per-hour distinct table, not the raw event stream)
-    hourly_users = ev.select("event_type", "h", "user_id").distinct()
+    # exact twin: same offset fan-out over the materialized DISTINCT
+    # hourly user sets (pre-dedup before the x6 explode keeps the
+    # fan-out on the bounded per-hour distinct table, not the raw
+    # event stream)
     exact = (
         hourly_users.select("event_type", "h", "user_id", off)
         .select(
@@ -1309,10 +1322,19 @@ def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    codes = ev.select(
-        "event_type",
-        H.affine_col(F.col("user_id"), *_THETA_AB).alias("code"),
-    ).distinct()
+    # the distinct (type, code) frame feeds five subtrees (type list,
+    # per-type estimates, the pair fan-out, both exact-intersection
+    # sides) — before r11 each re-ran the events scan + distinct
+    # (7 scans in the plan). Materialize it once: one corpus pass,
+    # everything downstream is bounded by distinct users x types.
+    codes = (
+        ev.select(
+            "event_type",
+            H.affine_col(F.col("user_id"), *_THETA_AB).alias("code"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     types = codes.select("event_type").distinct()
     pairs = (
@@ -1485,10 +1507,16 @@ def bloom_claims(probes: DataFrame, bits: DataFrame) -> DataFrame:
 )
 def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
+    # the distinct-user frame feeds every downstream consumer (known
+    # set, probe set, the three claim counts, the non-member count) —
+    # before r11 each one re-ran the events scan + distinct (13 scans
+    # in the plan). Materialize it once (user-bounded); `claimed` is
+    # likewise read by three counters, so the (<= users) claim list is
+    # materialized too. events scans: 13 -> 1.
+    users = ev.select("user_id").distinct().localCheckpoint(eager=False)
     known = users.where(F.col("user_id") % 3 != 0)
     bits = bloom_bits(known)
-    claimed = bloom_claims(users, bits)
+    claimed = bloom_claims(users, bits).localCheckpoint(eager=False)
     n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
     n_known = known.agg(F.count(F.lit(1)).alias("n_known"))
     n_probes = users.agg(F.count(F.lit(1)).alias("n_probes"))

@@ -370,10 +370,23 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (one hot build row x many probe rows), and the vocabulary
     side never needs a forced broadcast. The 1-row total-token scalar
     is the only hinted broadcast (scale-safe)."""
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    # tokenize ONCE (r11): the token arrays feed both the vocabulary
+    # aggregate and the scoring join (3 documents scans before); the
+    # vocab-bounded frequency table also materializes so the total and
+    # the join read one build.
+    t = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+        )
+        .localCheckpoint(eager=False)
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
+    toks = t.select("doc_id", F.explode("toks").alias("tok"))
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=False)
+    )
     tot = freq.agg(F.sum("n_w").alias("n"))
     bits = -F.log2(F.col("n_w").cast("double") / F.col("n"))
     return (
@@ -682,8 +695,20 @@ BACKOFF_ALPHA = 0.4  # Brants et al. 2007 "stupid backoff" constant
     tags=("text", "llm"),
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    # tokenize ONCE (r11, the bigram_pmi idiom): before, the token
+    # projection re-ran for each of its consumers (unigram counts, the
+    # bigram count build, the scoring pass — 5 documents scans in the
+    # before-plan). The materialized arrays feed three cheap explode
+    # passes; the unigram and bigram count tables are vocabulary-
+    # bounded and each feeds multiple joins, so they materialize too,
+    # and the token total derives from the unigram table (sum of
+    # counts == token count, exactly).
+    t = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+        )
+        .localCheckpoint(eager=False)
     )
     n = F.greatest(F.size("toks") - 1, F.lit(0))
     pair_arr = F.zip_with(
@@ -696,8 +721,11 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pair_arr).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
     )
-    uni = t.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c")
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c").alias("n"))
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -1064,8 +1092,13 @@ def _ngrams_sql(lst: str, n: int) -> str:
     tags=("text", "llm"),
 )
 def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "source", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    # tokenize ONCE (r11): each n-gram order's union branch exploded
+    # its own freshly-tokenized scan (3 documents scans); the
+    # materialized arrays feed all three explodes.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("source", T.tokens_col(F.lower(F.col("text"))).alias("toks"))
+        .localCheckpoint(eager=False)
     )
     grams = None
     for n in _DIVERSITY_NS:
@@ -1183,12 +1216,21 @@ def _ols_sums_sql(x: str, y: str) -> dict[str, str]:
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(T.tokens_col(F.lower(F.col("text")))).alias("tok")
+    # tokenize ONCE (r11): the arrays feed the first-occurrence
+    # explode, the per-doc token counts (now size(toks) — a pure
+    # projection, identical to counting the exploded rows; zero-token
+    # docs sum 0 and the n_tokens > 0 gate already drops empty
+    # checkpoints), and the doc-count scalar — 4 documents scans -> 1.
+    t = docs.select(
+        "doc_id", T.tokens_col(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint(eager=False)
+    nd = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    firsts = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
     )
-    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = t.select("doc_id", F.size("toks").alias("n"))
     cps = (
         F.broadcast(nd)
         .select(

@@ -208,32 +208,54 @@ def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
 
-    def prof(col: str, min_num, max_num) -> DataFrame:
-        return ev.agg(
-            F.lit(col).alias("col_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            min_num.alias("min_num"),
-            max_num.alias("max_num"),
-        )
-
+    # ONE combined aggregation for all six column profiles (r11;
+    # before, each column ran its own full-table agg — 6 events scans).
+    # Multiple count-distincts compile to one Expand-based aggregate
+    # whose shuffle carries the same bytes as the six separate
+    # per-column distinct shuffles combined, but the table is scanned
+    # once. The single stats row then explodes back into the per-column
+    # report rows.
     null_d = F.lit(None).cast("double")
-    parts = [
-        prof("event_id", F.min("event_id").cast("double"),
-             F.max("event_id").cast("double")),
-        prof("ts", F.unix_micros(F.min("ts")).cast("double"),
-             F.unix_micros(F.max("ts")).cast("double")),
-        prof("user_id", F.min("user_id").cast("double"),
-             F.max("user_id").cast("double")),
-        prof("event_type", null_d, null_d),
-        prof("value", F.round(F.min("value"), 6), F.round(F.max("value"), 6)),
-        prof("props", null_d, null_d),
+    specs = [
+        ("event_id", F.min("event_id").cast("double"),
+         F.max("event_id").cast("double")),
+        ("ts", F.unix_micros(F.min("ts")).cast("double"),
+         F.unix_micros(F.max("ts")).cast("double")),
+        ("user_id", F.min("user_id").cast("double"),
+         F.max("user_id").cast("double")),
+        ("event_type", null_d, null_d),
+        ("value", F.round(F.min("value"), 6), F.round(F.max("value"), 6)),
+        ("props", null_d, null_d),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("col_name")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, mn, mx in specs:
+        aggs += [
+            F.count(col).alias(f"cnt_{col}"),
+            F.countDistinct(col).alias(f"nd_{col}"),
+            mn.alias(f"mn_{col}"),
+            mx.alias(f"mx_{col}"),
+        ]
+    stats = ev.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    (F.col("n_rows") - F.col(f"cnt_{col}")).alias("n_null"),
+                    F.col(f"nd_{col}").alias("n_distinct"),
+                    F.col(f"mn_{col}").alias("min_num"),
+                    F.col(f"mx_{col}").alias("max_num"),
+                )
+                for col, _, _ in specs
+            ]
+        )
+    )
+    return (
+        stats.select(rows.alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )
 
 
 @register(

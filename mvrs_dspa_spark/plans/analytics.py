@@ -1041,7 +1041,15 @@ MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): MAD -> sigma-equivalent
 )
 def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    # both per-type stat tables are bounded and each is consumed by a
+    # corpus-sized pass; materialized, the plan is the inherent
+    # 3-pass median -> MAD -> output shape (events scans 4 -> 3, and
+    # neither stat aggregation ever re-runs) (r11)
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint(eager=False)
+    )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_id",
         "event_type",
@@ -1049,7 +1057,11 @@ def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("value") - F.col("med")).alias("ad"),
     )
-    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.median("ad").alias("mad"))
+        .localCheckpoint(eager=False)
+    )
     # NULLIF the denominator so a constant-valued type (MAD = 0) yields
     # NULL z instead of an ANSI DIVIDE_BY_ZERO: the mad>0 guard below
     # shares a conjunct with the division, and predicate reordering
@@ -1217,8 +1229,18 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("period"),
         psi_bucket_col().alias("bucket"),
     )
-    counts = labeled.groupBy("event_type", "period", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    # the (type, period, bucket) grid is bounded (5 x 2 x bins) but
+    # feeds FIVE subtrees inside psi_from_counts (types, the two
+    # period totals, the two period count slices) — un-materialized,
+    # each re-ran the corpus aggregation AND the min/max range scan
+    # (10 events scans in the r11 before-plan). One lazy checkpoint
+    # makes the whole serving tail grid-bounded: 2 scans (range +
+    # label/aggregate), the algorithmic floor. The streaming monitor
+    # (29af) hands psi_from_counts its own incrementally-kept grid.
+    counts = (
+        labeled.groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     return psi_from_counts(counts)
 
@@ -1492,7 +1514,14 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    sw = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # the (source, tok) count table feeds the vocabulary rollup, the
+    # per-source totals, and the smoothing-grid join — materialized
+    # once, the corpus is tokenized once instead of 4x (r11)
+    sw = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab = sw.groupBy("tok").agg(F.sum("c").alias("cq"))
     totals = sw.groupBy("source").agg(F.sum("c").alias("n"))
     corpus = vocab.agg(
@@ -1775,20 +1804,47 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrs_dspa_spark.tables import props_k_col
 
     ev = table(spark, sf_dir, "events")
-    branches = []
-    for key, col in (
-        ("user_id", F.col("user_id").cast("string")),
-        ("event_type", F.col("event_type")),
-        ("props_k", props_k_col()),
-    ):
-        counts = (
-            ev.select(col.alias("k"))
-            .where(F.col("k").isNotNull())
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("c"))
+    # ONE events scan (r11): the three per-key branches each re-scanned
+    # the table; a map-side explode emits one (key_col, k) row per
+    # candidate key per event, so the single (key_col, k) aggregation
+    # shuffles exactly the union of what the three branch shuffles
+    # carried, off one scan.
+    kv = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("user_id").alias("key_col"),
+                        F.col("user_id").cast("string").alias("k"),
+                    ),
+                    F.struct(
+                        F.lit("event_type").alias("key_col"),
+                        F.col("event_type").alias("k"),
+                    ),
+                    F.struct(
+                        F.lit("props_k").alias("key_col"),
+                        props_k_col().alias("k"),
+                    ),
+                )
+            ).alias("r")
         )
+        .select("r.key_col", "r.k")
+        .where(F.col("k").isNotNull())
+    )
+    # the per-branch SCALAR aggregate tail is kept (a key column with
+    # no rows still emits its all-zero/NULL summary row, matching the
+    # declared per-branch SQL on degenerate slices); the branches now
+    # read the one materialized bounded count grid instead of each
+    # re-scanning events.
+    counts = (
+        kv.groupBy("key_col", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    branches = []
+    for key in ("user_id", "event_type", "props_k"):
         branches.append(
-            counts.agg(
+            counts.where(F.col("key_col") == key).agg(
                 F.lit(key).alias("key_col"),
                 F.count(F.lit(1)).alias("n_distinct"),
                 F.max("c").alias("top_key_rows"),
@@ -2012,9 +2068,17 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .alias("period"),
     )
-    cells = labeled.groupBy("event_type", "cents").agg(
-        F.count_if(F.col("period") == 0).alias("c1"),
-        F.count_if(F.col("period") == 1).alias("c2"),
+    # the bounded cents grid feeds two subtrees inside ks_from_cells;
+    # materialized once, the serving tail is grid-bounded and events
+    # is scanned twice (range + label/aggregate — the floor), not 4x
+    # (r11; the streaming monitor hands its own maintained grid)
+    cells = (
+        labeled.groupBy("event_type", "cents")
+        .agg(
+            F.count_if(F.col("period") == 0).alias("c1"),
+            F.count_if(F.col("period") == 1).alias("c2"),
+        )
+        .localCheckpoint(eager=False)
     )
     return ks_from_cells(cells)
 
@@ -2066,10 +2130,19 @@ RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile edges
 )
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    stats = ev.groupBy("user_id").agg(
-        F.max(F.unix_micros("ts")).alias("last_us"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum("value").alias("monetary_sum"),
+    # the per-user sufficient-statistic table feeds three subtrees in
+    # the scoring tail (the now scalar, the quintile edges, the scored
+    # output) — materialized once, events is scanned once instead of
+    # 4x (r11; the streaming maintainer hands the tail its own
+    # incrementally-merged stats)
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("value").alias("monetary_sum"),
+        )
+        .localCheckpoint(eager=False)
     )
     return rfm_scores_from_stats(stats).orderBy("user_id")
 

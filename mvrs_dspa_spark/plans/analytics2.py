@@ -1058,11 +1058,22 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
         F.col("tp").isNotNull().alias("converted"),
     )
-    grid = durs.groupBy("day").agg(
-        F.count_if(F.col("converted")).alias("n_converted"),
-        F.count_if(~F.col("converted")).alias("n_censored"),
+    # the day-bounded grid feeds the risk-set window AND the total
+    # count — and the total is exactly the sum of the grid's cells, so
+    # it never needs a second pass over the per-user durations;
+    # materialized once, events is scanned twice (per-user agg + the
+    # global max), not 4x (r11)
+    grid = (
+        durs.groupBy("day")
+        .agg(
+            F.count_if(F.col("converted")).alias("n_converted"),
+            F.count_if(~F.col("converted")).alias("n_censored"),
+        )
+        .localCheckpoint(eager=False)
     )
-    n_total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    n_total = grid.agg(
+        F.sum(F.col("n_converted") + F.col("n_censored")).alias("n_total")
+    )
     w_prev = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )

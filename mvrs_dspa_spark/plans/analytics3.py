@@ -182,10 +182,14 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hourly_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # bounded hourly series feeds bounds + gap-fill (and the serving
+    # tail reads it through two window/join consumers); checkpoint ->
+    # one events scan instead of four (r11, the MASE pattern)
     hourly = (
         ev.select(F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"))
         .groupBy("hr")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     grid = bounds.select(
@@ -535,6 +539,12 @@ _MASE_H = 24  # holdout horizon: the last day of hours
 )
 def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # the bounded (type x hour) count grid feeds bounds, the type
+    # list, and the gap-fill join — and the lagged series is read by
+    # both the last-train lookup and the error rollup; before r11
+    # every reference re-ran the corpus aggregation (8 events scans in
+    # the plan). One lazy checkpoint of the grid makes the whole tail
+    # grid-bounded: events is scanned once.
     hourly = (
         ev.select(
             "event_type",
@@ -542,6 +552,7 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     types = hourly.select("event_type").distinct()
@@ -660,6 +671,8 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hourly_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # bounded hourly grid feeds bounds + types + gap-fill; checkpoint
+    # -> one events scan instead of three (r11, the MASE pattern)
     hourly = (
         ev.select(
             "event_type",
@@ -667,6 +680,7 @@ def hourly_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     types = hourly.select("event_type").distinct()
@@ -784,14 +798,17 @@ def daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
     ).distinct()
-    maxd = days.agg(F.max("day").alias("max_day"))
     w_u = Window.partitionBy("user_id").orderBy("day")
+    # the lag/lead sequence feeds both the per-day state rollup and
+    # the churn pass, and the max-day scalar reads the same rows —
+    # materialized once, events is scanned once instead of 3x (r11)
     seq = days.select(
         "user_id",
         "day",
         F.lag("day").over(w_u).alias("prev"),
         F.lead("day").over(w_u).alias("next"),
-    )
+    ).localCheckpoint(eager=False)
+    maxd = seq.agg(F.max("day").alias("max_day"))
     stat = seq.groupBy("day").agg(
         F.count_if(F.col("prev").isNull()).alias("n_new"),
         F.count_if(F.col("prev") == F.col("day") - 1).alias("n_retained"),

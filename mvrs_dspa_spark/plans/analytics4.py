@@ -266,7 +266,14 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # the user-bounded cohort table feeds both the size rollup and the
+    # revenue join; materialized once, events is scanned twice
+    # (cohort pass + purchase pass), not 3x (r11)
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint(eager=False)
+    )
     sizes = cohorts.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_users")
     )
@@ -877,6 +884,10 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
             F.sum(F.round("l_quantity").cast("long")).alias("qty"),
         )
+        # the (part, year) grid feeds the base-year scalar, the base
+        # slice, and the matched join — materialized once, the
+        # lineitem x orders join runs once instead of 3x (r11)
+        .localCheckpoint(eager=False)
     )
     base_yr = py.agg(F.min("yr").alias("min_yr"))
     base = (

@@ -130,12 +130,19 @@ def rank_stats_from_tgrid(
 
 def events_tgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (event_type, v_c, cnt_t) cent-count grid from one events
-    scan — the batch source feeding rank_stats_from_tgrid."""
+    scan — the batch source feeding rank_stats_from_tgrid.
+
+    Materialized (r11): the serving tail reads the grid through three
+    subtrees (the pooled rank grid, the totals, the per-type join),
+    which each re-ran the corpus aggregation (3 events scans per
+    rank-test query); the lazy checkpoint makes every consumer
+    grid-bounded. The streaming monitor maintains its own grid."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.select("event_type", rank_cents_col().alias("v_c"))
         .groupBy("event_type", "v_c")
         .agg(F.count(F.lit(1)).alias("cnt_t"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -378,6 +385,12 @@ _CONV_TYPE = "purchase"
 )
 def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # channel vocabulary (bounded) feeds four consumers (k count, the
+    # per-user broadcast join, touched, phi) and the per-user mask
+    # rollup feeds two (masks, touched) — before r11 every reference
+    # re-scanned events (12 scans in the plan). The vocab and the
+    # <= 2^k mask grid are materialized once; events is scanned twice
+    # total (vocab pass + per-user pass), everything else is bounded.
     channels = (
         ev.where(F.col("event_type") != _CONV_TYPE)
         .select("event_type")
@@ -388,6 +401,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.row_number().over(Window.orderBy("event_type")) - 1
             ).alias("bit"),
         )
+        .localCheckpoint(eager=False)
     )
     kk = channels.agg(F.count(F.lit(1)).alias("k"))
     per_user = (
@@ -408,7 +422,15 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv"),
         )
     )
-    masks = per_user.groupBy("mask").agg(F.sum("conv").alias("conv_users"))
+    mask_grid = (
+        per_user.groupBy("mask")
+        .agg(
+            F.sum("conv").alias("conv_users"),
+            F.count(F.lit(1)).alias("mask_users"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    masks = mask_grid.select("mask", "conv_users")
     subsets = kk.select(
         F.explode(
             F.sequence(
@@ -431,11 +453,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # touched-user counts: channel bit contained in the user's mask
     touched = (
         channels.join(
-            F.broadcast(
-                per_user.groupBy("mask").agg(
-                    F.count(F.lit(1)).alias("mask_users")
-                )
-            ),
+            F.broadcast(mask_grid.select("mask", "mask_users")),
             F.expr("((mask >> bit) & 1) = 1"),
         )
         .groupBy("event_type", "bit")
@@ -574,8 +592,13 @@ def value_hour_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("v_c"),
         F.hour("ts").cast("int").alias("hod"),
     )
-    cells = coded.groupBy("event_type", "v_c", "hod").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # the bounded (type, cent, hour) cell grid feeds both rank grids
+    # and the product join (and each rank grid is read twice) —
+    # materialized once, events is scanned once instead of 5x (r11)
+    cells = (
+        coded.groupBy("event_type", "v_c", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
 
     def _grid(col: str, rank_name: str, cnt_name: str) -> DataFrame:
