@@ -1223,11 +1223,12 @@ IDIM_MAXQ = 1024   # hard probe cap
 )
 def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # normed frame read by the probe slice and both distance passes
     v = emb.select(
         "vec_id",
         "embedding",
         dot_col(F.col("embedding"), F.col("embedding")).alias("sq"),
-    )
+    ).localCheckpoint(eager=False)
     q = v.where(
         (F.col("vec_id") % IDIM_MOD == 0)
         & (F.col("vec_id") < IDIM_MOD * IDIM_MAXQ)
@@ -1248,11 +1249,34 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.alias("d2"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
-    top2 = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
-    mu = top2.groupBy("probe_id").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1s"),
-        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2s"),
+    # Two-NN via scalar HASH aggregates, not a per-probe ROW_NUMBER
+    # window (r11): the window shuffled and sorted the full
+    # |probes| x N pair set. The ranked rn=1/rn=2 distances only
+    # depend on the d2 MULTISET (the neighbor_id tiebreak decides
+    # which row is rank 1, never its d2): r1s = min(d2), and r2s is
+    # r1s again when the min is tied (>= 2 pairs at r1s) else the min
+    # over d2 > r1s. Both aggregates partial-combine map-side, so the
+    # shuffle carries one row per probe per partition instead of
+    # every pair; the cost is a second distance pass (codegen-bound)
+    # against the materialized normed frame.
+    firsts = d.groupBy("probe_id").agg(F.min("d2").alias("r1s"))
+    mu = (
+        d.join(F.broadcast(firsts), "probe_id")
+        .groupBy("probe_id")
+        .agg(
+            F.any_value("r1s").alias("r1s"),
+            F.count_if(F.col("d2") == F.col("r1s")).alias("c1"),
+            F.min(F.when(F.col("d2") > F.col("r1s"), F.col("d2"))).alias(
+                "m2"
+            ),
+        )
+        .select(
+            "probe_id",
+            "r1s",
+            F.when(F.col("c1") >= 2, F.col("r1s"))
+            .otherwise(F.col("m2"))
+            .alias("r2s"),
+        )
     )
     coded = mu.select(
         "r1s",
