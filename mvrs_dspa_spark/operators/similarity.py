@@ -633,8 +633,12 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
     )
     for _ in range(PR_ITERS):
+        # ranks is one row per node (bounded); broadcasting it leaves
+        # the normalized edge list unshuffled in every power iteration
+        # — the only Exchange per round is the bounded groupBy(dst)
+        # (r11, guide §3.1)
         ranks = (
-            norm.join(ranks, norm["src"] == ranks["node"])
+            norm.join(F.broadcast(ranks), norm["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("node2"))
             .agg(
                 (
@@ -810,19 +814,43 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         # rounds the eager form paid 9 extra driver round-trips)
         .localCheckpoint(eager=False)
     )
+    # Per-src argmax over the total order (w DESC, community ASC) as a
+    # single decimal-packed MAX: enc = w * 10^20 + (5*10^19 - community).
+    # 5e19 - community lies in [0, 10^20) for every BIGINT community, so
+    # integer w strictly dominates and equal-w ties resolve to the
+    # SMALLEST community — identical to the previous ROW_NUMBER()=1
+    # window (community is unique within each (src, community) group, so
+    # the order is total). Exact while w < 10^18 (w = summed co-occurrence
+    # support of one node's neighborhood; overflow would need ~10^9 users
+    # x 10^9 neighbors). Chosen over max_by(community, struct(...)),
+    # which Spark plans as a SortAggregate that re-sorts every partition
+    # each round; plain MAX partial-combines in a pure HashAggregate
+    # (r11, guide §2.4 — same trap as the intrinsic-dim commit).
+    _P, _H = "100000000000000000000", "50000000000000000000"
     for _ in range(rounds):
+        # labels is node-bounded: broadcast it so the (vocabulary-sized
+        # but larger) edge list is never shuffled for the join
+        # (r11, guide §3.1).
         neigh = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(F.broadcast(labels), edges["dst"] == labels["node"])
             .groupBy(F.col("src"), F.col("community"))
             .agg(F.sum("support").alias("w"))
         )
-        win = Window.partitionBy("src").orderBy(
-            F.col("w").desc(), F.col("community")
-        )
         labels = (
-            neigh.withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "community")
+            neigh.select(
+                "src",
+                F.expr(
+                    f"CAST(w AS DECIMAL(38,0)) * {_P} + ({_H} - community)"
+                ).alias("enc"),
+            )
+            .groupBy("src")
+            .agg(F.max("enc").alias("enc"))
+            .select(
+                F.col("src").alias("node"),
+                F.expr(f"CAST({_H} - (enc % {_P}) AS BIGINT)").alias(
+                    "community"
+                ),
+            )
             .localCheckpoint(eager=False)
         )
     return labels
@@ -859,9 +887,13 @@ def modularity_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     w_in = (
         edges.join(
-            labels.selectExpr("node AS src", "community AS ca"), "src"
+            F.broadcast(labels.selectExpr("node AS src", "community AS ca")),
+            "src",
         )
-        .join(labels.selectExpr("node AS dst", "community AS cb"), "dst")
+        .join(
+            F.broadcast(labels.selectExpr("node AS dst", "community AS cb")),
+            "dst",
+        )
         .where(F.col("ca") == F.col("cb"))
         .agg(
             F.coalesce(F.sum("support"), F.lit(0))
@@ -870,7 +902,7 @@ def modularity_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
     )
     degsq = (
-        deg.join(labels.selectExpr("node AS src", "community"), "src")
+        deg.join(F.broadcast(labels.selectExpr("node AS src", "community")), "src")
         .groupBy("community")
         .agg(F.sum("deg").cast("long").alias("deg_c"))
         .selectExpr("CAST(deg_c AS DECIMAL(19,0)) AS dc")
@@ -1392,8 +1424,10 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("node")
             )
             e = (
-                e.join(d.withColumnRenamed("node", "i"), "i")
-                .join(d.withColumnRenamed("node", "j"), "j")
+                # d (surviving nodes) is node-bounded — broadcast both
+                # semi-filters so the peel never shuffles the edge list
+                e.join(F.broadcast(d.withColumnRenamed("node", "i")), "i")
+                .join(F.broadcast(d.withColumnRenamed("node", "j")), "j")
                 .select("i", "j")
                 .localCheckpoint(eager=True)
             )
