@@ -282,6 +282,17 @@ def main() -> None:
             "load_avg_1m": loads,
             "sf": sf,
             "methodology": "cold-first-run" if cold else "steady-state-min-of-3",
+            # ECHO of the headline fields, placed LAST in the object:
+            # the driver stores only the final 2000 chars of stdout
+            # (BENCH_r06..r10 all truncate this line mid-"queries" and
+            # record parsed=null), so the line's head — metric, value,
+            # and the 10 headline timings — never survived into the
+            # round artifact. Duplicating them at the tail keeps the
+            # contract prefix {"metric": ...} intact for any
+            # line-detecting parser while guaranteeing the headline
+            # numbers sit inside the captured window. Pure addition:
+            # no key removed, renamed, or reordered (r11).
+            "headline_echo": {"value": total, "queries": timings},
         }
     )
     # The driver tail-captures stdout and has truncated the JSON line
