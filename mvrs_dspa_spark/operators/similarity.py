@@ -468,25 +468,42 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized pair aggregation; the 5%-of-users support threshold
     keeps edge density stable as data grows.
 
-    Materialization (r11): `items` feeds three subtrees (the n_users
-    scalar and both pair-join sides) and the EDGE LIST itself feeds
-    every consumer's rounds/joins — without the two lazy
-    localCheckpoints the events scan + regex item extraction executed
-    once per reference (the r11 LPA before-plan shows 18 parquet
-    scans for one query: 8 unrolled rounds x both union directions +
-    deg/m2/w_in). Items are one narrow (user, item) row each; edges
-    are vocabulary-bounded. The corpus is now scanned exactly once
-    per consumer query no matter how many rounds reference the graph."""
-    items = _items_df(spark, sf_dir).localCheckpoint(eager=False)
-    n_users = items.agg(F.countDistinct("user_id").alias("n_users"))
-    a, b = items.alias("a"), items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
+    Pair generation (r11 second half, guide §2.3/§2.4): per-user item
+    SETS first, pairs map-side. The former items-self-join on user_id
+    shuffled the corpus-sized item rows twice more (once per join
+    side — the lazy checkpoint shares the SCAN, not the exchange) and
+    paid two sort-merge sorts before the pair fan-out. collect_set is
+    duplicate-insensitive, so the raw dedup=False rows ride the
+    CPU-fan-out repartition(user_id) straight into the set aggregate
+    — ONE corpus exchange total — and the i<j pairs then come from a
+    sorted-array expansion inside the same stage (sum_u d_u^2 rows,
+    identical to the join's output), partially aggregated map-side
+    into the vocabulary-bounded (i, j) grid. n_users = one row per
+    user = the count of the same materialized per-user frame. Edges
+    stay checkpointed: every consumer's rounds/joins reference the
+    bounded edge list, not corpus lineage."""
+    items = _items_df(spark, sf_dir, dedup=False)
+    per_user = (
+        items.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("arr"))
+        .localCheckpoint(eager=False)
+    )
+    n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    # all i<j pairs of the sorted set: element at 0-based position p
+    # pairs with every later element (1-based slice start p+2); slice
+    # length size(arr) just clamps to the tail
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, p: F.transform(
+                F.slice(F.col("arr"), p + F.lit(2), F.size(F.col("arr"))),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
         )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+    )
+    return (
+        per_user.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .agg(F.count(F.lit(1)).alias("support"))
         .crossJoin(F.broadcast(n_users))
         .where(F.col("support") >= TRI_SUPPORT_FRAC * F.col("n_users"))
