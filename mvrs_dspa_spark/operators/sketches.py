@@ -1105,6 +1105,9 @@ def tdigest_from_grid(grid: DataFrame) -> DataFrame:
     # is, hence the -1). One rank definition also feeds the straddle
     # weights below, so every consumer sees identical integers.
     k_full = F.array(*[F.lit(k) for k in TD_K_BOUNDS])
+    # cells feeds tb AND spans; materialize it so the grid windows run
+    # once and the downstream plans stay small (r11 second half)
+    cells = cells.localCheckpoint(eager=False)
     tb = (
         cells.select("event_type", "n")
         .distinct()
@@ -1114,24 +1117,39 @@ def tdigest_from_grid(grid: DataFrame) -> DataFrame:
                 k_full, lambda k: F.floor(F.col("n") * k + F.lit(0.5))
             ).alias("bl"),
         )
+        # bounded (one row per type) but referenced by BOTH the span
+        # assignment and the straddle re-join below
+        .localCheckpoint(eager=False)
     )
-    spans = cells.join(F.broadcast(tb), "event_type").select(
-        "event_type",
-        "cents",
-        "cnt",
-        "cum",
-        "bl",
-        (
-            F.size(
-                F.filter(
-                    F.col("bl"),
-                    lambda x: x <= F.col("cum") - F.col("cnt"),
+    # spans is materialized NARROW (no bl column): the two array
+    # filters are higher-order functions, which Spark evaluates
+    # INTERPRETED (CodegenFallback) — ~0.6 s per pass over the sf0.1
+    # grid — and the whole/straddle branches would otherwise each
+    # re-evaluate them (plus the cells windows) once per branch; the
+    # 101-literal lambda trees also bloated every AQE replan. One
+    # evaluation, checkpointed; the straddle branch re-attaches bl
+    # from the broadcast tb for its <= delta-1 rows per type
+    # (r11 second half, guide §2.4/§4 — measured 4.7 -> ~1.5 s tail).
+    spans = (
+        cells.join(F.broadcast(tb), "event_type")
+        .select(
+            "event_type",
+            "cents",
+            "cnt",
+            "cum",
+            (
+                F.size(
+                    F.filter(
+                        F.col("bl"),
+                        lambda x: x <= F.col("cum") - F.col("cnt"),
+                    )
                 )
-            )
-            - 1
-        ).alias("b_first"),
-        (F.size(F.filter(F.col("bl"), lambda x: x < F.col("cum"))) - 1)
-        .alias("b_last"),
+                - 1
+            ).alias("b_first"),
+            (F.size(F.filter(F.col("bl"), lambda x: x < F.col("cum"))) - 1)
+            .alias("b_last"),
+        )
+        .localCheckpoint(eager=False)
     )
     r_at = lambda off: F.element_at(  # noqa: E731
         F.col("bl"), F.col("b") + off
@@ -1152,6 +1170,10 @@ def tdigest_from_grid(grid: DataFrame) -> DataFrame:
     )
     straddle = (
         spans.where(F.col("b_first") < F.col("b_last"))
+        # re-attach the boundary-rank array from the broadcast tb: only
+        # the <= delta-1 straddling rows per type carry the 101-long
+        # array, instead of every materialized span row
+        .join(F.broadcast(tb), "event_type")
         .select(
             "event_type",
             "cents",
