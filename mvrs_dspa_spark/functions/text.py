@@ -29,7 +29,11 @@ LANG_ORDER = ("en", "de", "es", "fr", "zh")  # argmax tiebreak priority
 
 
 def tokens_col(text: Column) -> Column:
-    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+    # array_remove(split, '') is bit-identical to filter(t -> t != '')
+    # here (split never yields NULLs) but is a regular codegen
+    # expression, while filter() is a higher-order function that Spark
+    # evaluates interpreted on every corpus row (r11, guide §4.1)
+    return F.array_remove(F.split(text, "\\s+"), "")
 
 
 def tokens_sql(text: str) -> str:
