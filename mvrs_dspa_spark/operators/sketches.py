@@ -406,14 +406,18 @@ def _pair_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
 def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each (table, key) count table feeds FOUR consumers (exact twin +
     # sketch grid, x both sides of the self-join pair) and the union of
-    # all three pair plans runs as ONE action. Build each count table
-    # and its cells grid ONCE and hand the same DataFrame to every
-    # consumer: identical subtrees canonicalize equal, so ReuseExchange
-    # serves all of them from one shuffle — in particular the
-    # events-self pair no longer aggregates the events table twice.
-    # (Measured at sf0.1: 3.0 -> ~2.6 s; localCheckpoint variants were
-    # SLOWER — the disk write + job barrier costs more than the reused
-    # exchange saves on these bounded tables.)
+    # all three pair plans runs as ONE action. ReuseExchange alone
+    # cannot serve them all: the est join's build side is a
+    # BroadcastExchange, which never unifies with the probe side's
+    # shuffle Exchange, so the key-count aggregation re-ran per
+    # reference. Lazy localCheckpoints on the bounded count tables fix
+    # that (re-measured r11 second half: 4.6 -> 4.0 s interleaved;
+    # checkpointing the derived cells grids as well was SLOWER — the
+    # grids are one cheap explode over the already-materialized
+    # counts). The self-join pair needs no joins at all: (k) and
+    # (j, bucket) are unique within one side, so exact = sum(c^2) and
+    # the per-row inner product is sum(c^2) — identical results by
+    # construction, two joins and a broadcast of the events grid gone.
     counts: dict[tuple[str, str], DataFrame] = {}
     cells: dict[tuple[str, str], DataFrame] = {}
 
@@ -423,6 +427,7 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 table(spark, sf_dir, t)
                 .groupBy(F.col(k).alias("k"))
                 .agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=False)
             )
             counts[(t, k)] = cnt
             cells[(t, k)] = _key_cells(cnt)
@@ -432,21 +437,34 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, ta, ka, tb, kb in JOIN_EST_PAIRS:
         ca, ga = side(ta, ka)
         cb, gb = side(tb, kb)
-        exact = (
-            ca.join(cb.withColumnRenamed("c", "c2"), "k")
-            .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("exact_size"))
-        )
-        est = (
-            ga.join(
-                F.broadcast(gb.withColumnRenamed("c", "c2")), ["j", "bucket"]
+        if (ta, ka) == (tb, kb):
+            exact = ca.agg(
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size")
             )
-            .groupBy("j")
-            .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
-            .agg(
-                F.greatest(F.percentile("ip", F.lit(0.5)), F.lit(0.0))
-                .cast("long")
-                .alias("sketch_estimate")
+            ip_per_row = ga.groupBy("j").agg(
+                F.sum(F.col("c") * F.col("c")).alias("ip")
             )
+        else:
+            exact = (
+                ca.join(cb.withColumnRenamed("c", "c2"), "k")
+                .agg(
+                    F.sum(F.col("c") * F.col("c2"))
+                    .cast("long")
+                    .alias("exact_size")
+                )
+            )
+            ip_per_row = (
+                ga.join(
+                    F.broadcast(gb.withColumnRenamed("c", "c2")),
+                    ["j", "bucket"],
+                )
+                .groupBy("j")
+                .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+            )
+        est = ip_per_row.agg(
+            F.greatest(F.percentile("ip", F.lit(0.5)), F.lit(0.0))
+            .cast("long")
+            .alias("sketch_estimate")
         )
         row = (
             exact.crossJoin(F.broadcast(est))
