@@ -826,11 +826,20 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("community"))
-        # lazy: materializes inside round 1's own job instead of one
-        # extra blocking job per round (r11 — the pagerank idiom; at 8
-        # rounds the eager form paid 9 extra driver round-trips)
         .localCheckpoint(eager=False)
     )
+    # Fixpoint early-stop (the kcore idiom, r11 second half): the node
+    # set is fixed across rounds, so if a round leaves every (node,
+    # community) pair unchanged, every remaining budgeted round is the
+    # identity and the full fixed-round definition (which the oracle
+    # always runs) returns the bit-identical result. Each round already
+    # needs one blocking materialization; the per-round cost added here
+    # is one node-bounded semi-join count. n_nodes == 0 (the support
+    # threshold can empty the graph outright) skips the rounds
+    # entirely.
+    n_nodes = labels.count()
+    if n_nodes == 0:
+        return labels
     # Per-src argmax over the total order (w DESC, community ASC) as a
     # single decimal-packed MAX: enc = w * 10^20 + (5*10^19 - community).
     # 5e19 - community lies in [0, 10^20) for every BIGINT community, so
@@ -853,7 +862,7 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             .groupBy(F.col("src"), F.col("community"))
             .agg(F.sum("support").alias("w"))
         )
-        labels = (
+        new_labels = (
             neigh.select(
                 "src",
                 F.expr(
@@ -870,6 +879,10 @@ def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        unchanged = new_labels.join(labels, ["node", "community"]).count()
+        labels = new_labels
+        if unchanged == n_nodes:
+            break  # fixpoint: every remaining round is the identity
     return labels
 
 
