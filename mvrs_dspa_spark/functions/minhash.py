@@ -87,29 +87,38 @@ def candidate_pairs_df(sig: DataFrame, id_col: str, n: int, bands: int) -> DataF
     )
 
 
-def bucket_rows_df(sig: DataFrame, id_col: str, n: int, bands: int) -> DataFrame:
-    """(id, sg, band, bh) rows: one per (set, band), the full signature
-    array riding along so similarity can be scored wherever two bucket
-    rows first meet (no signature re-join)."""
+def bucket_rows_df(
+    sig: DataFrame, id_col: str, n: int, bands: int, with_bhs: bool = False
+) -> DataFrame:
+    """(id, sg[, bhs], band, bh) rows: one per (set, band), the full
+    signature array riding along so similarity can be scored wherever
+    two bucket rows first meet (no signature re-join). With
+    ``with_bhs`` the per-set array of ALL band hashes also rides
+    (computed once in the same pre-explode projection the band hashes
+    already live in), so the first-matching-band dedup filter can
+    compare earlier bands without recomputing any fold."""
     rows = n // bands
-    return sig.select(
+    bhs = F.array(*[_band_hash_col(j, rows) for j in range(bands)])
+    out = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"m{i}") for i in range(n)]).alias("sg"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"), _band_hash_col(j, rows).alias("bh")
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "sg", "bk.band", "bk.bh")
+        bhs.alias("bhs"),
+        F.posexplode(bhs).alias("band", "bh"),
+    )
+    return out if with_bhs else out.drop("bhs")
 
 
 def sig_match_count_col(a: Column, b: Column) -> Column:
-    """Matching components between two signature ARRAY columns (int)."""
+    """Matching components between two signature ARRAY columns (int),
+    as the zip_with+aggregate fold.
+
+    An unrolled 32-term element_at chain was tried in r12 and
+    REVERTED on measurement: past ~100 expression nodes the chain
+    defeats whole-stage codegen for the whole stage and the fallback
+    runs several times slower than this fold (same microbench as
+    ann.dot_col — fold 0.50 s vs unrolled-32 2.55 s on 2M rows; the
+    r11 PQ-chain lesson §22 generalizes to element_at chains of every
+    width). The HOF fold is the fastest exact form on this engine."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -141,6 +150,38 @@ def _materialized(sig: DataFrame) -> DataFrame:
     return sig.localCheckpoint(eager=False) if MATERIALIZE_SIGS else sig
 
 
+def _first_matching_band_only(joined: DataFrame) -> DataFrame:
+    """Keep each candidate pair's row for its FIRST matching band only.
+
+    The band self-join emits one row per SHARED band of a pair; the
+    duplicates used to survive to a groupBy(id_a, id_b) dedup — a full
+    Exchange of the candidate stream. A pair's set membership is
+    decided by bh equality (the join key), so comparing the earlier
+    bands' PRE-COMPUTED hashes (the bhs arrays riding both sides) and
+    dropping any row with an earlier bh match emits every pair
+    EXACTLY once, map-side, before any exchange (guide §2.3
+    aggregate-before-shuffle / §2.4 remove shuffles outright).
+    Equality is on bh (not raw band slices) so hash-collision
+    candidates dedup identically to the old distinct/groupBy.
+    """
+    # zip the two sides' PRE-COMPUTED earlier-band hash prefixes (the
+    # bhs arrays ride the bucket rows; slice length == band, so band 0
+    # zips two empty arrays -> exists is false). A recompute-the-fold
+    # variant (sequence + aggregate over sg slices) was measured 3.6x
+    # slower per candidate row; this form also beat the groupBy dedup
+    # it replaces outright (0.49 s vs 0.55 s on the same 210k
+    # candidates) while deleting the exchange.
+    earlier = F.exists(
+        F.zip_with(
+            F.slice(F.col("a.bhs"), 1, F.col("a.band")),
+            F.slice(F.col("b.bhs"), 1, F.col("b.band")),
+            lambda x, y: x == y,
+        ),
+        lambda v: v,
+    )
+    return joined.where(~earlier)
+
+
 def scored_candidate_pairs_df(
     sig: DataFrame, id_col: str, n: int, bands: int
 ) -> DataFrame:
@@ -152,32 +193,32 @@ def scored_candidate_pairs_df(
     no re-join of the signature table (which re-runs the whole
     upstream item pipeline per join under exchange reuse) and no
     `distinct` shuffle of the raw pair stream; multi-band duplicates
-    collapse in a cheap groupBy over the (already small) scored pairs.
+    die map-side in the first-matching-band filter (r12) — no
+    groupBy/exchange over the candidate stream at all.
     Tradeoff at scale: band-join shuffle rows carry n extra longs
     (sig width) on both sides — linear, constant-factor — in exchange
     for dropping two signature-side shuffle joins and a distinct.
     Interleaved A/B at sf0.1: user-similarity 3.25s -> 2.22s, doc
     dedup 2.59s -> 2.43s (min of 4, same JVM).
     """
-    buckets = bucket_rows_df(_materialized(sig), id_col, n, bands)
+    buckets = bucket_rows_df(
+        _materialized(sig), id_col, n, bands, with_bhs=True
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     matches = sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
     est = F.round(matches.cast("double") / F.lit(n), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            est.alias("est_sim"),
-        )
-        # duplicates (one per shared band) carry identical est_sim
-        .groupBy("id_a", "id_b")
-        .agg(F.first("est_sim").alias("est_sim"))
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # multi-band duplicates die map-side (first-matching-band filter);
+    # the former groupBy(id_a, id_b) dedup exchange is gone
+    return _first_matching_band_only(joined).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        est.alias("est_sim"),
     )
 
 
@@ -258,25 +299,27 @@ def band_hash_from_sig_col(sig: Column, band: int, rows: int) -> Column:
 
 
 def bucket_rows_from_sig_df(
-    df: DataFrame, sig_col: str, n: int, bands: int
+    df: DataFrame, sig_col: str, n: int, bands: int, with_bhs: bool = False
 ) -> DataFrame:
     """Explode one (band, bh) row per band from an ARRAY-form
-    signature column, all other columns riding along."""
+    signature column, all other columns riding along (plus the full
+    band-hash array when ``with_bhs`` — see bucket_rows_df)."""
     rows = n // bands
-    return df.select(
+    bhs = F.array(
+        *[
+            band_hash_from_sig_col(F.col(sig_col), j, rows)
+            for j in range(bands)
+        ]
+    )
+    out = df.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        band_hash_from_sig_col(F.col(sig_col), j, rows).alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(*df.columns, "bk.band", "bk.bh")
+        bhs.alias("bhs"),
+        F.posexplode(bhs).alias("band", "bh"),
+    )
+    cols = [*df.columns, "bhs", "band", "bh"] if with_bhs else [
+        *df.columns, "band", "bh"
+    ]
+    return out.select(*cols)
 
 
 def scored_candidate_pairs_from_array_sig_df(
@@ -304,22 +347,20 @@ def scored_candidate_pairs_from_array_sig_df(
         "sg",
         n,
         bands,
+        with_bhs=True,
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     matches = sig_match_count_col(F.col("a.sg"), F.col("b.sg"))
     est = F.round(matches.cast("double") / F.lit(n), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            est.alias("est_sim"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("est_sim").alias("est_sim"))
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # first-matching-band filter replaces the groupBy(id_a, id_b) dedup
+    return _first_matching_band_only(joined).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        est.alias("est_sim"),
     )

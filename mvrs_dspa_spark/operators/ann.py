@@ -70,6 +70,18 @@ def lsh_bits_for(
 
 
 def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two ARRAY columns (double), as the
+    zip_with+aggregate fold.
+
+    An unrolled fixed-width element_at chain (64 terms, bit-identical
+    add order) was tried across all 27 call sites in r12 and REVERTED
+    on measurement: the ~400-node expression defeats whole-stage
+    codegen for the ENTIRE stage (WholeStageCodegen disappears from
+    the executed plan) and runs ~10x slower than this fold (isolated
+    microbench, 2M x 64-dim rows: fold 0.50 s, unrolled-64 4.78 s,
+    unrolled-32 2.55 s; ann_cosine_topk 1.46 -> 3.40 s). Same failure
+    class as the r11 PQ explicit-chain rejection (§22): on this
+    engine version the HOF fold is the fastest exact form."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

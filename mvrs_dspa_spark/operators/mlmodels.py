@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.functions import hashing as H
@@ -397,12 +397,41 @@ def _solve_side(
     )
 
 
+def _als_init_items(inter: DataFrame, item_key: str) -> DataFrame:
+    """Checkpointed deterministic affine-hash item-factor init frame
+    (one row per distinct item key; built as a column expression — no
+    driver-side matrix)."""
+    init = F.array(
+        *[
+            (
+                (
+                    (
+                        F.lit(_ALS_INIT_A)
+                        * ((F.col(item_key) * ALS_K + d) % H.P)
+                        + F.lit(_ALS_INIT_B)
+                    )
+                    % H.P
+                )
+                / F.lit(float(H.P))
+            )
+            * 0.2
+            - 0.1
+            for d in range(ALS_K)
+        ]
+    )
+    return (
+        inter.select(item_key).distinct().select(item_key, init.alias("fac"))
+    ).localCheckpoint(eager=False)
+
+
 def als_fit_distributed(
     inter: DataFrame,
     user_key: str,
     item_key: str,
     iters: int = ALS_ITERS,
     n_inter: int | None = None,
+    items: DataFrame | None = None,
+    yty=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed ALS; returns (user_factors, item_factors) frames.
 
@@ -422,27 +451,8 @@ def als_fit_distributed(
     materialized (the query checkpoints it once and shares it with
     the serving anti-join); this function no longer caches it.
     """
-    init = F.array(
-        *[
-            (
-                (
-                    (
-                        F.lit(_ALS_INIT_A)
-                        * ((F.col(item_key) * ALS_K + d) % H.P)
-                        + F.lit(_ALS_INIT_B)
-                    )
-                    % H.P
-                )
-                / F.lit(float(H.P))
-            )
-            * 0.2
-            - 0.1
-            for d in range(ALS_K)
-        ]
-    )
-    items = (
-        inter.select(item_key).distinct().select(item_key, init.alias("fac"))
-    ).localCheckpoint(eager=False)
+    if items is None:
+        items = _als_init_items(inter, item_key)
     users = None
     # bucket count sized so one Arrow group stays ~50k interaction
     # rows regardless of data volume (memory-bounded), while staying
@@ -455,9 +465,12 @@ def als_fit_distributed(
     # the materializing action of the lazily-checkpointed frame it
     # reads (a full aggregate computes every partition, so the lazy
     # checkpoint is guaranteed to materialize — the reply_tree
-    # LIMIT-prefix caveat does not apply).
-    yty = _gramian(items)
-    for _ in range(iters):
+    # LIMIT-prefix caveat does not apply). Callers that already hold
+    # the init Gramian (als_implicit_recs folds it into the same job
+    # as its path-decision count) pass `yty` to skip one collect.
+    if yty is None:
+        yty = _gramian(items)
+    for it in range(iters):
         users = _solve_side(
             inter, items, user_key, item_key, yty, n_buckets
         ).localCheckpoint(eager=False)
@@ -465,7 +478,14 @@ def als_fit_distributed(
         items = _solve_side(
             inter, users, item_key, user_key, yty, n_buckets
         ).localCheckpoint(eager=False)
-        yty = _gramian(items)
+        # the final iteration's item Gramian is consumed by nothing —
+        # skipping the collect drops one blocking job per fit; the
+        # last item half-step then materializes inside the caller's
+        # first consuming action instead (r12, guide §7.3 job count).
+        # Factors are bit-identical: yty is an input to the NEXT
+        # user half-step only.
+        if it + 1 < iters:
+            yty = _gramian(items)
     return users, items
 
 
@@ -541,14 +561,28 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # materialized ONCE (the count below is the action) and shared
-        # by the path decision, every fit half-step join, and the
-        # serving anti-join — before r11 the orders-lineitem join +
-        # aggregation ran three times (limit-collect probe, fit
+        # materialized ONCE (the init-Gramian job below is the action)
+        # and shared by the path decision, every fit half-step join,
+        # and the serving anti-join — before r11 the orders-lineitem
+        # join + aggregation ran three times (limit-collect probe, fit
         # persist, serving recompute after the fit unpersisted it)
         .localCheckpoint(eager=False)
     )
-    n_inter = inter.count()
+    # ONE blocking job both decides the fit path AND seeds the
+    # distributed fit (r12, guide §7.3 job count — VERDICT r11 #6):
+    # the path-decision row count rides the init-item-Gramian
+    # aggregation as an Observation metric (CollectMetrics is a
+    # pass-through node — the Gramian's plan, partitioning and float
+    # summation order are unchanged), instead of a separate count()
+    # job followed by the fit's own Gramian collect. On the local-fit
+    # path the seeded Gramian goes unused — a bounded distinct+36-sum
+    # aggregate over the already-materialized interaction table.
+    obs = Observation("als_n_inter")
+    items0 = _als_init_items(
+        inter.observe(obs, F.count(F.lit(1)).alias("n")), "partkey"
+    )
+    yty0 = _gramian(items0)
+    n_inter = int(obs.get["n"])
     if n_inter == 0:
         return spark.createDataFrame(
             [], "custkey long, partkey long, rank int, score double"
@@ -568,7 +602,12 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         users_df, items_df = als_fit_distributed(
-            inter, "custkey", "partkey", n_inter=n_inter
+            inter,
+            "custkey",
+            "partkey",
+            n_inter=n_inter,
+            items=items0,
+            yty=yty0,
         )
 
     sample = users_df.orderBy("custkey").limit(ALS_REC_USERS)

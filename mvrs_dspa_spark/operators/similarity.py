@@ -484,14 +484,29 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded edge list, not corpus lineage."""
     items = _items_df(spark, sf_dir, dedup=False)
     per_user = (
-        items.groupBy("user_id")
+        # a NULL user_id would form its own collect_set group (and be
+        # counted in n_users), while the oracle's self-join on
+        # a.user_id = b.user_id and COUNT(DISTINCT user_id) both
+        # exclude NULL users — filter pins join/countDistinct
+        # semantics regardless of data nullability (ADVICE r11)
+        items.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
         .agg(F.array_sort(F.collect_set("item")).alias("arr"))
         .localCheckpoint(eager=False)
     )
     n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
     # all i<j pairs of the sorted set: element at 0-based position p
     # pairs with every later element (1-based slice start p+2); slice
-    # length size(arr) just clamps to the tail
+    # length size(arr) just clamps to the tail.
+    # Memory bound: the whole d^2/2 struct array materializes in ONE
+    # row's buffer before the explode (the old self-join streamed pair
+    # rows instead). d here is a user's DISTINCT item count, bounded by
+    # the event_type x props.k item vocabulary (~|EVENT_TYPES| x 1000),
+    # NOT by the user's event volume — a 20%-hot user still contributes
+    # at most C(|vocab|, 2) structs once (pinned by the graph entries in
+    # test_10x_events_user_skew_bounded). If the item domain ever grows
+    # with the corpus, chunk the expansion (posexplode the outer index
+    # first — measured 1.19x slower at today's bound, r11 §16).
     pair_arr = F.flatten(
         F.transform(
             F.col("arr"),

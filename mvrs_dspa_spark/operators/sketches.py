@@ -425,6 +425,13 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if (t, k) not in counts:
             cnt = (
                 table(spark, sf_dir, t)
+                # NULL keys never match an equi-join, so the oracle's
+                # JOIN USING (k) (and the old Spark join) drops them;
+                # the self-pair sum(c^2) fold and the groupBy('j') grid
+                # would silently KEEP a NULL-key group if one existed.
+                # Filtering here pins join semantics for every branch
+                # regardless of key nullability (ADVICE r11).
+                .where(F.col(k).isNotNull())
                 .groupBy(F.col(k).alias("k"))
                 .agg(F.count(F.lit(1)).alias("c"))
                 .localCheckpoint(eager=False)

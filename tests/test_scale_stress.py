@@ -241,6 +241,15 @@ def test_10x_events_user_skew_bounded(spark, tmp_path):
         # contributes at most C(|vocab|, 2) pairs ONCE (never per
         # event) and the LPA rounds stay vocabulary-bounded
         "item_communities_lpa",
+        # r12 (VERDICT r11 #4): pin the r11 map-side pair expansion
+        # (similarity.cooccurrence_edges builds each user's full
+        # d^2/2 struct array in ONE row before exploding) under the
+        # 20%-hot user — d is the user's DISTINCT item count, bounded
+        # by the item vocabulary, so the hot user's single quadratic
+        # array is constant-size and the run must stay ~linear with
+        # zero spill; a second consumer exercises the triangle join
+        # over the same edges
+        "graph_clustering_coefficient",
     ):
         t1 = _timed(q[name].fn, small, spark)
         t10 = _timed(q[name].fn, big, spark)
@@ -459,6 +468,89 @@ def test_10x_als_fit_scale_bounded(spark):
           f"ratio={t10 / t1:.1f}")
     assert t10 / t1 < MAX_RATIO, (t1, t10)
     assert _total_spill(spark) - spill0 == 0, "ALS fit spilled"
+
+
+@pytest.mark.slow
+def test_10x_bloom_materialization_beats_duplicate_subtrees(spark, tmp_path):
+    """VERDICT r11 #3: demonstrate one census-sweep scan-reduction AT
+    SCALE instead of plan-shape only. bloom_membership_report's
+    distinct-user frame feeds 7 consumers and its claim list 3; the
+    r11 materialization cut the events scans 13 -> 1, but at sf0.1 the
+    duplicate subtrees ran concurrently on idle cores so the bench
+    delta was a wash. At 2M events on the 8-core test session the
+    cores are SATURATED and re-running the scan+distinct per consumer
+    must lose to the materialized form — the 100 TB claim, measured.
+    The unmaterialized twin below is the committed pre-r11 shape of
+    the query body (no localCheckpoint), built from the same shared
+    helpers, and both forms must return identical rows."""
+    from mvrs_dspa_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_claims,
+    )
+    from mvrs_dspa_spark.tables import table as _table
+
+    register_synthetic_source(spark)
+    big = str(tmp_path / "bloom10x")
+    _write_events(spark, EV_SMALL * SCALE, big)
+
+    def report(materialize: bool):
+        ev = _table(spark, big, "events")
+        users = ev.select("user_id").distinct()
+        if materialize:
+            users = users.localCheckpoint(eager=False)
+        known = users.where(F.col("user_id") % 3 != 0)
+        bits = bloom_bits(known)
+        claimed = bloom_claims(users, bits)
+        if materialize:
+            claimed = claimed.localCheckpoint(eager=False)
+        n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+        n_known = known.agg(F.count(F.lit(1)).alias("n_known"))
+        n_probes = users.agg(F.count(F.lit(1)).alias("n_probes"))
+        n_claimed = claimed.agg(F.count(F.lit(1)).alias("n_claimed"))
+        n_true = claimed.join(known, "user_id").agg(
+            F.count(F.lit(1)).alias("n_true_members")
+        )
+        n_fp = claimed.join(known, "user_id", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_fp")
+        )
+        n_nonmem = users.join(known, "user_id", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_nonmem")
+        )
+        return (
+            n_bits.crossJoin(F.broadcast(n_known))
+            .crossJoin(F.broadcast(n_probes))
+            .crossJoin(F.broadcast(n_claimed))
+            .crossJoin(F.broadcast(n_true))
+            .crossJoin(F.broadcast(n_fp))
+            .crossJoin(F.broadcast(n_nonmem))
+            .select(
+                F.lit(BLOOM_M).alias("m_bits"),
+                F.lit(BLOOM_K).alias("k_hashes"),
+                "bits_set", "n_known", "n_probes", "n_claimed",
+                "n_true_members", "n_fp", "n_nonmem",
+            )
+        )
+
+    assert (
+        report(True).collect() == report(False).collect()
+    ), "materialized and duplicate-subtree forms must agree"
+
+    def timed(materialize: bool) -> float:
+        def fn(s, d):
+            return report(materialize)
+
+        return _timed(fn, big, spark)
+
+    t_dup = timed(False)
+    t_mat = timed(True)
+    print(f"SCALE-MATERIALIZE bloom_membership_report 10x: "
+          f"duplicate-subtrees={t_dup:.2f}s materialized={t_mat:.2f}s "
+          f"ratio={t_dup / t_mat:.2f}x")
+    # the materialized form must win clearly once cores saturate —
+    # generous slack for host noise, the plan gap is 13 scans vs 1
+    assert t_mat < t_dup * 0.8, (t_mat, t_dup)
 
 
 def test_aqe_skew_split_engages(spark):
