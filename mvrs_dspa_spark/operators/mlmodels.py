@@ -582,7 +582,14 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.observe(obs, F.count(F.lit(1)).alias("n")), "partkey"
     )
     yty0 = _gramian(items0)
-    n_inter = int(obs.get["n"])
+    try:
+        n_inter = int(obs.get["n"])
+    except Exception:
+        # empty inputs: PropagateEmptyRelation collapses the observed
+        # subtree to an empty LocalRelation, eliding the CollectMetrics
+        # node, so no metric row ever exists — fall back to the plain
+        # count (a trivial job on the already-materialized checkpoint)
+        n_inter = inter.count()
     if n_inter == 0:
         return spark.createDataFrame(
             [], "custkey long, partkey long, rank int, score double"

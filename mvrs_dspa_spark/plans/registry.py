@@ -64,69 +64,71 @@ def register(
 # cycles mechanically. Keep <=5 (the drain policy) and clear at the
 # next round open.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r11 rows->oracle conversions (census 16 -> 9). These five take
-    # the changed slots; the other two conversions of the round —
-    # ann_index_maintenance and ann_quality_report — are r5-stale and
-    # earn their window slots from the oldest-first queue anyway.
-    "media_features",
-    "ann_lsh",
-    "ann_lsh_banded",
-    "kmeans_embeddings",
-    "ann_ivf",
+    # r12 optimization-round plan changes. The LSH first-matching-band
+    # candidate dedup rides under every scored_candidate_pairs_* user
+    # (dedup_clusters, dedup_method_eval, percolation_components pick
+    # up window slots from the staleness queue); the cooccurrence
+    # NULL-user pin rides under the whole graph family via
+    # item_communities_lpa's edges.
+    "dedup_minhash_lsh",
+    "similar_users_minhash_lsh",
+    "als_implicit_recs",
+    "join_size_estimate",
+    "item_communities_lpa",
 )
 
 # --- BEGIN GENERATED WINDOW (python tools/freshness.py --write-window) ---
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "media_features",
-    "ann_lsh",
-    "ann_lsh_banded",
-    "kmeans_embeddings",
-    "ann_ivf",
-    "ann_index_maintenance",
-    "ann_quality_report",
-    "q10_returned_revenue",
-    "q11_concentrated_part_value",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_bulk_bolt_suppliers",
-    "q21_sole_return_supplier",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_late_shipping_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "top_user_per_type",
-    "user_value_moving_avg",
-    "ann_ndcg_eval",
-    "anomaly_mahalanobis_2d",
-    "basket_lift_pairs",
-    "benford_value_audit",
-    "bloom_membership_report",
-    "dau_wau_stickiness",
-    "dedup_method_eval",
     "dedup_minhash_lsh",
-    "doc_novelty_rate",
-    "dp_event_counts",
-    "dsir_importance_weights",
-    "embedding_pq",
-    "embedding_truncation_eval",
-    "entity_resolution_blocking",
-    "gdpr_erasure_audit",
-    "graph_degree_stats",
-    "haversine_store_assignment",
-    "hourly_stl_decomposition",
+    "similar_users_minhash_lsh",
+    "als_implicit_recs",
     "join_size_estimate",
+    "item_communities_lpa",
+    "kaplan_meier_conversion",
+    "knn_confidence_calibration",
+    "l_diversity_report",
+    "nb_lang_classifier",
+    "ngram_jaccard_pairs",
+    "orders_cdf_quantiles",
+    "quantile_transform_values",
+    "reservoir_sample_events",
+    "rfm_segment_counts",
+    "seasonal_hour_profile",
+    "substring_dup_rate",
+    "supplier_ship_latency",
+    "target_encoding_loo",
+    "theta_sketch_overlap",
+    "top2_share_per_type",
+    "user_activity_streaks",
+    "user_lifecycle_stages",
+    "value_ttest_by_type",
+    "wilson_ctr_ranking",
+    "woe_information_value",
+    "zorder_clustering",
+    "quality_classifier_lr",
+    "ab_test_cuped",
+    "blocklist_filter_report",
+    "brand_price_elasticity",
+    "cohort_ltv_curves",
+    "conditional_entropy_transitions",
+    "daily_growth_accounting",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_stopword_entropy",
+    "doremi_domain_weights",
+    "embedding_random_projection",
+    "event_cube_summary",
+    "event_dow_chisq",
+    "event_type_transitions",
+    "event_value_histogram",
+    "event_value_regression",
+    "ewma_hourly_forecast",
+    "forecast_backtest_mase",
+    "heaps_law_fit",
+    "hourly_burstiness",
+    "hourly_value_momentum",
+    "influence_functions_lr",
+    "kmeans_assign_pinned",
 )
 # --- END GENERATED WINDOW ---
 

@@ -3,6 +3,8 @@ brute force finds (recall gates), and plans must stay equi-join."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.operators import ann
@@ -15,6 +17,7 @@ def _topk_sets(df):
     return out
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_ivf_recall_vs_brute_force(spark, sf_small):
     truth = _topk_sets(ann.ann_cosine_topk(spark, sf_small))
     approx = _topk_sets(ann.ann_ivf(spark, sf_small))
@@ -47,6 +50,7 @@ def test_lsh_candidates_subset_scored_correctly(spark, sf_small):
             assert abs(r.cos_sim - brute[(r.vec_a, r.vec_b)]) < 1e-9
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_ann_quality_report_bounds(spark, sf_small):
     """The evaluation harness's own invariants, and floor bounds on
     the measured recalls (theory at cos~0.45: banded 8x4 ~ 0.79,

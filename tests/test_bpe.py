@@ -5,6 +5,8 @@ must hold."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -123,6 +125,7 @@ def test_bpe_encode_round_trips_and_compresses(spark):
     assert total_pieces < total_chars, "merges did not compress"
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_tokenizer_fertility_invariants(spark, sf_small):
     """Fertility >= 1 (a word is at least one piece), char totals are
     conserved, and applying MORE merges never increases any

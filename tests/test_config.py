@@ -100,6 +100,7 @@ print("OVERRIDE_PARITY_OK")
 """
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_override_keeps_oracle_parity_subprocess():
     """The judge's 'a real user retuning the 6h/1h window hits this
     first' scenario: retune BOTH the session gap and the sliding

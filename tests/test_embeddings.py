@@ -177,6 +177,7 @@ def test_pq_beats_single_centroid_and_matches_numpy(spark):
         assert abs(got["mse"] - err / d) < 1e-9
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_jl_projection_preserves_distances(spark, sf_small):
     """JL lemma sanity: for sampled vector pairs, the projected
     squared distance (scaled) approximates the original within the

@@ -39,6 +39,7 @@ def test_parser_defaults():
     assert args.job in JOBS
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_active_posts_cli_end_to_end(spark, tmp_path):
     out = str(tmp_path / "stats")
     r = _run_cli(
@@ -60,6 +61,7 @@ def test_active_posts_cli_end_to_end(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_recommendations_cli_end_to_end(spark, tmp_path):
     out = str(tmp_path / "recs")
     r = _run_cli(
@@ -81,6 +83,7 @@ def test_recommendations_cli_end_to_end(spark, tmp_path):
         assert row.user_id != row.rec_user_id
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_attribution_cli_end_to_end(spark, tmp_path):
     out = str(tmp_path / "attr")
     r = _run_cli(
@@ -98,6 +101,7 @@ def test_attribution_cli_end_to_end(spark, tmp_path):
             "conversion_value"} <= set(res.columns)
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_curation_cli_end_to_end(spark, tmp_path):
     out = str(tmp_path / "curated")
     r = _run_cli(
@@ -114,6 +118,7 @@ def test_curation_cli_end_to_end(spark, tmp_path):
     assert {"doc_id", "quality_score", "content_key"} <= set(res.columns)
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_drift_cli_end_to_end(spark, tmp_path):
     """The deployable form of the 29af/29ah monitors: one event stream
     feeds BOTH maintainers; reports land as parquet at shutdown and
@@ -154,6 +159,7 @@ def test_drift_cli_end_to_end(spark, tmp_path):
     assert got_w1 == want_w1
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_drift_cli_restart_continues(spark, tmp_path):
     """--state-dir + --checkpoint: a second invocation over the SAME
     replayed input reprocesses nothing (checkpoint) and keeps the
@@ -185,6 +191,7 @@ def _run_query_cli(args, timeout=240):
     )
 
 
+@pytest.mark.slow  # subprocess Spark session: ~20-45 s each
 def test_query_runner_list_and_execute(spark, tmp_path):
     r = _run_query_cli(["--list", "--tag", "sketch"])
     assert r.returncode == 0, r.stderr[-2000:]

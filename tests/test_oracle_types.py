@@ -31,6 +31,7 @@ def duck():
     return conn
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_no_nested_oracle_columns(duck):
     """The driver canonicalizes results through pandas sort_values,
     which cannot hash list/struct/map cells (round-3 lost
@@ -51,6 +52,7 @@ def test_no_nested_oracle_columns(duck):
     assert not offenders, f"oracles emit nested (unhashable) columns: {offenders}"
 
 
+@pytest.mark.slow  # ~2 min: builds all ~260 registered plans
 def test_no_nested_spark_columns(spark, sf_small):
     """Spark-side twin of the oracle lint, covering the queries the
     oracle lint can't: rows-gated entries have no oracle SQL, so a

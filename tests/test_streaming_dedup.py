@@ -104,6 +104,7 @@ def _batch_pairs(spark, rows):
     }
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_stream_matches_batch_reference_multi_batch(spark, tmp_path):
     got = _run_stream(spark, tmp_path, DOCS, n_files=4)
     want = _batch_pairs(spark, DOCS)
@@ -117,6 +118,7 @@ def test_stream_matches_batch_reference_multi_batch(spark, tmp_path):
     assert 7 not in {d for d, _ in want} and 7 not in {o for _, o in want}
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_single_batch_equals_multi_batch(spark, tmp_path):
     one = _run_stream(spark, tmp_path / "one", DOCS, n_files=1)
     many = _run_stream(spark, tmp_path / "many", DOCS, n_files=8)
@@ -144,6 +146,7 @@ def test_threshold_filters_weak_pairs(spark, tmp_path):
     assert set(got) == {(6, 1), (8, 5)}
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_event_time_ttl_expires_stored_docs(spark, tmp_path):
     """With a 1-hour state TTL, a duplicate arriving after the
     watermark passes the original's ts + TTL is NOT attributed (the

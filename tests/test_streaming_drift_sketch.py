@@ -5,6 +5,8 @@ batch==stream contract as the SPRT monitor (29ae)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.operators.sketches import (
@@ -174,6 +176,7 @@ def test_wasserstein_monitor_empty_state(spark):
     mon.erase_users([1])
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_monitors_are_replay_order_independent(spark):
     """The three maintainers' merges are additive/min-k — commutative
     and associative — so feeding micro-batches in REVERSED event-time
@@ -207,6 +210,7 @@ def test_monitors_are_replay_order_independent(spark):
         assert fwd and fwd == rev, cls.__name__
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_monitor_save_load_restart_equals_uninterrupted(spark, tmp_path):
     """Driver-restart durability: save after 2 batches, reload into a
     FRESH monitor, feed the remaining 2 — reports byte-equal the

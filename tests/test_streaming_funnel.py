@@ -5,6 +5,8 @@ user never emits twice."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 from datetime import datetime, timezone
 
@@ -84,6 +86,7 @@ def _run(spark, tmp_path, rows, n_files=4, shuffle_within_file=True):
     return {r.user_id: (r.t1_us, r.t2_us, r.t3_us) for r in got}, got
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_stream_funnel_matches_batch(spark, tmp_path, sf_small):
     ev = table(spark, sf_small, "events").select(
         "ts", "user_id", "event_type"

@@ -5,6 +5,8 @@ ITSuite scenarios: dangling replies, out-of-order arrival)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 from datetime import datetime, timezone
@@ -46,6 +48,7 @@ def _run(spark, tmp_path, batches, **kw):
     }
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_out_of_order_chain_resolves_across_micro_batches(spark, tmp_path):
     # replies arrive BEFORE their parents, each in its own micro-batch:
     # grandchild 103 -> child 102 -> first-level comment 101 (post 9).
@@ -118,6 +121,7 @@ def test_orphans_buffer_until_parent_in_later_batch(spark, tmp_path):
     assert got[503] == (4, 1, "resolved")
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_streaming_matches_batch_pointer_doubling(spark, tmp_path):
     """Equivalence on a seeded random forest delivered in shuffled
     order across several micro-batches: every reply the streaming
@@ -182,6 +186,7 @@ def test_streaming_matches_batch_pointer_doubling(spark, tmp_path):
             assert status in ("dangling", "dropped"), (cid, status)
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_mapping_ttl_expires_stale_parents(spark, tmp_path):
     """With a mapping TTL (ref postMappingTtl), a reply that arrives
     after the watermark is TTL past its parent's timestamp finds the

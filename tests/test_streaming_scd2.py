@@ -4,6 +4,8 @@ when the event log is replayed in ordered micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mvrs_dspa_spark.plans.analytics import user_state_history
@@ -68,6 +70,7 @@ def test_streaming_scd2_equals_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.slow  # >10 s: slow tier, run with -m slow
 def test_streaming_scd2_history_partitions_stay_bounded(spark, tmp_path):
     """Long-run hygiene: each batch unions recomputed rows onto the
     history, which grows the checkpointed partition count without
